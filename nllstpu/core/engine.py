@@ -1,0 +1,299 @@
+"""Cost / gradient / Hessian engine: vmapped per-type batches + scatter
+assembly of the normal equations.
+
+Reference parity: src/cost.jl (``cost``, ``costgradhess!``), src/residual.jl
+lines 43-111 (robustified Gauss-Newton composition: g = Jᵀr, H = JᵀJ, IRLS
+reweighting by ρ′, second-order correction 2ρ″ggᵀ, adaptive-kernel cross
+blocks) and src/linearsystem.jl lines 132-175 (scatter-add of per-cost blocks
+into the symmetric system).
+
+TPU-native design (SURVEY.md §7):
+
+* Jacobians come from ``jax.jacfwd`` of ``residual ∘ retract`` at the zero
+  tangent — equivalent to the reference pushing ForwardDiff duals through the
+  manifold ``update`` (src/autodiff.jl:57-93), but batched: one traced
+  function per cost *type*, vmapped over the whole padded batch.
+* The reference's per-cost ``varflags`` static specialization (fixed variables
+  contribute nothing, src/cost.jl:27-52) becomes a *dustbin scatter*: the
+  global tangent vector is padded by ``layout.pad`` extra rows and fixed /
+  padding blocks scatter their contributions there, to be sliced off.  This
+  keeps every batch a single fixed-shape XLA computation — no data-dependent
+  control flow.
+* Assembly is one ``scatter-add`` per batch into the dense padded system (the
+  block-sparse/Schur paths reuse the same per-batch block computation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .manifolds import Manifold
+from .problem import CostBatch, Problem, VarHandle, family_name
+
+
+@dataclasses.dataclass
+class Layout:
+    """Tangent-space layout of the unfixed variables.
+
+    ``offsets[name][i]`` is the offset of variable ``i`` of family ``name``
+    in the global tangent/step vector, or ``dof_total`` (the dustbin) when the
+    variable is fixed.  Plays the role of the reference's block index/offset
+    assignment in ``makesymmvls`` (src/linearsystem.jl:93-102).
+    """
+
+    offsets: dict  # family name -> jnp int32 [n]
+    unfixed: dict  # family name -> numpy bool [n]
+    dof_total: int
+    pad: int
+
+    @property
+    def padded_size(self) -> int:
+        return self.dof_total + self.pad
+
+
+def resolve_unfixed(problem: Problem, unfixed) -> dict:
+    """Normalize the ``unfixed`` spec into per-family boolean masks
+    (reference ``convertunfixed``, src/optimize.jl:19-22).  Accepts ``None``
+    (all free), a :class:`Manifold` (that family only), a single
+    :class:`VarHandle`, an iterable of handles, or a dict of masks."""
+    masks = {
+        name: np.zeros(len(values), dtype=bool)
+        for name, (_, values) in problem._families.items()
+    }
+    if unfixed is None:
+        for m in masks.values():
+            m[:] = True
+    elif isinstance(unfixed, Manifold):
+        masks[family_name(unfixed)][:] = True
+    elif isinstance(unfixed, VarHandle):
+        masks[unfixed.family][unfixed.index] = True
+    elif isinstance(unfixed, dict):
+        for name, m in unfixed.items():
+            masks[name][:] = np.asarray(m, dtype=bool)
+    else:
+        for h in unfixed:
+            masks[h.family][h.index] = True
+    return masks
+
+
+def build_layout(problem: Problem, unfixed=None, batches=None) -> Layout:
+    masks = resolve_unfixed(problem, unfixed)
+    offsets = {}
+    running = 0
+    for name in problem.family_names():
+        man = problem.manifold_of(name)
+        mask = masks[name]
+        off = np.empty(len(mask), dtype=np.int32)
+        for i, free in enumerate(mask):
+            if free:
+                off[i] = running
+                running += man.dof
+            else:
+                off[i] = -1  # patched to dustbin below
+        offsets[name] = off
+    dof_total = running
+    pad = 1
+    for name in problem.family_names():
+        pad = max(pad, problem.manifold_of(name).dof)
+    if batches is None:
+        batches = problem.batches()
+    for b in batches:
+        pad = max(pad, b.block_dof)
+    for name, off in offsets.items():
+        off[off < 0] = dof_total
+        offsets[name] = jnp.asarray(off)
+    return Layout(offsets=offsets, unfixed=masks, dof_total=dof_total, pad=pad)
+
+
+# ---------------------------------------------------------------------------
+# Per-cost math (traced once per cost type, vmapped over the batch)
+# ---------------------------------------------------------------------------
+
+
+def _split_tangent(t, manifolds):
+    parts = []
+    start = 0
+    for m in manifolds:
+        parts.append(t[start : start + m.dof])
+        start += m.dof
+    return tuple(parts)
+
+
+def _residual_fn(batch: CostBatch, params, vals):
+    """Residual as a function of the concatenated tangent of the non-kernel
+    dependency slots, plus the values/manifolds it closes over."""
+    manifolds = batch.manifolds[1:] if batch.adaptive else batch.manifolds
+    rvals = vals[1:] if batch.adaptive else vals
+
+    def f(t):
+        parts = _split_tangent(t, manifolds)
+        newv = tuple(
+            m.retract(v, dt) for m, v, dt in zip(manifolds, rvals, parts)
+        )
+        return jnp.atleast_1d(batch.fn(params, *newv))
+
+    dof = sum(m.dof for m in manifolds)
+    return f, dof
+
+
+def _cost_value_one(batch: CostBatch, params, vals):
+    """Cost of a single block (reference ``computecost``,
+    src/residual.jl:44-55 for residuals; user value for plain costs)."""
+    if batch.kind == "cost":
+        return batch.fn(params, *vals)
+    r = jnp.atleast_1d(batch.fn(params, *(vals[1:] if batch.adaptive else vals)))
+    s = jnp.dot(r, r)
+    if batch.adaptive:
+        return 0.5 * batch.kernel.rho(vals[0], s)
+    return 0.5 * batch.kernel.rho(s)
+
+
+def _cost_grad_hess_one(batch: CostBatch, params, vals, dtype):
+    """(cost, g, H) of a single cost block over its concatenated block
+    tangent (kernel slot first for adaptive costs) — reference
+    ``computecostgradhess`` (src/residual.jl:45-47, 57-111) and the plain-cost
+    Hessian path (src/autodiff.jl:144-159)."""
+    if batch.kind == "cost":
+        manifolds = batch.manifolds
+
+        def f(t):
+            parts = _split_tangent(t, manifolds)
+            newv = tuple(
+                m.retract(v, dt) for m, v, dt in zip(manifolds, vals, parts)
+            )
+            return batch.fn(params, *newv)
+
+        dof = sum(m.dof for m in manifolds)
+        z = jnp.zeros(dof, dtype=dtype)
+        val = f(z)
+        g = jax.grad(f)(z)
+        h = jax.jacfwd(jax.grad(f))(z)
+        return val, g, h
+
+    f, dof = _residual_fn(batch, params, vals)
+    z = jnp.zeros(dof, dtype=dtype)
+    r = f(z)
+    jac = jax.jacfwd(f)(z)  # [nres, dof]
+    s = jnp.dot(r, r)
+    g = jac.T @ r
+    h = jac.T @ jac
+
+    if not batch.adaptive:
+        rho, d1, d2 = batch.kernel.rho_dc(s)
+        # IRLS reweighting + second-order correction (src/residual.jl:90-101).
+        h = h * d1 + (2.0 * d2) * jnp.outer(g, g)
+        g = g * d1
+        return 0.5 * rho, g, h
+
+    kparams = vals[0]
+    k = batch.kernel.manifold.dof
+    rho, dgrad, dhess = batch.kernel.rho_dkernel(kparams, s)
+    d1 = dgrad[k]
+    d2 = dhess[k, k]
+    # d²/dkernel·dvariables cross block (src/residual.jl:85-88) — note it uses
+    # the *unweighted* Gauss-Newton gradient, as the reference does.
+    dkdv = jnp.outer(g, dhess[:k, k])  # [dof, k]
+    h = h * d1 + (2.0 * d2) * jnp.outer(g, g)
+    g = g * d1
+    # Kernel blocks are prepended unhalved, exactly as the reference
+    # (src/residual.jl:103-107).
+    g_full = jnp.concatenate([dgrad[:k], g])
+    h_full = jnp.block([[dhess[:k, :k], dkdv.T], [dkdv, h]])
+    return 0.5 * rho, g_full, h_full
+
+
+# ---------------------------------------------------------------------------
+# Batched evaluation
+# ---------------------------------------------------------------------------
+
+
+def _gather_vals(batch: CostBatch, variables: dict):
+    """Per-slot stacked variable values for every cost in the batch."""
+    arrs = [variables[family_name(m)] for m in batch.manifolds]
+    return tuple(arr[idx] for arr, idx in zip(arrs, batch.idx))
+
+
+def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
+    """Masked total cost of one batch (reference type-grouped ``sum``,
+    src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
+    vals = _gather_vals(batch, variables)
+
+    def one(params, *vals_one):
+        return _cost_value_one(batch, params, vals_one)
+
+    in_axes = (None if batch.params is None else 0,) + (0,) * len(vals)
+    costs = jax.vmap(one, in_axes=in_axes)(batch.params, *vals)
+    return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
+
+
+def total_cost(batches, variables: dict, dtype) -> jnp.ndarray:
+    total = jnp.zeros((), dtype=dtype)
+    for b in batches:
+        total = total + batch_cost(b, variables, dtype)
+    return total
+
+
+def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
+    """(masked cost sum, g [B,S], H [B,S,S], rows [B,S]) for one batch.
+
+    ``rows`` are global tangent row indices; fixed variables and padding
+    costs point at the dustbin (``layout.dof_total`` onwards)."""
+    vals = _gather_vals(batch, variables)
+
+    def one(params, *vals_one):
+        return _cost_grad_hess_one(batch, params, vals_one, dtype)
+
+    in_axes = (None if batch.params is None else 0,) + (0,) * len(vals)
+    costs, g, h = jax.vmap(one, in_axes=in_axes)(batch.params, *vals)
+
+    # Row indices: per-slot tangent offsets gathered from the layout, with
+    # masked (padding) costs redirected wholesale to the dustbin.
+    dustbin = jnp.int32(layout.dof_total)
+    # Slot order matches the g/H block layout from _cost_grad_hess_one: for
+    # adaptive costs the kernel is slot 0 and its tangent dims come first.
+    row_parts = []
+    for slot in range(len(batch.manifolds)):
+        man = batch.manifolds[slot]
+        off = layout.offsets[family_name(man)][batch.idx[slot]]  # [B]
+        off = jnp.where(batch.mask, off, dustbin)
+        row_parts.append(off[:, None] + jnp.arange(man.dof, dtype=jnp.int32)[None, :])
+    rows = jnp.concatenate(row_parts, axis=1)  # [B, S]
+
+    cost_sum = jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
+    return cost_sum, g, h, rows
+
+
+def assemble_dense(batches, variables: dict, layout: Layout, dtype):
+    """Dense symmetric normal equations (cost, H [D,D], g [D]) — the
+    MultiVariateLSdense path (src/linearsystem.jl:73-87, 132-175), built with
+    one scatter-add per cost type."""
+    size = layout.padded_size
+    a = jnp.zeros((size, size), dtype=dtype)
+    b = jnp.zeros(size, dtype=dtype)
+    total = jnp.zeros((), dtype=dtype)
+    for batch in batches:
+        c, g, h, rows = batch_grad_hess(batch, variables, layout, dtype)
+        a = a.at[rows[:, :, None], rows[:, None, :]].add(h)
+        b = b.at[rows].add(g)
+        total = total + c
+    d = layout.dof_total
+    return total, a[:d, :d], b[:d]
+
+
+def apply_step(problem_manifolds: dict, layout: Layout, variables: dict, x):
+    """Retract every family by its slice of the step vector ``x`` [D]
+    (reference ``update!``, src/linearsystem.jl:206-218).  Fixed variables
+    read zeros from the pad region, so ``retract(x, 0) = x`` leaves them
+    untouched."""
+    xpad = jnp.concatenate([x, jnp.zeros(layout.pad, dtype=x.dtype)])
+    out = {}
+    for name, arr in variables.items():
+        man = problem_manifolds[name]
+        off = layout.offsets[name]  # [n]
+        deltas = xpad[off[:, None] + jnp.arange(man.dof, dtype=jnp.int32)[None, :]]
+        out[name] = jax.vmap(man.retract)(arr, deltas)
+    return out

@@ -1,0 +1,220 @@
+"""Per-iteration step algorithms: Newton, Levenberg-Marquardt, dogleg and
+gradient descent.
+
+Reference parity: src/iterators.jl — each ``iterate!`` becomes a pure
+function of (H, g, variables, best cost, iterator scalars) whose inner
+accept/reject retry loops are ``lax.while_loop``s, so a whole optimization
+compiles to one XLA computation with no host round-trips (SURVEY.md §7
+"hard parts" (a)).
+
+Conventions: ``a`` is the (undamped) Hessian H, ``b`` the gradient g = Jᵀr.
+The solved Newton direction is negated before use, exactly as the reference's
+``negate!(solve!(...))`` (src/iterators.jl:19), and ``x`` always denotes the
+*applied* step.  Iterator scalar state is carried in a single dict
+``{"lm_lambda", "tr", "gd_step"}`` regardless of the active iterator so the
+optimizer loop state has one static pytree structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import structs
+
+
+@dataclasses.dataclass(frozen=True)
+class IterCtx:
+    """Closures the iterators need: full-cost evaluation, linear solve and
+    manifold step application."""
+
+    cost: Callable  # vars -> scalar
+    solve: Callable  # (a, b) -> x
+    apply: Callable  # (vars, x) -> vars
+    dtype: object
+    dim: int
+
+
+def init_data(dtype):
+    """Initial iterator scalars (reference ``reset!`` values:
+    λ = 0 src/iterators.jl:129, trust radius = 0 line 40, step size = 1
+    line 184)."""
+    zero = jnp.zeros((), dtype=dtype)
+    return {
+        "lm_lambda": zero,
+        "tr": zero,
+        "gd_step": jnp.ones((), dtype=dtype),
+    }
+
+
+def iterate(name: str, ctx: IterCtx, a, b, variables, bestcost, data, opts):
+    """Dispatch one outer iteration.  Returns
+    ``(new_vars, new_cost, applied_step, new_data, n_solves, n_cost_evals)``.
+    """
+    if name == structs.NEWTON:
+        return _newton(ctx, a, b, variables, bestcost, data, opts)
+    if name == structs.LEVENBERG_MARQUARDT:
+        return _levmar(ctx, a, b, variables, bestcost, data, opts)
+    if name == structs.DOGLEG:
+        return _dogleg(ctx, a, b, variables, bestcost, data, opts)
+    if name == structs.GRADIENT_DESCENT:
+        return _gradient_descent(ctx, a, b, variables, bestcost, data, opts)
+    raise ValueError(f"unknown iterator {name!r}")
+
+
+def _newton(ctx, a, b, variables, bestcost, data, opts):
+    """Undamped Newton step (src/iterators.jl:16-27)."""
+    x = -ctx.solve(a, b)
+    nv = ctx.apply(variables, x)
+    c = ctx.cost(nv)
+    one = jnp.int32(1)
+    return nv, c, x, data, one, one
+
+
+def _levmar(ctx, a, b, variables, bestcost, data, opts):
+    """Levenberg-Marquardt with the reference's damping schedule
+    (src/iterators.jl:139-172): λ starts at 1e-6·max|diag H|, the inner loop
+    multiplies λ by µ (doubling µ each failure), and on acceptance λ is scaled
+    by ``ρ < 0.983 ? 1 − (2ρ−1)³ : 0.1`` where ρ is the step quality measured
+    against the quadratic model of the *undamped* system."""
+    dtype = ctx.dtype
+    lam = data["lm_lambda"]
+    lam = jnp.where(
+        lam == 0, jnp.max(jnp.abs(jnp.diagonal(a))) * dtype.type(1e-6), lam
+    )
+    eye = jnp.eye(ctx.dim, dtype=dtype)
+
+    def body(st):
+        lam, mu, _, _, _, _, ns, nc = st
+        x = -ctx.solve(a + lam * eye, b)
+        nv = ctx.apply(variables, x)
+        c = ctx.cost(nv)
+        accept = (~(c > bestcost)) | (jnp.max(jnp.abs(x)) < opts.dstep)
+        return (
+            jnp.where(accept, lam, lam * mu),
+            jnp.where(accept, mu, mu * 2),
+            x,
+            nv,
+            c,
+            accept,
+            ns + 1,
+            nc + 1,
+        )
+
+    def cond(st):
+        return ~st[5]
+
+    init = (
+        lam,
+        jnp.asarray(2.0, dtype),
+        jnp.zeros(ctx.dim, dtype=dtype),
+        variables,
+        jnp.asarray(bestcost, dtype),
+        jnp.asarray(False),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    lam_f, _, x, nv, c, _, ns, nc = jax.lax.while_loop(cond, body, init)
+
+    # Step quality against the undamped quadratic model.
+    quality = (c - bestcost) / (0.5 * x @ (a @ x) + b @ x)
+    lam_new = lam_f * jnp.where(
+        quality < 0.983, 1 - (2 * quality - 1) ** 3, jnp.asarray(0.1, dtype)
+    )
+    data = dict(data, lm_lambda=lam_new)
+    return nv, c, x, data, ns, nc
+
+
+def _dogleg(ctx, a, b, variables, bestcost, data, opts):
+    """Dogleg trust region (src/iterators.jl:47-115): Cauchy leg, full Newton
+    leg, or the trust-circle intersection of the Cauchy→Newton segment, with
+    the reference's ×3 / ×0.5 radius updates at quality 0.375 / 0.125."""
+    dtype = ctx.dtype
+    tiny = jnp.finfo(dtype).tiny
+    tr = data["tr"]
+    gnorm2 = b @ b
+    coef = gnorm2 / (b @ (a @ b) + tiny)  # the reference's `a`
+    cauchy = -coef * b
+    alpha2 = coef * coef * gnorm2
+    alpha = jnp.sqrt(alpha2)
+    tr = jnp.where(tr == 0, alpha, tr)  # first step: Cauchy point
+    xn = -ctx.solve(a, b)  # Newton leg (reference computes lazily)
+    beta = jnp.sqrt(xn @ xn)
+
+    def body(st):
+        tr, _, _, c_prev, _, nc = st
+        first_leg = ~(alpha < tr)
+        # Leg 1: truncated Cauchy step.
+        x1 = (tr / alpha) * cauchy
+        lin1 = tr * (2 * alpha - tr) / (2 * coef)
+        # Leg 2a: full Newton step.
+        use_full = beta <= tr
+        # Leg 2b: intersection of Cauchy→Newton with the trust circle.
+        d = xn - cauchy
+        sq_leg = d @ d
+        cdot = cauchy @ d
+        trsq = tr * tr - alpha2
+        root = jnp.sqrt(jnp.maximum(cdot * cdot + sq_leg * trsq, 0))
+        stp = jnp.where(
+            cdot <= 0, (-cdot + root) / (sq_leg + tiny), trsq / (cdot + root + tiny)
+        )
+        x3 = d * stp + cauchy
+        lin3 = 0.5 * (coef * (1 - stp) ** 2 * gnorm2) + stp * (2 - stp) * c_prev
+        x = jnp.where(first_leg, x1, jnp.where(use_full, xn, x3))
+        lin = jnp.where(first_leg, lin1, jnp.where(use_full, c_prev, lin3))
+        nv = ctx.apply(variables, x)
+        c = ctx.cost(nv)
+        # Trust-region update.
+        mu = (bestcost - c) / lin
+        xnorm = jnp.sqrt(x @ x)
+        tr2 = jnp.where(
+            mu > 0.375,
+            jnp.maximum(tr, 3 * xnorm),
+            jnp.where(mu < 0.125, tr * 0.5, tr),
+        )
+        done = (~(c > bestcost)) | (jnp.max(jnp.abs(x)) < opts.dstep)
+        return (tr2, x, nv, c, done, nc + 1)
+
+    def cond(st):
+        return ~st[4]
+
+    init = (
+        tr,
+        jnp.zeros(ctx.dim, dtype=dtype),
+        variables,
+        jnp.asarray(bestcost, dtype),
+        jnp.asarray(False),
+        jnp.int32(0),
+    )
+    tr_f, x, nv, c, _, nc = jax.lax.while_loop(cond, body, init)
+    data = dict(data, tr=tr_f)
+    return nv, c, x, data, jnp.int32(1), nc
+
+
+def _gradient_descent(ctx, a, b, variables, bestcost, data, opts):
+    """Gradient descent with the reference's quadratic-fit line search
+    (src/iterators.jl:186-208)."""
+    ss = data["gd_step"]
+    x = -b * ss
+    nv = ctx.apply(variables, x)
+    c = ctx.cost(nv)
+
+    def body(st):
+        ss, x, _, c, nc = st
+        coststep = x @ b
+        costdiff = bestcost + coststep - c
+        ss2 = ss * 0.5 * coststep / costdiff
+        x2 = -b * ss2
+        nv2 = ctx.apply(variables, x2)
+        c2 = ctx.cost(nv2)
+        return (ss2, x2, nv2, c2, nc + 1)
+
+    def cond(st):
+        return st[3] > bestcost
+
+    ss_f, x, nv, c, nc = jax.lax.while_loop(cond, body, (ss, x, nv, c, jnp.int32(1)))
+    data = dict(data, gd_step=ss_f * 2)
+    return nv, c, x, data, jnp.int32(0), nc

@@ -1,0 +1,389 @@
+"""Optimizer entry points: ``optimize`` and the compiled solver drivers.
+
+Reference parity: src/optimize.jl.  Two drivers are provided:
+
+* **jit driver** — the entire outer optimization (assembly → iterate →
+  best-cost tracking → termination mask) is a single ``lax.while_loop``
+  compiled by XLA; zero host round-trips per iteration.  This is the TPU
+  production path.
+* **stepped driver** — one jitted computation per outer iteration with a
+  Python shell, used when a user callback is supplied (callbacks may mutate
+  the trial variables, as the reference's EM-alternation callback does,
+  test/adaptivecost.jl:15-25) and for real wall-clock ``max_time``
+  enforcement and per-phase timing.
+
+Both drivers implement the reference's control flow exactly: unconditional
+adoption of the trial variables (src/optimize.jl:147), best-variable snapshot
+on the first consecutive failure with ``max_fails`` rollback
+(src/optimize.jl:130-145, 173-176), and the 10-bit + user termination mask
+(src/optimize.jl:149-165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from . import engine, iterators, linearsolver, structs
+from .problem import Problem
+from .structs import CostTrajectory, Options, Result
+
+
+def _tree_select(pred, on_true, on_false):
+    return jtu.tree_map(lambda t, f: jnp.where(pred, t, f), on_true, on_false)
+
+
+@dataclasses.dataclass
+class CompiledProblem:
+    """Problem lowered to jax functions over stacked variable dicts."""
+
+    manifolds: dict
+    layout: engine.Layout
+    batches: list
+    dtype: Any
+
+    def cost(self, variables):
+        return engine.total_cost(self.batches, variables, self.dtype)
+
+    def assemble(self, variables):
+        return engine.assemble_dense(self.batches, variables, self.layout, self.dtype)
+
+    def apply(self, variables, x):
+        return engine.apply_step(self.manifolds, self.layout, variables, x)
+
+    def solve(self, a, b):
+        return linearsolver.solve_symmetric(a, b)
+
+    def ctx(self) -> iterators.IterCtx:
+        return iterators.IterCtx(
+            cost=self.cost,
+            solve=self.solve,
+            apply=self.apply,
+            dtype=jnp.dtype(self.dtype),
+            dim=self.layout.dof_total,
+        )
+
+
+def compile_problem(problem: Problem, unfixed=None) -> CompiledProblem:
+    batches = problem.batches()
+    layout = engine.build_layout(problem, unfixed, batches=batches)
+    manifolds = {name: problem.manifold_of(name) for name in problem.family_names()}
+    return CompiledProblem(
+        manifolds=manifolds, layout=layout, batches=batches, dtype=problem.dtype
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared per-iteration post-processing (termination mask etc.)
+# ---------------------------------------------------------------------------
+
+
+def _termination_bits(cost, dcost, bestcost, maxstep, fails, iternum, opts):
+    """The reference's termination bitmask (src/optimize.jl:149-165), as
+    traced int32 arithmetic."""
+    bits = jnp.int32(0)
+    bits |= jnp.int32(jnp.isinf(cost)) << 0
+    bits |= jnp.int32(jnp.isnan(cost)) << 1
+    bits |= jnp.int32(dcost < bestcost * opts.rel_dcost) << 2
+    bits |= jnp.int32(dcost < opts.abs_dcost) << 3
+    bits |= jnp.int32(jnp.isinf(maxstep)) << 4
+    bits |= jnp.int32(jnp.isnan(maxstep)) << 5
+    bits |= jnp.int32(maxstep < opts.dstep) << 6
+    bits |= jnp.int32(fails > opts.max_fails) << 7
+    bits |= jnp.int32(iternum >= opts.max_iters) << 8
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted driver
+# ---------------------------------------------------------------------------
+
+
+def _make_jit_runner(compiled: CompiledProblem, opts: Options):
+    ctx = compiled.ctx()
+    dtype = ctx.dtype
+
+    def run(vars0):
+        c0 = compiled.cost(vars0)
+        state = dict(
+            variables=vars0,
+            varbest=vars0,
+            bestcost=c0,
+            lastcost=c0,
+            itdata=iterators.init_data(dtype),
+            fails=jnp.int32(0),
+            iternum=jnp.int32(0),
+            converged=jnp.int32(0),
+            ncost=jnp.int32(1),
+            ngrad=jnp.int32(0),
+            nsolve=jnp.int32(0),
+            trace=(
+                jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
+                if opts.store_trajectory
+                else jnp.zeros((0,), dtype=dtype)
+            ),
+        )
+
+        def cond(st):
+            return st["converged"] == 0
+
+        def body(st):
+            _, a, b = compiled.assemble(st["variables"])
+            nv, c, x, itdata, ns, nc = iterators.iterate(
+                opts.iterator, ctx, a, b, st["variables"], st["bestcost"], st["itdata"], opts
+            )
+            dcost = st["bestcost"] - c
+            accepted = dcost >= 0
+            snap = (~accepted) & (st["fails"] == 0)
+            varbest = _tree_select(snap, st["variables"], st["varbest"])
+            fails = jnp.where(accepted, jnp.int32(0), st["fails"] + 1)
+            bestcost = jnp.where(accepted, c, st["bestcost"])
+            dcost_term = jnp.where(accepted, dcost, c)
+            iternum = st["iternum"] + 1
+            maxstep = jnp.max(jnp.abs(x))
+            bits = _termination_bits(
+                c, dcost_term, bestcost, maxstep, fails, iternum, opts
+            )
+            trace = st["trace"]
+            if opts.store_trajectory:
+                trace = trace.at[iternum - 1].set(c)
+            return dict(
+                variables=nv,
+                varbest=varbest,
+                bestcost=bestcost,
+                lastcost=c,
+                itdata=itdata,
+                fails=fails,
+                iternum=iternum,
+                converged=bits,
+                ncost=st["ncost"] + nc,
+                ngrad=st["ngrad"] + 1,
+                nsolve=st["nsolve"] + ns,
+                trace=trace,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        # Roll back to the best variables if the last ones are worse
+        # (src/optimize.jl:173-176).
+        out_vars = _tree_select(
+            final["bestcost"] < final["lastcost"], final["varbest"], final["variables"]
+        )
+        return dict(final, variables=out_vars, startcost=c0)
+
+    return jax.jit(run)
+
+
+def _run_jit(problem, compiled, opts) -> Result:
+    t0 = time.perf_counter()
+    runner = _make_jit_runner(compiled, opts)
+    vars0 = problem.stacked_variables()
+    t1 = time.perf_counter()
+    final = jax.block_until_ready(runner(vars0))
+    t2 = time.perf_counter()
+    problem.set_values(final["variables"])
+    trajectory = None
+    if opts.store_trajectory:
+        costs = np.asarray(final["trace"])[: int(final["iternum"])]
+        trajectory = CostTrajectory(costs=list(costs), times_ns=[], trajectory=[])
+    return Result(
+        start_cost=float(final["startcost"]),
+        best_cost=float(final["bestcost"]),
+        time_total=t2 - t0,
+        time_init=t1 - t0,
+        time_cost=0.0,
+        time_gradient=0.0,
+        time_solver=0.0,
+        termination=int(final["converged"]),
+        num_iterations=int(final["iternum"]),
+        cost_computations=int(final["ncost"]),
+        gradient_computations=int(final["ngrad"]),
+        linear_solves=int(final["nsolve"]),
+        trajectory=trajectory,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stepped driver (callbacks / wall-clock limits / per-phase timing)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CallbackContext:
+    """What a user callback sees.  ``variables`` holds the *trial* variables
+    produced by the current iteration; the callback may replace entries (the
+    reference's callbacks may mutate ``problem.varnext``,
+    src/optimize.jl:40-50 and test/adaptivecost.jl:15-25).  ``cost_fn`` is the
+    compiled total-cost function for recomputing the cost after mutation."""
+
+    problem: Problem
+    variables: dict
+    step: Any
+    bestcost: float
+    iteration: int
+    cost_fn: Callable
+    itdata: dict
+
+
+def _run_stepped(problem, compiled, opts, callback) -> Result:
+    t0 = time.perf_counter()
+    ctx = compiled.ctx()
+    cost_j = jax.jit(compiled.cost)
+    assemble_j = jax.jit(compiled.assemble)
+
+    def _iter_fn(a, b, variables, bestcost, itdata):
+        return iterators.iterate(
+            opts.iterator, ctx, a, b, variables, bestcost, itdata, opts
+        )
+
+    iterate_j = jax.jit(_iter_fn)
+
+    variables = problem.stacked_variables()
+    c0 = float(cost_j(variables))
+    bestcost = c0
+    varbest = variables
+    itdata = iterators.init_data(ctx.dtype)
+    fails = 0
+    iternum = 0
+    ncost, ngrad, nsolve = 1, 0, 0
+    time_cost = time_grad = time_solve = 0.0
+    trajectory = CostTrajectory() if opts.store_trajectory else None
+    t_init = time.perf_counter() - t0
+    termination = 0
+    lastcost = c0
+
+    while True:
+        tg = time.perf_counter()
+        _, a, b = jax.block_until_ready(assemble_j(variables))
+        ngrad += 1
+        time_grad += time.perf_counter() - tg
+
+        ts = time.perf_counter()
+        nv, c, x, itdata, ns, nc = jax.block_until_ready(
+            iterate_j(a, b, variables, bestcost, itdata)
+        )
+        time_solve += time.perf_counter() - ts
+        nsolve += int(ns)
+        ncost += int(nc)
+        iternum += 1
+        c = float(c)
+
+        user_term = 0
+        if callback is not None:
+            cb_ctx = CallbackContext(
+                problem=problem,
+                variables=dict(nv),
+                step=x,
+                bestcost=bestcost,
+                iteration=iternum,
+                cost_fn=cost_j,
+                itdata=itdata,
+            )
+            c, user_term = callback(c, cb_ctx)
+            c = float(c)
+            nv = cb_ctx.variables
+
+        dcost = bestcost - c
+        if dcost >= 0:
+            bestcost = c
+            fails = 0
+        else:
+            dcost = c
+            fails += 1
+            if fails == 1:
+                varbest = variables
+        variables = nv
+        lastcost = c
+        maxstep = float(jnp.max(jnp.abs(x)))
+
+        termination = 0
+        if np.isinf(c):
+            termination |= structs.TERM_COST_INF
+        if np.isnan(c):
+            termination |= structs.TERM_COST_NAN
+        if dcost < bestcost * opts.rel_dcost:
+            termination |= structs.TERM_RELDCOST
+        if dcost < opts.abs_dcost:
+            termination |= structs.TERM_ABSDCOST
+        if np.isinf(maxstep):
+            termination |= structs.TERM_STEP_INF
+        if np.isnan(maxstep):
+            termination |= structs.TERM_STEP_NAN
+        if maxstep < opts.dstep:
+            termination |= structs.TERM_SMALL_STEP
+        if fails > opts.max_fails:
+            termination |= structs.TERM_MAX_FAILS
+        if iternum >= opts.max_iters:
+            termination |= structs.TERM_MAX_ITERS
+        if time.perf_counter() - t0 > opts.max_time:
+            termination |= structs.TERM_MAX_TIME
+        termination |= int(user_term) << structs.TERM_USER_SHIFT
+
+        if trajectory is not None:
+            trajectory.costs.append(c)
+            trajectory.times_ns.append(int((time.perf_counter() - t0) * 1e9))
+            trajectory.trajectory.append(np.asarray(x))
+
+        if termination:
+            break
+
+    if bestcost < lastcost:
+        variables = varbest
+    problem.set_values(variables)
+    return Result(
+        start_cost=c0,
+        best_cost=bestcost,
+        time_total=time.perf_counter() - t0,
+        time_init=t_init,
+        time_cost=time_cost,
+        time_gradient=time_grad,
+        time_solver=time_solve,
+        termination=termination,
+        num_iterations=iternum,
+        cost_computations=ncost,
+        gradient_computations=ngrad,
+        linear_solves=nsolve,
+        trajectory=trajectory,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def cost(problem: Problem) -> float:
+    """Total problem cost (reference ``cost(problem)``, src/cost.jl:10)."""
+    compiled = compile_problem(problem)
+    return float(jax.jit(compiled.cost)(problem.stacked_variables()))
+
+
+def optimize(
+    problem: Problem,
+    options: Options = None,
+    unfixed=None,
+    callback: Optional[Callable] = None,
+) -> Result:
+    """Optimize the problem in place and return a :class:`Result`
+    (reference ``optimize!``, src/optimize.jl:57).
+
+    ``unfixed`` selects which variables to optimize: ``None`` (all), a
+    :class:`Manifold` (one family), a :class:`VarHandle`, an iterable of
+    handles, or a dict of per-family boolean masks.
+
+    A ``callback(cost, ctx) -> (new_cost, terminate_flags)`` switches to the
+    stepped driver; ``terminate_flags != 0`` stops the optimization and is
+    reported shifted into the user bits of ``Result.termination``.
+    """
+    options = options or Options()
+    compiled = compile_problem(problem, unfixed)
+    if compiled.layout.dof_total == 0:
+        raise ValueError("no unfixed variables to optimize")
+    if callback is not None or options.store_trajectory:
+        return _run_stepped(problem, compiled, options, callback)
+    return _run_jit(problem, compiled, options)

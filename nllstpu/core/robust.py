@@ -1,0 +1,279 @@
+"""Robust kernels ρ(s) applied to squared residual norms, plus derivatives.
+
+Reference parity: src/robust.jl (NoRobust, Scaled, Huber/Huber2o,
+Geman-McClure) and src/robustadaptive.jl (ContaminatedGaussian adaptive
+kernel).  Each kernel provides ``rho(s)`` (the reference's ``robustify``) and
+``rho_dc(s) -> (ρ, ρ′, ρ″)`` (``robustifydcost``); analytic derivatives follow
+the reference's closed forms, and the generic fallback differentiates ``rho``
+with ``jax.grad`` — the JAX analogue of the ForwardDiff fallback
+(src/robust.jl:14, src/autodiff.jl:163).
+
+Adaptive kernels additionally expose their parameter manifold and
+``rho_dkernel`` — the value/gradient/Hessian of ρ with respect to
+``[kernel tangent..., s]`` evaluated at the zero tangent, matching
+``autorobustifydkernel`` (src/autodiff.jl:164-165: the Hessian of
+``robustify(update(kernel, x), s + x[end])`` at x = 0).
+
+All functions are pure and scalar-in/scalar-out so they can be vmapped over
+residual batches and fused by XLA into the surrounding cost computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .manifolds import ContaminatedGaussianManifold
+
+
+def auto_rho_dc(rho_fn, s):
+    """(ρ, ρ′, ρ″) of a scalar kernel via forward-mode autodiff."""
+    d1_fn = jax.grad(rho_fn)
+    rho = rho_fn(s)
+    d1 = d1_fn(s)
+    d2 = jax.grad(d1_fn)(s)
+    return rho, d1, d2
+
+
+@dataclasses.dataclass(frozen=True)
+class Robustifier:
+    """Fixed (non-adaptive) robust kernel.  Fields are Python floats treated
+    as trace-time constants, so a kernel instance doubles as part of the
+    cost-batch grouping key."""
+
+    def rho(self, s):
+        raise NotImplementedError
+
+    def rho_dc(self, s):
+        return auto_rho_dc(self.rho, s)
+
+
+@dataclasses.dataclass(frozen=True)
+class NoRobust(Robustifier):
+    """Identity kernel (src/robust.jl:7-12)."""
+
+    def rho(self, s):
+        return s
+
+    def rho_dc(self, s):
+        one = jnp.ones_like(s)
+        return s, one, jnp.zeros_like(s)
+
+
+@dataclasses.dataclass(frozen=True)
+class Scaled(Robustifier):
+    """Constant multiple of an inner kernel (src/robust.jl:22-31)."""
+
+    robust: Robustifier
+    height: float
+
+    def rho(self, s):
+        return self.robust.rho(s) * self.height
+
+    def rho_dc(self, s):
+        c, d1, d2 = self.robust.rho_dc(s)
+        return c * self.height, d1 * self.height, d2 * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class Huber(Robustifier):
+    """Huber kernel: quadratic below ``width``², linear above
+    (src/robust.jl:40-55).  ``second_order=True`` gives the reference's
+    ``Huber2oKernel`` which also reports the (negative) second derivative in
+    the linear regime; plain ``HuberKernel`` reports ρ″ = 0 there."""
+
+    width: float
+    second_order: bool = False
+
+    def rho(self, s):
+        wsq = self.width * self.width
+        # sqrt argument guarded so the unused branch never produces a NaN
+        # that would poison jnp.where gradients.
+        safe = jnp.sqrt(jnp.maximum(s, wsq))
+        return jnp.where(s < wsq, s, safe * (2 * self.width) - wsq)
+
+    def rho_dc(self, s):
+        wsq = self.width * self.width
+        sqrt_s = jnp.sqrt(jnp.maximum(s, wsq))
+        in_quad = s < wsq
+        rho = jnp.where(in_quad, s, sqrt_s * (2 * self.width) - wsq)
+        d1 = jnp.where(in_quad, jnp.ones_like(s), self.width / sqrt_s)
+        if self.second_order:
+            d2 = jnp.where(
+                in_quad,
+                jnp.zeros_like(s),
+                (-0.5 * self.width) / (jnp.maximum(s, wsq) * sqrt_s),
+            )
+        else:
+            d2 = jnp.zeros_like(s)
+        return rho, d1, d2
+
+
+def Huber2o(width: float) -> Huber:
+    """Reference ``Huber2oKernel`` (src/robust.jl:46)."""
+    return Huber(width, second_order=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class GemanMcclure(Robustifier):
+    """Geman-McClure kernel (src/robust.jl:63-77)."""
+
+    width: float
+
+    def rho(self, s):
+        wsq = self.width * self.width
+        return s * wsq / (s + wsq)
+
+    def rho_dc(self, s):
+        wsq = self.width * self.width
+        r = 1.0 / (s + wsq)
+        w = wsq * r
+        w2 = w * w
+        return s * w, w2, -2 * w2 * r
+
+
+# ---------------------------------------------------------------------------
+# Adaptive kernels: the kernel parameters are themselves an optimized variable
+# (reference AbstractAdaptiveRobustifier, src/NLLSsolver.jl:25).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveRobustifier:
+    """Adaptive kernel: ``rho`` takes the stored kernel parameters as the
+    first argument; ``manifold`` describes their tangent space."""
+
+    @property
+    def manifold(self):
+        raise NotImplementedError
+
+    def rho(self, kparams, s):
+        raise NotImplementedError
+
+    def rho_dc(self, kparams, s):
+        rho_s = lambda s_: self.rho(kparams, s_)
+        return auto_rho_dc(rho_s, s)
+
+    def rho_dkernel(self, kparams, s):
+        """Value, gradient and Hessian of ρ w.r.t. ``[kernel tangent, s]``
+        (length dof+1) at the zero tangent — ``autorobustifydkernel``
+        semantics (src/autodiff.jl:164-165)."""
+        man = self.manifold
+        k = man.dof
+
+        def f(z):
+            return self.rho(man.retract(kparams, z[:k]), s + z[k])
+
+        z0 = jnp.zeros(k + 1, dtype=jnp.result_type(s, float))
+        val = f(z0)
+        grad = jax.grad(f)(z0)
+        hess = jax.jacfwd(jax.grad(f))(z0)
+        return val, grad, hess
+
+
+@dataclasses.dataclass(frozen=True)
+class ContaminatedGaussian(AdaptiveRobustifier):
+    """Two-component Gaussian-mixture adaptive kernel
+    (src/robustadaptive.jl:3-33).  Stored parameters are
+    ``[inv_sigma1, inv_sigma2, w]`` with inv_sigma1 >= inv_sigma2 (first
+    component narrowest)."""
+
+    @property
+    def manifold(self):
+        return ContaminatedGaussianManifold()
+
+    @staticmethod
+    def make_params(sigma1: float, sigma2: float, w: float, dtype=None):
+        """Build the stored parameter vector from sigmas + weight, applying
+        the constructor's narrowest-first ordering
+        (src/robustadaptive.jl:12-20)."""
+        is1, is2 = 1.0 / sigma1, 1.0 / sigma2
+        if is1 < is2:
+            is1, is2 = is2, is1
+        return jnp.array([is1, is2, w], dtype=dtype)
+
+    @staticmethod
+    def sigmas_weight(kparams):
+        """Recover ``(sigma1, sigma2, w)`` — reference ``params``
+        (src/robustadaptive.jl:23)."""
+        return jnp.stack([1.0 / kparams[0], 1.0 / kparams[1], kparams[2]])
+
+    def rho(self, kparams, s):
+        is1, is2, w = kparams[0], kparams[1], kparams[2]
+        s1sq = is1 * is1
+        s2sq = is2 * is2
+        half_d = 0.5 * (s2sq - s1sq)  # <= 0 given the ordering invariant
+        half_s2sq = 0.5 * s2sq
+        return s * half_s2sq - jnp.log(
+            w * is1 * jnp.exp(s * half_d) + (1 - w) * is2
+        )
+
+    def rho_dc(self, kparams, s):
+        """Analytic (ρ, ρ′, ρ″) w.r.t. s (src/robustadaptive.jl:26-33)."""
+        is1, is2, w = kparams[0], kparams[1], kparams[2]
+        s1sq = is1 * is1
+        s2sq = is2 * is2
+        half_d = 0.5 * (s2sq - s1sq)
+        half_s2sq = 0.5 * s2sq
+        c = s * half_s2sq
+        e = w * is1 * jnp.exp(s * half_d)
+        t = (1 - w) * is2
+        den = 1.0 / (e + t)
+        e2 = e * half_d
+        return (
+            c + jnp.log(den),
+            half_s2sq - e2 * den,
+            -e2 * half_d * t * den * den,
+        )
+
+
+def em_fit(kparams, squared_errors, max_iters: int = 10, rtol: float = 1e-6):
+    """Expectation-Maximization fit of ContaminatedGaussian parameters to a
+    batch of squared errors — reference ``optimize(kernel, squarederrors)``
+    (src/robustadaptive.jl:48-73).  Fully jittable: the E-step is vectorized
+    over the error batch and the outer alternation is a ``lax.while_loop``
+    with the reference's rtol-1e-6 convergence test.
+
+    Returns the new stored parameter vector ``[inv_s1, inv_s2, w]``.
+    """
+    squared_errors = jnp.asarray(squared_errors)
+    n = squared_errors.shape[0]
+    total = jnp.sum(squared_errors)
+    init_sw = ContaminatedGaussian.sigmas_weight(kparams)
+
+    def one_round(sw):
+        sigma1, sigma2, w = sw[0], sw[1], sw[2]
+        is1, is2 = 1.0 / sigma1, 1.0 / sigma2
+        s1sq, s2sq = is1 * is1, is2 * is2
+        wratio = ((1 - w) * is2) / (is1 * w)
+        half_diff = 0.5 * (s1sq - s2sq)  # >= 0
+        # E-step: responsibility of the narrow component per error.
+        resp = 1.0 / (1.0 + wratio * jnp.exp(half_diff * squared_errors))
+        weighted = jnp.sum(resp * squared_errors)
+        total_weight = jnp.sum(resp)
+        # M-step.
+        new_sigma1 = jnp.sqrt(weighted / total_weight)
+        new_sigma2 = jnp.sqrt((total - weighted) / (n - total_weight))
+        new_w = total_weight / n
+        return jnp.stack([new_sigma1, new_sigma2, new_w])
+
+    def cond(state):
+        it, sw, converged = state
+        return (it < max_iters) & ~converged
+
+    def body(state):
+        it, sw, _ = state
+        new_sw = one_round(sw)
+        converged = jnp.all(
+            jnp.abs(new_sw - sw) <= rtol * jnp.maximum(jnp.abs(new_sw), jnp.abs(sw))
+        )
+        return it + 1, new_sw, converged
+
+    _, sw, _ = jax.lax.while_loop(cond, body, (0, init_sw, jnp.array(False)))
+    # Rebuild stored params with the narrowest-first ordering.
+    is1, is2 = 1.0 / sw[0], 1.0 / sw[1]
+    hi = jnp.maximum(is1, is2)
+    lo = jnp.minimum(is1, is2)
+    return jnp.stack([hi, lo, sw[2]])

@@ -1,0 +1,132 @@
+"""Options, result and termination-flag definitions.
+
+Reference parity: src/structs.jl (``NLLSOptions``, ``NLLSResult``, the
+termination bitmask decoded by the pretty-printer) and the termination logic
+in src/optimize.jl:149-165.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+NEWTON = "newton"
+LEVENBERG_MARQUARDT = "levenberg_marquardt"
+DOGLEG = "dogleg"
+GRADIENT_DESCENT = "gradient_descent"
+
+ITERATORS = (NEWTON, LEVENBERG_MARQUARDT, DOGLEG, GRADIENT_DESCENT)
+
+# Termination bits (src/optimize.jl:151-161).
+TERM_COST_INF = 1 << 0
+TERM_COST_NAN = 1 << 1
+TERM_RELDCOST = 1 << 2
+TERM_ABSDCOST = 1 << 3
+TERM_STEP_INF = 1 << 4
+TERM_STEP_NAN = 1 << 5
+TERM_SMALL_STEP = 1 << 6
+TERM_MAX_FAILS = 1 << 7
+TERM_MAX_ITERS = 1 << 8
+TERM_MAX_TIME = 1 << 9
+TERM_USER_SHIFT = 16
+
+_TERM_MESSAGES = (
+    (TERM_COST_INF, "Cost is infinite."),
+    (TERM_COST_NAN, "Cost is NaN."),
+    (TERM_RELDCOST, "Relative decrease in cost below threshold."),
+    (TERM_ABSDCOST, "Absolute decrease in cost below threshold."),
+    (TERM_STEP_INF, "Step contains an infinite value."),
+    (TERM_STEP_NAN, "Step contains a NaN."),
+    (TERM_SMALL_STEP, "Step size below threshold."),
+    (TERM_MAX_FAILS, "Too many consecutive iterations increasing the cost."),
+    (TERM_MAX_ITERS, "Maximum number of outer iterations reached."),
+    (TERM_MAX_TIME, "Maximum allowed computation time exceeded."),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Solver options (reference ``NLLSOptions``, src/structs.jl:22-35).
+
+    ``solver`` selects the linear-system backend: ``"dense"`` (full dense
+    normal equations), ``"schur"`` (landmark-eliminated reduced system; needs
+    ``schur_family``), or ``"auto"``.  ``max_time`` is enforced in stepped
+    (callback-driven) mode; the fully-jitted loop bounds work by
+    ``max_iters``.
+    """
+
+    rel_dcost: float = 1e-15
+    abs_dcost: float = 1e-15
+    dstep: float = 1e-15
+    max_fails: int = 3
+    max_iters: int = 100
+    max_time: float = 30.0
+    iterator: str = LEVENBERG_MARQUARDT
+    solver: str = "auto"
+    schur_family: Any = None  # Manifold of the eliminated (landmark) family
+    store_trajectory: bool = False
+
+    def __post_init__(self):
+        if self.iterator not in ITERATORS:
+            raise ValueError(f"unknown iterator {self.iterator!r}; one of {ITERATORS}")
+
+
+@dataclasses.dataclass
+class Result:
+    """Optimization result (reference ``NLLSResult``, src/structs.jl:37-50).
+
+    Timing caveat: in the fully-jitted driver the whole optimization is one
+    XLA computation, so only ``time_total`` and ``time_init`` are meaningful;
+    the per-phase times are populated by the stepped driver (``time_solver``
+    there covers the iterate call = solve + trial cost evaluations).
+    """
+
+    start_cost: float
+    best_cost: float
+    time_total: float
+    time_init: float
+    time_cost: float
+    time_gradient: float
+    time_solver: float
+    termination: int
+    num_iterations: int
+    cost_computations: int
+    gradient_computations: int
+    linear_solves: int
+    trajectory: Optional[Any] = None  # CostTrajectory when requested
+
+    def termination_reasons(self) -> list:
+        reasons = [msg for bit, msg in _TERM_MESSAGES if self.termination & bit]
+        user = self.termination >> TERM_USER_SHIFT
+        if user:
+            reasons.append(
+                f"Terminated by user-defined callback, with flags: {user:b}"
+            )
+        return reasons
+
+    def __str__(self):
+        lines = [
+            f"nllstpu optimization took {self.time_total:f} seconds and "
+            f"{self.num_iterations} iterations to reduce the cost from "
+            f"{self.start_cost:e} to {self.best_cost:e} "
+            f"(a {100.0 * (1.0 - self.best_cost / self.start_cost) if self.start_cost else 0.0:.2f}% reduction), using:",
+            f"   {self.cost_computations} cost computations in {self.time_cost:f} seconds,",
+            f"   {self.gradient_computations} gradient computations in {self.time_gradient:f} seconds,",
+            f"   {self.linear_solves} linear solver computations in {self.time_solver:f} seconds,",
+            f"   {self.time_init:f} seconds for initialization.",
+        ]
+        reasons = self.termination_reasons()
+        if reasons:
+            lines.append("Reason(s) for termination:")
+            lines.extend(f"   {r}" for r in reasons)
+        return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class CostTrajectory:
+    """Per-iteration cost/time/step record (reference ``CostTrajectory``,
+    src/callbacks.jl:85-107)."""
+
+    costs: list = dataclasses.field(default_factory=list)
+    times_ns: list = dataclasses.field(default_factory=list)
+    trajectory: list = dataclasses.field(default_factory=list)

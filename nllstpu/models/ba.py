@@ -1,0 +1,138 @@
+"""Synthetic bundle-adjustment problem builders.
+
+``make_affine_ba`` mirrors the reference's BA workload
+(test/optimizeba.jl:3-47): cameras are 6-vector affine projections, landmarks
+3-vectors, measurements generated from ground truth (so the global optimum has
+exactly zero cost), with a banded visibility pattern controlled by
+``prop_visible``.
+
+``make_pinhole_ba`` is the framework-native "real" BA family the reference
+leaves to users: SE(3) camera poses with a pinhole projection — exercising the
+SO(3)/SE(3) manifolds — for benchmarking at BAL-like scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.manifolds import SE3, Euclidean
+from ..core.problem import Problem
+from ..core.robust import Huber
+
+
+def affine_project(measurement, pose, point):
+    """Residual of the affine two-row projection
+    (test/optimizeba.jl:4): [pose[0:3]·X, pose[3:6]·X] − measurement."""
+    return jnp.stack([pose[:3] @ point, pose[3:] @ point]) - measurement
+
+
+def _banded_visibility(ncameras, nlandmarks, prop_visible, rng=None):
+    """The reference's deterministic banded visibility mask
+    (test/optimizeba.jl:22-23): distance of camera index from a landmark-
+    dependent center, thresholded to the requested density."""
+    cams = np.arange(1, ncameras + 1, dtype=np.float64)[:, None]
+    centers = np.linspace(2, ncameras - 1, nlandmarks)[None, :]
+    dist = np.abs(cams - centers)
+    thresh = np.sort(dist.ravel())[
+        int(np.ceil(dist.size * prop_visible)) - 1
+    ]
+    return dist <= thresh
+
+
+def make_affine_ba(ncameras=3, nlandmarks=5, prop_visible=1.0, seed=1):
+    """Ground-truth-consistent affine BA problem; returns
+    ``(problem, camera_handles, landmark_handles)``."""
+    rng = np.random.default_rng(seed)
+    p = Problem()
+    cam_man, lmk_man = Euclidean(6), Euclidean(3)
+    cam_offset = np.array([1.0, 0, 0, 0, 1.0, 0])
+    cameras = [
+        p.add_variable(cam_man, rng.standard_normal(6) + cam_offset)
+        for _ in range(ncameras)
+    ]
+    lmk_offset = np.array([-0.5, -0.5, 10.0])
+    landmarks = [
+        p.add_variable(lmk_man, rng.random(3) + lmk_offset)
+        for _ in range(nlandmarks)
+    ]
+    cam_values = [p.get_value(c) for c in cameras]
+    lmk_values = [p.get_value(l) for l in landmarks]
+    vis = _banded_visibility(ncameras, nlandmarks, prop_visible)
+    for ci in range(ncameras):
+        pose = cam_values[ci]
+        for li in range(nlandmarks):
+            if vis[ci, li]:
+                point = lmk_values[li]
+                meas = np.array([pose[:3] @ point, pose[3:] @ point])
+                p.add_cost(
+                    affine_project, (cameras[ci], landmarks[li]), params=meas
+                )
+    return p, cameras, landmarks
+
+
+def perturb_ba(problem, handles, scale, seed=2):
+    """Add Gaussian noise to Euclidean variables
+    (reference perturb_ba_problem, test/optimizeba.jl:38-47)."""
+    rng = np.random.default_rng(seed)
+    for h in handles:
+        v = problem.get_value(h)
+        problem.set_value(h, v + rng.standard_normal(v.shape) * scale)
+
+
+def pinhole_project(measurement, pose, point):
+    """Pinhole reprojection residual for an SE(3) camera: transform the world
+    point into the camera frame (world-to-camera convention: X_c = Rᵀ(X − t))
+    and project to the normalized image plane."""
+    r = pose[:, :3]
+    t = pose[:, 3]
+    xc = r.T @ (point - t)
+    return xc[:2] / xc[2] - measurement
+
+
+def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
+                    noise=0.0, robust_width=None, dtype=None):
+    """SE(3)+pinhole BA with ground-truth-generated measurements.  Cameras
+    sit on a ring of radius 2 looking at the origin; landmarks fill a unit
+    cube around the origin.  Returns ``(problem, cameras, landmarks)``."""
+    from .. import config
+
+    rng = np.random.default_rng(seed)
+    p = Problem(dtype=dtype or config.default_dtype)
+    cam_man, lmk_man = SE3(), Euclidean(3)
+
+    def look_at(eye):
+        z = -eye / np.linalg.norm(eye)  # camera z looks at origin
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+        if np.linalg.norm(x) < 1e-6:
+            x = np.array([1.0, 0.0, 0.0])
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        r = np.stack([x, y, z], axis=1)
+        return np.concatenate([r, eye[:, None]], axis=1)
+
+    cameras = []
+    for i in range(ncameras):
+        ang = 2 * np.pi * i / ncameras
+        eye = np.array([2 * np.cos(ang), 2 * np.sin(ang), 0.5])
+        cameras.append(p.add_variable(cam_man, look_at(eye)))
+    landmarks = [
+        p.add_variable(lmk_man, rng.random(3) - 0.5) for _ in range(nlandmarks)
+    ]
+    cam_values = [p.get_value(c) for c in cameras]
+    lmk_values = [p.get_value(l) for l in landmarks]
+    vis = _banded_visibility(ncameras, nlandmarks, prop_visible)
+    kernel = Huber(robust_width) if robust_width else None
+    for ci in range(ncameras):
+        pose = cam_values[ci]
+        r, t = pose[:, :3], pose[:, 3]
+        for li in range(nlandmarks):
+            if vis[ci, li]:
+                xc = r.T @ (lmk_values[li] - t)
+                meas = xc[:2] / xc[2] + rng.standard_normal(2) * noise
+                p.add_cost(
+                    pinhole_project, (cameras[ci], landmarks[li]),
+                    params=meas, kernel=kernel,
+                )
+    return p, cameras, landmarks

@@ -1,0 +1,105 @@
+"""End-to-end Rosenbrock optimization, mirroring
+/root/reference/test/functional.jl: mixed ndeps-1/ndeps-2 residuals, one
+robustified with Scaled∘Huber2o, convergence to (1, 1) under all four
+iterators, callback/termination flags and cost-trajectory recording.
+"""
+
+import numpy as np
+import pytest
+
+import nllstpu as nt
+
+
+def rosenbrock_a(a, x):
+    # residual: a·(1 − x), robustified (test/functional.jl:12-15)
+    return a * (1.0 - x)
+
+
+def rosenbrock_b(b, x, y):
+    # residual: b·(x² − y) (test/functional.jl:24)
+    return b * (x * x - y)
+
+
+KERNEL_A = nt.Scaled(nt.Huber2o(1.6), 1.0)
+
+
+def make_problem(x0=0.0, y0=0.0):
+    p = nt.Problem()
+    x = p.add_variable(nt.Scalar(), x0)
+    y = p.add_variable(nt.Scalar(), y0)
+    p.add_cost(rosenbrock_a, (x,), params=1.0, kernel=KERNEL_A)
+    p.add_cost(rosenbrock_b, (x, y), params=10.0)
+    return p, x, y
+
+
+def test_problem_construction():
+    p, x, y = make_problem()
+    assert p.num_variables() == 2
+    assert p.num_costs() == 2
+    # Initial cost = ½·ρ(1²) + ½·0² = 0.5 (test/functional.jl:38).
+    np.testing.assert_allclose(nt.cost(p), 0.5)
+    # varcostmap row sums (test/functional.jl:42): x touched by 2 costs, y by 1.
+    counts = p.var_cost_counts()
+    name = nt.family_name(nt.Scalar())
+    np.testing.assert_array_equal(counts[name], [2, 1])
+
+
+def test_subproblem():
+    p, x, y = make_problem()
+    # Subproblem keeping only costs touching y (test/functional.jl:45-48).
+    sub = p.subproblem(lambda handles: any(h == y for h in handles))
+    assert sub.num_costs() == 1
+    np.testing.assert_allclose(nt.cost(sub), 0.0)
+
+
+def test_callback_and_maxtime_termination():
+    p, _, _ = make_problem()
+    result = nt.optimize(
+        p, nt.Options(max_time=0.0), callback=lambda c, ctx: (c, 13)
+    )
+    assert result.termination == (1 << 9) | (13 << 16)
+    assert result.num_iterations == 1
+    np.testing.assert_allclose(nt.cost(p), result.best_cost)
+
+
+@pytest.mark.parametrize(
+    "iterator,x0,y0,rtol",
+    [
+        (nt.NEWTON, 0.0, 0.0, 1e-10),
+        (nt.LEVENBERG_MARQUARDT, -0.5, 2.5, 1e-10),
+        (nt.DOGLEG, -0.5, 2.5, 1e-10),
+        (nt.GRADIENT_DESCENT, 1.0 - 1e-5, 1.0, 1e-5),
+    ],
+)
+def test_rosenbrock_converges(iterator, x0, y0, rtol):
+    p, x, y = make_problem(x0, y0)
+    result = nt.optimize(p, nt.Options(iterator=iterator))
+    np.testing.assert_allclose(nt.cost(p), result.best_cost, rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(float(p.get_value(x)), 1.0, rtol=rtol)
+    np.testing.assert_allclose(float(p.get_value(y)), 1.0, rtol=rtol)
+
+
+def test_trajectory_monotonic():
+    p, _, _ = make_problem(-0.5, 2.5)
+    ct = nt.CostTrajectory()
+    result = nt.optimize(
+        p,
+        nt.Options(iterator=nt.LEVENBERG_MARQUARDT),
+        callback=nt.store_costs_callback(ct),
+    )
+    n = len(ct.costs)
+    assert len(ct.times_ns) == n and len(ct.trajectory) == n
+    assert all(np.diff(ct.costs) <= 0.0)  # costs decrease
+    assert all(len(s) == 2 for s in ct.trajectory)
+    np.testing.assert_allclose(float(p.get_value(nt.VarHandle(nt.Scalar(), 0))), 1.0, rtol=1e-10)
+
+
+def test_jit_and_stepped_agree():
+    p1, _, _ = make_problem(-0.5, 2.5)
+    p2, _, _ = make_problem(-0.5, 2.5)
+    r1 = nt.optimize(p1, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    r2 = nt.optimize(
+        p2, nt.Options(iterator=nt.LEVENBERG_MARQUARDT), callback=nt.null_callback
+    )
+    np.testing.assert_allclose(r1.best_cost, r2.best_cost, atol=1e-25)
+    assert r1.num_iterations == r2.num_iterations
