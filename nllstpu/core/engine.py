@@ -80,11 +80,18 @@ def resolve_unfixed(problem: Problem, unfixed) -> dict:
     return masks
 
 
-def build_layout(problem: Problem, unfixed=None, batches=None) -> Layout:
+def build_layout(problem: Problem, unfixed=None, batches=None, order_last=None) -> Layout:
+    """``order_last`` (a family name) forces that family's tangent block to
+    the end of the global vector — the Schur solver requires the eliminated
+    family to occupy the trailing block so the reduced/eliminated split is a
+    contiguous slice."""
     masks = resolve_unfixed(problem, unfixed)
     offsets = {}
     running = 0
-    for name in problem.family_names():
+    names = problem.family_names()
+    if order_last is not None:
+        names = [n for n in names if n != order_last] + [order_last]
+    for name in names:
         man = problem.manifold_of(name)
         mask = masks[name]
         off = np.empty(len(mask), dtype=np.int32)
@@ -97,7 +104,7 @@ def build_layout(problem: Problem, unfixed=None, batches=None) -> Layout:
         offsets[name] = off
     dof_total = running
     pad = 1
-    for name in problem.family_names():
+    for name in names:
         pad = max(pad, problem.manifold_of(name).dof)
     if batches is None:
         batches = problem.batches()
@@ -204,6 +211,52 @@ def _cost_grad_hess_one(batch: CostBatch, params, vals, dtype):
     g_full = jnp.concatenate([dgrad[:k], g])
     h_full = jnp.block([[dhess[:k, :k], dkdv.T], [dkdv, h]])
     return 0.5 * rho, g_full, h_full
+
+
+def _cost_grad_hess_slot(batch: CostBatch, params, vals, slot: int, dtype):
+    """(cost, g, H) restricted to the tangent of dependency slot ``slot``
+    only, all other slots held fixed — the per-variable alternation path
+    (reference univariate systems, src/linearsystem.jl:11-34, where only the
+    target variable's ``varflags`` bit is set)."""
+    man = batch.manifolds[slot]
+
+    if batch.kind == "cost":
+
+        def f(t):
+            newv = list(vals)
+            newv[slot] = man.retract(vals[slot], t)
+            return batch.fn(params, *newv)
+
+        z = jnp.zeros(man.dof, dtype=dtype)
+        return f(z), jax.grad(f)(z), jax.jacfwd(jax.grad(f))(z)
+
+    if batch.adaptive and slot == 0:
+        # Only the kernel is optimized (src/residual.jl:59-66).
+        r = jnp.atleast_1d(batch.fn(params, *vals[1:]))
+        s = jnp.dot(r, r)
+        rho, dgrad, dhess = batch.kernel.rho_dkernel(vals[0], s)
+        k = batch.kernel.manifold.dof
+        return 0.5 * rho, dgrad[:k], dhess[:k, :k]
+
+    def f(t):
+        newv = list(vals)
+        newv[slot] = man.retract(vals[slot], t)
+        rv = newv[1:] if batch.adaptive else newv
+        return jnp.atleast_1d(batch.fn(params, *rv))
+
+    z = jnp.zeros(man.dof, dtype=dtype)
+    r = f(z)
+    jac = jax.jacfwd(f)(z)
+    s = jnp.dot(r, r)
+    g = jac.T @ r
+    h = jac.T @ jac
+    if batch.adaptive:
+        rho, d1, d2 = batch.kernel.rho_dc(vals[0], s)
+    else:
+        rho, d1, d2 = batch.kernel.rho_dc(s)
+    h = h * d1 + (2.0 * d2) * jnp.outer(g, g)
+    g = g * d1
+    return 0.5 * rho, g, h
 
 
 # ---------------------------------------------------------------------------

@@ -18,24 +18,55 @@ optimizer loop state has one static pytree structure.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
 from . import structs
+from .linearsolver import cholesky_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseOps:
+    """Linear-system operations over a dense ``sys = (H, g)`` pair.  The
+    same protocol is implemented by :class:`nllstpu.ops.schur.SchurOps` for
+    the landmark-eliminated system, so every iterator works unchanged on
+    either backend."""
+
+    dim: int
+
+    def solve(self, sys, lam):
+        """x with (H + λI) x = g."""
+        a, b = sys
+        eye = jnp.eye(self.dim, dtype=a.dtype)
+        return cholesky_solve(a + lam * eye, b)
+
+    def grad(self, sys):
+        return sys[1]
+
+    def quad(self, sys, x):
+        """xᵀHx (undamped) — the reference's ``fast_bAb``
+        (src/utils.jl:71-106)."""
+        return x @ (sys[0] @ x)
+
+    def diag_max(self, sys):
+        return jnp.max(jnp.abs(jnp.diagonal(sys[0])))
 
 
 @dataclasses.dataclass(frozen=True)
 class IterCtx:
-    """Closures the iterators need: full-cost evaluation, linear solve and
-    manifold step application."""
+    """Closures the iterators need: full-cost evaluation, linear-system ops
+    and manifold step application."""
 
     cost: Callable  # vars -> scalar
-    solve: Callable  # (a, b) -> x
     apply: Callable  # (vars, x) -> vars
     dtype: object
     dim: int
+    linops: Any = None  # linear-system ops (defaults to DenseOps(dim))
+
+    def ops(self):
+        return self.linops if self.linops is not None else DenseOps(self.dim)
 
 
 def init_data(dtype):
@@ -50,46 +81,47 @@ def init_data(dtype):
     }
 
 
-def iterate(name: str, ctx: IterCtx, a, b, variables, bestcost, data, opts):
-    """Dispatch one outer iteration.  Returns
+def iterate(name: str, ctx: IterCtx, sys, variables, bestcost, data, opts):
+    """Dispatch one outer iteration.  ``sys`` is the assembled linear system
+    (a pytree understood by ``ctx.ops()``).  Returns
     ``(new_vars, new_cost, applied_step, new_data, n_solves, n_cost_evals)``.
     """
     if name == structs.NEWTON:
-        return _newton(ctx, a, b, variables, bestcost, data, opts)
+        return _newton(ctx, sys, variables, bestcost, data, opts)
     if name == structs.LEVENBERG_MARQUARDT:
-        return _levmar(ctx, a, b, variables, bestcost, data, opts)
+        return _levmar(ctx, sys, variables, bestcost, data, opts)
     if name == structs.DOGLEG:
-        return _dogleg(ctx, a, b, variables, bestcost, data, opts)
+        return _dogleg(ctx, sys, variables, bestcost, data, opts)
     if name == structs.GRADIENT_DESCENT:
-        return _gradient_descent(ctx, a, b, variables, bestcost, data, opts)
+        return _gradient_descent(ctx, sys, variables, bestcost, data, opts)
     raise ValueError(f"unknown iterator {name!r}")
 
 
-def _newton(ctx, a, b, variables, bestcost, data, opts):
+def _newton(ctx, sys, variables, bestcost, data, opts):
     """Undamped Newton step (src/iterators.jl:16-27)."""
-    x = -ctx.solve(a, b)
+    ops = ctx.ops()
+    x = -ops.solve(sys, jnp.zeros((), dtype=ctx.dtype))
     nv = ctx.apply(variables, x)
     c = ctx.cost(nv)
     one = jnp.int32(1)
     return nv, c, x, data, one, one
 
 
-def _levmar(ctx, a, b, variables, bestcost, data, opts):
+def _levmar(ctx, sys, variables, bestcost, data, opts):
     """Levenberg-Marquardt with the reference's damping schedule
     (src/iterators.jl:139-172): λ starts at 1e-6·max|diag H|, the inner loop
     multiplies λ by µ (doubling µ each failure), and on acceptance λ is scaled
     by ``ρ < 0.983 ? 1 − (2ρ−1)³ : 0.1`` where ρ is the step quality measured
     against the quadratic model of the *undamped* system."""
     dtype = ctx.dtype
+    ops = ctx.ops()
+    g = ops.grad(sys)
     lam = data["lm_lambda"]
-    lam = jnp.where(
-        lam == 0, jnp.max(jnp.abs(jnp.diagonal(a))) * dtype.type(1e-6), lam
-    )
-    eye = jnp.eye(ctx.dim, dtype=dtype)
+    lam = jnp.where(lam == 0, ops.diag_max(sys) * dtype.type(1e-6), lam)
 
     def body(st):
         lam, mu, _, _, _, _, ns, nc = st
-        x = -ctx.solve(a + lam * eye, b)
+        x = -ops.solve(sys, lam)
         nv = ctx.apply(variables, x)
         c = ctx.cost(nv)
         accept = (~(c > bestcost)) | (jnp.max(jnp.abs(x)) < opts.dstep)
@@ -120,7 +152,7 @@ def _levmar(ctx, a, b, variables, bestcost, data, opts):
     lam_f, _, x, nv, c, _, ns, nc = jax.lax.while_loop(cond, body, init)
 
     # Step quality against the undamped quadratic model.
-    quality = (c - bestcost) / (0.5 * x @ (a @ x) + b @ x)
+    quality = (c - bestcost) / (0.5 * ops.quad(sys, x) + g @ x)
     lam_new = lam_f * jnp.where(
         quality < 0.983, 1 - (2 * quality - 1) ** 3, jnp.asarray(0.1, dtype)
     )
@@ -128,20 +160,22 @@ def _levmar(ctx, a, b, variables, bestcost, data, opts):
     return nv, c, x, data, ns, nc
 
 
-def _dogleg(ctx, a, b, variables, bestcost, data, opts):
+def _dogleg(ctx, sys, variables, bestcost, data, opts):
     """Dogleg trust region (src/iterators.jl:47-115): Cauchy leg, full Newton
     leg, or the trust-circle intersection of the Cauchy→Newton segment, with
     the reference's ×3 / ×0.5 radius updates at quality 0.375 / 0.125."""
     dtype = ctx.dtype
+    ops = ctx.ops()
+    b = ops.grad(sys)
     tiny = jnp.finfo(dtype).tiny
     tr = data["tr"]
     gnorm2 = b @ b
-    coef = gnorm2 / (b @ (a @ b) + tiny)  # the reference's `a`
+    coef = gnorm2 / (ops.quad(sys, b) + tiny)  # the reference's `a`
     cauchy = -coef * b
     alpha2 = coef * coef * gnorm2
     alpha = jnp.sqrt(alpha2)
     tr = jnp.where(tr == 0, alpha, tr)  # first step: Cauchy point
-    xn = -ctx.solve(a, b)  # Newton leg (reference computes lazily)
+    xn = -ops.solve(sys, jnp.zeros((), dtype=dtype))  # Newton leg
     beta = jnp.sqrt(xn @ xn)
 
     def body(st):
@@ -194,9 +228,10 @@ def _dogleg(ctx, a, b, variables, bestcost, data, opts):
     return nv, c, x, data, jnp.int32(1), nc
 
 
-def _gradient_descent(ctx, a, b, variables, bestcost, data, opts):
+def _gradient_descent(ctx, sys, variables, bestcost, data, opts):
     """Gradient descent with the reference's quadratic-fit line search
     (src/iterators.jl:186-208)."""
+    b = ctx.ops().grad(sys)
     ss = data["gd_step"]
     x = -b * ss
     nv = ctx.apply(variables, x)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from . import engine, iterators, linearsolver, structs
-from .problem import Problem
+from .problem import Problem, family_name
 from .structs import CostTrajectory, Options, Result
 
 
@@ -41,39 +41,76 @@ def _tree_select(pred, on_true, on_false):
 
 @dataclasses.dataclass
 class CompiledProblem:
-    """Problem lowered to jax functions over stacked variable dicts."""
+    """Problem lowered to jax functions over stacked variable dicts.  The
+    linear-system backend is either the dense normal equations or the
+    Schur-reduced system (landmark elimination) — both expose the same
+    ``assemble``/``linops`` protocol to the iterators."""
 
     manifolds: dict
     layout: engine.Layout
     batches: list
     dtype: Any
+    schur_info: Any = None  # nllstpu.ops.schur.SchurInfo when Schur is active
 
     def cost(self, variables):
         return engine.total_cost(self.batches, variables, self.dtype)
 
     def assemble(self, variables):
-        return engine.assemble_dense(self.batches, variables, self.layout, self.dtype)
+        if self.schur_info is not None:
+            from ..ops import schur
+
+            return schur.assemble_schur(
+                self.batches, variables, self.layout, self.schur_info, self.dtype
+            )
+        cost, a, b = engine.assemble_dense(
+            self.batches, variables, self.layout, self.dtype
+        )
+        return cost, (a, b)
 
     def apply(self, variables, x):
         return engine.apply_step(self.manifolds, self.layout, variables, x)
 
-    def solve(self, a, b):
-        return linearsolver.solve_symmetric(a, b)
-
     def ctx(self) -> iterators.IterCtx:
+        linops = self.schur_info.ops() if self.schur_info is not None else None
         return iterators.IterCtx(
             cost=self.cost,
-            solve=self.solve,
             apply=self.apply,
             dtype=jnp.dtype(self.dtype),
             dim=self.layout.dof_total,
+            linops=linops,
         )
 
 
-def compile_problem(problem: Problem, unfixed=None) -> CompiledProblem:
+def compile_problem(
+    problem: Problem, unfixed=None, solver: str = "dense", schur_family=None
+) -> CompiledProblem:
+    """Lower a problem; ``solver`` is "dense", "schur" (requires
+    ``schur_family``, the eliminated manifold) or "auto" (schur iff a
+    ``schur_family`` is given) — the analogue of the reference's
+    dense/sparse decision in ``makesymmvls`` (src/linearsystem.jl:91-124)."""
+    if solver == "auto":
+        solver = "schur" if schur_family is not None else "dense"
     batches = problem.batches()
-    layout = engine.build_layout(problem, unfixed, batches=batches)
     manifolds = {name: problem.manifold_of(name) for name in problem.family_names()}
+    if solver == "schur":
+        if schur_family is None:
+            raise ValueError("solver='schur' requires schur_family")
+        from ..ops import schur
+
+        layout = engine.build_layout(
+            problem, unfixed, batches=batches, order_last=family_name(schur_family)
+        )
+        info = schur.build_schur_info(problem, layout, schur_family)
+        return CompiledProblem(
+            manifolds=manifolds,
+            layout=layout,
+            batches=batches,
+            dtype=problem.dtype,
+            schur_info=info,
+        )
+    if solver != "dense":
+        raise ValueError(f"unknown solver {solver!r}")
+    layout = engine.build_layout(problem, unfixed, batches=batches)
     return CompiledProblem(
         manifolds=manifolds, layout=layout, batches=batches, dtype=problem.dtype
     )
@@ -105,76 +142,84 @@ def _termination_bits(cost, dcost, bestcost, maxstep, fails, iternum, opts):
 # ---------------------------------------------------------------------------
 
 
+def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0):
+    """Generic jitted outer-optimization loop over an arbitrary variables
+    pytree (the reference's ``optimizeinternal!``, src/optimize.jl:109-180).
+    Used both for the full multivariate solve and — vmapped — for the
+    per-variable alternation solves."""
+    dtype = ctx.dtype
+    c0 = cost_fn(vars0)
+    state = dict(
+        variables=vars0,
+        varbest=vars0,
+        bestcost=c0,
+        lastcost=c0,
+        itdata=iterators.init_data(dtype),
+        fails=jnp.int32(0),
+        iternum=jnp.int32(0),
+        converged=jnp.int32(0),
+        ncost=jnp.int32(1),
+        ngrad=jnp.int32(0),
+        nsolve=jnp.int32(0),
+        trace=(
+            jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
+            if opts.store_trajectory
+            else jnp.zeros((0,), dtype=dtype)
+        ),
+    )
+
+    def cond(st):
+        return st["converged"] == 0
+
+    def body(st):
+        _, sys = assemble_fn(st["variables"])
+        nv, c, x, itdata, ns, nc = iterators.iterate(
+            opts.iterator, ctx, sys, st["variables"], st["bestcost"], st["itdata"], opts
+        )
+        dcost = st["bestcost"] - c
+        accepted = dcost >= 0
+        snap = (~accepted) & (st["fails"] == 0)
+        varbest = _tree_select(snap, st["variables"], st["varbest"])
+        fails = jnp.where(accepted, jnp.int32(0), st["fails"] + 1)
+        bestcost = jnp.where(accepted, c, st["bestcost"])
+        dcost_term = jnp.where(accepted, dcost, c)
+        iternum = st["iternum"] + 1
+        maxstep = jnp.max(jnp.abs(x))
+        bits = _termination_bits(
+            c, dcost_term, bestcost, maxstep, fails, iternum, opts
+        )
+        trace = st["trace"]
+        if opts.store_trajectory:
+            trace = trace.at[iternum - 1].set(c)
+        return dict(
+            variables=nv,
+            varbest=varbest,
+            bestcost=bestcost,
+            lastcost=c,
+            itdata=itdata,
+            fails=fails,
+            iternum=iternum,
+            converged=bits,
+            ncost=st["ncost"] + nc,
+            ngrad=st["ngrad"] + 1,
+            nsolve=st["nsolve"] + ns,
+            trace=trace,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    # Roll back to the best variables if the last ones are worse
+    # (src/optimize.jl:173-176).
+    out_vars = _tree_select(
+        final["bestcost"] < final["lastcost"], final["varbest"], final["variables"]
+    )
+    return dict(final, variables=out_vars, startcost=c0)
+
+
 def _make_jit_runner(compiled: CompiledProblem, opts: Options):
     ctx = compiled.ctx()
-    dtype = ctx.dtype
 
     def run(vars0):
-        c0 = compiled.cost(vars0)
-        state = dict(
-            variables=vars0,
-            varbest=vars0,
-            bestcost=c0,
-            lastcost=c0,
-            itdata=iterators.init_data(dtype),
-            fails=jnp.int32(0),
-            iternum=jnp.int32(0),
-            converged=jnp.int32(0),
-            ncost=jnp.int32(1),
-            ngrad=jnp.int32(0),
-            nsolve=jnp.int32(0),
-            trace=(
-                jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
-                if opts.store_trajectory
-                else jnp.zeros((0,), dtype=dtype)
-            ),
-        )
-
-        def cond(st):
-            return st["converged"] == 0
-
-        def body(st):
-            _, a, b = compiled.assemble(st["variables"])
-            nv, c, x, itdata, ns, nc = iterators.iterate(
-                opts.iterator, ctx, a, b, st["variables"], st["bestcost"], st["itdata"], opts
-            )
-            dcost = st["bestcost"] - c
-            accepted = dcost >= 0
-            snap = (~accepted) & (st["fails"] == 0)
-            varbest = _tree_select(snap, st["variables"], st["varbest"])
-            fails = jnp.where(accepted, jnp.int32(0), st["fails"] + 1)
-            bestcost = jnp.where(accepted, c, st["bestcost"])
-            dcost_term = jnp.where(accepted, dcost, c)
-            iternum = st["iternum"] + 1
-            maxstep = jnp.max(jnp.abs(x))
-            bits = _termination_bits(
-                c, dcost_term, bestcost, maxstep, fails, iternum, opts
-            )
-            trace = st["trace"]
-            if opts.store_trajectory:
-                trace = trace.at[iternum - 1].set(c)
-            return dict(
-                variables=nv,
-                varbest=varbest,
-                bestcost=bestcost,
-                lastcost=c,
-                itdata=itdata,
-                fails=fails,
-                iternum=iternum,
-                converged=bits,
-                ncost=st["ncost"] + nc,
-                ngrad=st["ngrad"] + 1,
-                nsolve=st["nsolve"] + ns,
-                trace=trace,
-            )
-
-        final = jax.lax.while_loop(cond, body, state)
-        # Roll back to the best variables if the last ones are worse
-        # (src/optimize.jl:173-176).
-        out_vars = _tree_select(
-            final["bestcost"] < final["lastcost"], final["varbest"], final["variables"]
-        )
-        return dict(final, variables=out_vars, startcost=c0)
+        return run_loop(compiled.assemble, compiled.cost, ctx, opts, vars0)
 
     return jax.jit(run)
 
@@ -236,9 +281,9 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
     cost_j = jax.jit(compiled.cost)
     assemble_j = jax.jit(compiled.assemble)
 
-    def _iter_fn(a, b, variables, bestcost, itdata):
+    def _iter_fn(sys, variables, bestcost, itdata):
         return iterators.iterate(
-            opts.iterator, ctx, a, b, variables, bestcost, itdata, opts
+            opts.iterator, ctx, sys, variables, bestcost, itdata, opts
         )
 
     iterate_j = jax.jit(_iter_fn)
@@ -259,13 +304,13 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
 
     while True:
         tg = time.perf_counter()
-        _, a, b = jax.block_until_ready(assemble_j(variables))
+        _, sys = jax.block_until_ready(assemble_j(variables))
         ngrad += 1
         time_grad += time.perf_counter() - tg
 
         ts = time.perf_counter()
         nv, c, x, itdata, ns, nc = jax.block_until_ready(
-            iterate_j(a, b, variables, bestcost, itdata)
+            iterate_j(sys, variables, bestcost, itdata)
         )
         time_solve += time.perf_counter() - ts
         nsolve += int(ns)
@@ -381,7 +426,9 @@ def optimize(
     reported shifted into the user bits of ``Result.termination``.
     """
     options = options or Options()
-    compiled = compile_problem(problem, unfixed)
+    compiled = compile_problem(
+        problem, unfixed, solver=options.solver, schur_family=options.schur_family
+    )
     if compiled.layout.dof_total == 0:
         raise ValueError("no unfixed variables to optimize")
     if callback is not None or options.store_trajectory:

@@ -1,0 +1,209 @@
+"""Schur-complement (marginalized) linear system: batched landmark
+elimination + dense reduced solve.
+
+Reference parity: the reference only *reorders* costs for Schur and solves
+the full system with sparse LDLᵀ (``reordercostsforschur!``,
+src/problem.jl:177-199; ``formarginalization`` in src/linearsystem.jl:91-124
+— SURVEY.md §3.5 notes there is no marginalizing solver in the snapshot).
+Sparse direct factorization is a poor fit for the MXU, so this module is the
+TPU-native replacement (SURVEY.md §2 native table, §7 step 6): eliminate the
+designated variable family (the "landmarks") with batched small-block
+inverses, form the reduced ("camera") system with one big MXU contraction,
+dense-Cholesky it, and back-substitute — all inside jit.
+
+Block structure, with r = reduced tangent dims and l = eliminated dims:
+
+    [A_rr  W ] [x_r]   [b_r]          S x_r = b_r − W H_ll⁻¹ g_l
+    [Wᵀ  H_ll] [x_l] = [g_l]   →      S = A_rr − W H_ll⁻¹ Wᵀ
+                                       x_l = H_ll⁻¹ (g_l − Wᵀ x_r)
+
+H_ll is block diagonal ([L, dl, dl]), W is stored densely per landmark
+([L, Dr, dl]); the S contraction reshapes to a single [Dr, L·dl] × [L·dl, Dr]
+matmul that XLA maps straight onto the MXU.  Requirement inherited from the
+reference (src/problem.jl:185): each cost touches at most one eliminated
+variable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import engine
+from ..core.linearsolver import cholesky_solve
+from ..core.problem import family_name
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurOps:
+    """Linear-system ops over ``sys = (a_rr, b_r, h_ll, g_l, w)`` implementing
+    the same protocol as :class:`nllstpu.core.iterators.DenseOps`."""
+
+    dim_reduced: int
+    num_elim: int
+    dof_elim: int
+
+    @property
+    def dim(self):
+        return self.dim_reduced + self.num_elim * self.dof_elim
+
+    def grad(self, sys):
+        _, b_r, _, g_l, _ = sys
+        return jnp.concatenate([b_r, g_l.reshape(-1)])
+
+    def diag_max(self, sys):
+        a_rr, _, h_ll, _, _ = sys
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        return jnp.maximum(m_r, m_l)
+
+    def quad(self, sys, x):
+        a_rr, _, h_ll, _, w = sys
+        xr = x[: self.dim_reduced]
+        xl = x[self.dim_reduced :].reshape(self.num_elim, self.dof_elim)
+        cross = jnp.einsum("lrd,r,ld->", w, xr, xl)
+        return (
+            xr @ (a_rr @ xr)
+            + 2.0 * cross
+            + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        )
+
+    def solve(self, sys, lam):
+        a_rr, b_r, h_ll, g_l, w = sys
+        dl = self.dof_elim
+        eye_l = jnp.eye(dl, dtype=h_ll.dtype)
+        eye_r = jnp.eye(self.dim_reduced, dtype=a_rr.dtype)
+        h_damped = h_ll + lam * eye_l
+        a_damped = a_rr + lam * eye_r
+        # Batched landmark-block inverses (Cholesky with runtime fallback).
+        h_inv = jax.vmap(lambda h: cholesky_solve(h, eye_l))(h_damped)
+        y = jnp.einsum("lrd,lde->lre", w, h_inv)
+        # Reduced (Schur) system — one MXU contraction over L·dl.
+        s = a_damped - jnp.einsum("lrd,lsd->rs", y, w)
+        rhs = b_r - jnp.einsum("lrd,ld->r", y, g_l)
+        xr = cholesky_solve(s, rhs)
+        # Back-substitution.
+        xl = jnp.einsum(
+            "lde,le->ld", h_inv, g_l - jnp.einsum("lrd,r->ld", w, xr)
+        )
+        return jnp.concatenate([xr, xl.reshape(-1)])
+
+
+@dataclasses.dataclass
+class SchurInfo:
+    """Static structure for Schur assembly."""
+
+    elim_family: str
+    dim_reduced: int  # Dr
+    num_elim: int  # L
+    dof_elim: int  # dl
+    elim_ids: dict  # family name -> [n] landmark ids (L = dustbin) for elim fam
+
+    def ops(self) -> SchurOps:
+        return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
+
+
+def build_schur_info(problem, layout: engine.Layout, elim_manifold) -> SchurInfo:
+    """Derive the reduced/eliminated split from a layout built with the
+    eliminated family ordered last (see ``build_layout(order_last=...)``)."""
+    elim_fam = family_name(elim_manifold)
+    dl = elim_manifold.dof
+    offs = np.asarray(layout.offsets[elim_fam])
+    unfixed = layout.unfixed[elim_fam]
+    num_elim = int(unfixed.sum())
+    dim_reduced = layout.dof_total - num_elim * dl
+    ids = np.full(offs.shape[0], num_elim, dtype=np.int32)
+    if num_elim:
+        ids[unfixed] = (offs[unfixed] - dim_reduced) // dl
+        assert (ids[unfixed] >= 0).all() and (ids[unfixed] < num_elim).all()
+    return SchurInfo(
+        elim_family=elim_fam,
+        dim_reduced=dim_reduced,
+        num_elim=num_elim,
+        dof_elim=dl,
+        elim_ids={elim_fam: jnp.asarray(ids)},
+    )
+
+
+def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):
+    """Assemble ``(cost, (a_rr, b_r, h_ll, g_l, w))``.
+
+    Reuses the per-batch block computation of the dense path
+    (``engine.batch_grad_hess``) and splits each cost's block into
+    reduced-reduced (scatter-add), landmark-diagonal and gradient pieces
+    (segment-sum keyed by landmark id) and the W coupling (two-index
+    scatter-add) — the TPU replacement for the reference's per-block BSM
+    scatter (src/linearsystem.jl:132-175)."""
+    dr, L, dl = info.dim_reduced, info.num_elim, info.dof_elim
+    pad = layout.pad
+    a_rr = jnp.zeros((dr + pad, dr + pad), dtype=dtype)
+    b_r = jnp.zeros(dr + pad, dtype=dtype)
+    h_ll = jnp.zeros((L + 1, dl, dl), dtype=dtype)
+    g_l = jnp.zeros((L + 1, dl), dtype=dtype)
+    w = jnp.zeros((L + 1, dr + pad, dl), dtype=dtype)
+    total = jnp.zeros((), dtype=dtype)
+
+    for batch in batches:
+        elim_slots = [
+            i for i, m in enumerate(batch.manifolds)
+            if family_name(m) == info.elim_family
+        ]
+        c, g, h, rows = engine.batch_grad_hess(batch, variables, layout, dtype)
+        total = total + c
+        if not elim_slots:
+            # Pure-reduced batch: rows are already reduced offsets (< dr) or
+            # dustbin; the dustbin (layout.dof_total = dr + L·dl) must be
+            # remapped into this system's pad region.
+            rows = jnp.where(rows >= dr, dr, rows)
+            a_rr = a_rr.at[rows[:, :, None], rows[:, None, :]].add(h)
+            b_r = b_r.at[rows].add(g)
+            continue
+        if len(elim_slots) > 1:
+            raise ValueError(
+                "Schur elimination requires at most one eliminated variable "
+                "per cost (reference src/problem.jl:185)"
+            )
+        e = elim_slots[0]
+        # Static positions of the eliminated segment within the block.
+        dofs = [m.dof for m in batch.manifolds]
+        start = sum(dofs[:e])
+        sel_e = np.arange(start, start + dl)
+        sel_r = np.array(
+            [i for i in range(sum(dofs)) if not (start <= i < start + dl)],
+            dtype=np.int64,
+        )
+        # Landmark ids per cost (masked/fixed → dustbin L).
+        lid = info.elim_ids[info.elim_family][batch.idx[e]]
+        lid = jnp.where(batch.mask, lid, jnp.int32(L))
+        # Reduced rows per cost: drop the eliminated segment; remap any
+        # global/dustbin index >= dr into the pad region.
+        rows_r = rows[:, sel_r]
+        rows_r = jnp.where(rows_r >= dr, dr, rows_r)
+
+        h_rr = h[:, sel_r[:, None], sel_r[None, :]]
+        h_le = h[:, sel_e[:, None], sel_e[None, :]]
+        w_blk = h[:, sel_r[:, None], sel_e[None, :]]
+        g_r = g[:, sel_r]
+        g_e = g[:, sel_e]
+        # If the eliminated variable of a cost is FIXED, its h_le/w/g_e parts
+        # must be dropped (its rows were already dustbinned in `rows`, so
+        # detect via the original row of the eliminated segment).
+        elim_fixed = rows[:, sel_e[0]] >= layout.dof_total
+        lid = jnp.where(elim_fixed, jnp.int32(L), lid)
+
+        a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(h_rr)
+        b_r = b_r.at[rows_r].add(g_r)
+        h_ll = h_ll.at[lid].add(h_le)
+        g_l = g_l.at[lid].add(g_e)
+        w = w.at[lid[:, None], rows_r, :].add(w_blk)
+
+    return total, (
+        a_rr[:dr, :dr],
+        b_r[:dr],
+        h_ll[:L],
+        g_l[:L],
+        w[:L, :dr, :],
+    )

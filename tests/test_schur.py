@@ -1,0 +1,125 @@
+"""Schur-complement solver tests: the landmark-eliminated system must agree
+with the dense normal equations on gradient, quadratic form, damped solves
+and final optima (the reference only asserts Schur-reorder cost invariance,
+test/optimizeba.jl:55-58; the marginalized solve itself is this framework's
+TPU-native replacement for sparse LDLᵀ)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nllstpu as nt
+from nllstpu.core.iterators import DenseOps
+from nllstpu.core.optimize import compile_problem
+from nllstpu.models.ba import make_affine_ba, perturb_ba
+
+LMK = nt.Euclidean(3)
+
+
+def _both_systems(p, unfixed=None):
+    dense = compile_problem(p, unfixed=unfixed)
+    schur = compile_problem(p, unfixed=unfixed, solver="schur", schur_family=LMK)
+    variables = p.stacked_variables()
+    # Cameras were added before landmarks, so ordering the landmark family
+    # last leaves the layouts identical and the tangent spaces comparable.
+    np.testing.assert_array_equal(
+        np.asarray(dense.layout.offsets[nt.family_name(LMK)]),
+        np.asarray(schur.layout.offsets[nt.family_name(LMK)]),
+    )
+    cd, sys_d = jax.jit(dense.assemble)(variables)
+    cs, sys_s = jax.jit(schur.assemble)(variables)
+    return dense, schur, sys_d, sys_s, cd, cs
+
+
+def test_schur_matches_dense_system():
+    # Full visibility, and the gauge pinned by fixing 3 landmarks (affine BA
+    # has a 9-dim GL(3) gauge), so H is nonsingular and the λ=0 solves are
+    # well posed on both backends.
+    p, cams, lmks = make_affine_ba(4, 9, 1.0)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    dense, schur, sys_d, sys_s, cd, cs = _both_systems(p, unfixed=cams + lmks[3:])
+    dops = DenseOps(dense.layout.dof_total)
+    sops = schur.schur_info.ops()
+
+    np.testing.assert_allclose(cd, cs, rtol=1e-12)
+    np.testing.assert_allclose(dops.grad(sys_d), sops.grad(sys_s), rtol=1e-10)
+    np.testing.assert_allclose(
+        dops.diag_max(sys_d), sops.diag_max(sys_s), rtol=1e-12
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dense.layout.dof_total))
+    np.testing.assert_allclose(
+        dops.quad(sys_d, x), sops.quad(sys_s, x), rtol=1e-9
+    )
+    for lam in [0.0, 1e-4, 1.0]:
+        xd = dops.solve(sys_d, jnp.asarray(lam))
+        xs = sops.solve(sys_s, jnp.asarray(lam))
+        np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_matches_dense_damped_sparse():
+    # Sparse visibility leaves H singular at λ=0 (some landmarks are barely
+    # observed), so compare the damped solves only.
+    p, cams, lmks = make_affine_ba(4, 9, 0.6)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    dense, schur, sys_d, sys_s, cd, cs = _both_systems(p)
+    dops = DenseOps(dense.layout.dof_total)
+    sops = schur.schur_info.ops()
+    np.testing.assert_allclose(cd, cs, rtol=1e-12)
+    np.testing.assert_allclose(dops.grad(sys_d), sops.grad(sys_s), rtol=1e-10)
+    for lam in [1e-4, 1.0]:
+        xd = dops.solve(sys_d, jnp.asarray(lam))
+        xs = sops.solve(sys_s, jnp.asarray(lam))
+        np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_with_fixed_cameras_and_landmarks():
+    p, cams, lmks = make_affine_ba(4, 9, 0.6)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    # Fix one camera and two landmarks: dustbin paths on both sides.
+    unfixed = cams[1:] + lmks[:-2]
+    dense = compile_problem(p, unfixed=unfixed)
+    schur = compile_problem(p, unfixed=unfixed, solver="schur", schur_family=LMK)
+    variables = p.stacked_variables()
+    cd, sys_d = dense.assemble(variables)
+    cs, sys_s = schur.assemble(variables)
+    dops = DenseOps(dense.layout.dof_total)
+    sops = schur.schur_info.ops()
+    np.testing.assert_allclose(cd, cs, rtol=1e-12)
+    np.testing.assert_allclose(dops.grad(sys_d), sops.grad(sys_s), rtol=1e-10)
+    xd = dops.solve(sys_d, jnp.asarray(1e-3))
+    xs = sops.solve(sys_s, jnp.asarray(1e-3))
+    np.testing.assert_allclose(xd, xs, rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("iterator", [nt.LEVENBERG_MARQUARDT, nt.DOGLEG])
+def test_schur_full_optimize(iterator):
+    p, cams, lmks = make_affine_ba(10, 50, 0.3)
+    perturb_ba(p, lmks, 0.001, seed=3)
+    perturb_ba(p, cams, 0.001, seed=4)
+    result = nt.optimize(
+        p, nt.Options(iterator=iterator, solver="schur", schur_family=LMK)
+    )
+    assert result.best_cost < 1e-15
+    np.testing.assert_allclose(nt.cost(p), result.best_cost, atol=1e-300)
+
+
+def test_cost_invariant_under_cost_order():
+    """Parity with the reference's reordering invariance check
+    (test/optimizeba.jl:55-58): the assembled cost does not depend on the
+    order costs were added (segment-sum assembly is order-independent)."""
+    p1, cams, lmks = make_affine_ba(4, 9, 0.6)
+    c1 = nt.cost(p1)
+    # Rebuild with costs added in a shuffled order.
+    p2, _, _ = make_affine_ba(4, 9, 0.6)
+    groups = p2._groups
+    key = next(iter(groups))
+    g = groups[key]
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(g.indices))
+    g.indices = [g.indices[i] for i in perm]
+    g.params = [g.params[i] for i in perm]
+    np.testing.assert_allclose(nt.cost(p2), c1, rtol=1e-12)
