@@ -61,8 +61,8 @@ def resolve_unfixed(problem: Problem, unfixed) -> dict:
     (all free), a :class:`Manifold` (that family only), a single
     :class:`VarHandle`, an iterable of handles, or a dict of masks."""
     masks = {
-        name: np.zeros(len(values), dtype=bool)
-        for name, (_, values) in problem._families.items()
+        name: np.zeros(fam.n, dtype=bool)
+        for name, fam in problem._families.items()
     }
     if unfixed is None:
         for m in masks.values():

@@ -53,9 +53,51 @@ class VarHandle:
         return family_name(self.manifold)
 
 
+class _Family:
+    """Array-backed storage for all variables of one manifold family:
+    a growable ``[n, *shape]`` numpy block (amortized O(1) appends), so
+    BAL-scale problems avoid per-variable Python objects."""
+
+    def __init__(self, manifold: Manifold, dtype):
+        self.manifold = manifold
+        self._buf = np.zeros((8,) + manifold.shape, dtype=dtype)
+        self.n = 0
+
+    def _reserve(self, extra: int):
+        need = self.n + extra
+        if need > self._buf.shape[0]:
+            cap = max(need, 2 * self._buf.shape[0])
+            new = np.zeros((cap,) + self._buf.shape[1:], dtype=self._buf.dtype)
+            new[: self.n] = self._buf[: self.n]
+            self._buf = new
+
+    @property
+    def values(self) -> np.ndarray:
+        return self._buf[: self.n]
+
+    def add(self, value) -> int:
+        self._reserve(1)
+        self._buf[self.n] = value
+        self.n += 1
+        return self.n - 1
+
+    def add_many(self, values) -> int:
+        k = values.shape[0]
+        self._reserve(k)
+        self._buf[self.n : self.n + k] = values
+        first = self.n
+        self.n += k
+        return first
+
+
 @dataclasses.dataclass
 class _CostGroup:
-    """Host-side accumulation of one cost type before finalization."""
+    """Host-side accumulation of one cost type before finalization.
+
+    Costs arrive either one at a time (``params``/``indices`` lists, the
+    reference's ``addcost!`` path) or in bulk chunks of pre-stacked arrays
+    (``chunks``) — the fast path for BAL-scale problems where a Python loop
+    per observation would dominate setup time."""
 
     kind: str  # "residual" or "cost"
     fn: Callable
@@ -63,6 +105,11 @@ class _CostGroup:
     families: tuple  # manifold per dependency slot
     params: list  # list of per-cost param pytrees
     indices: list  # list of per-cost tuples of variable indices
+    chunks: list = dataclasses.field(default_factory=list)
+    # each chunk: (params pytree of [k, ...] arrays or None, indices [k, nslots])
+
+    def count(self) -> int:
+        return len(self.indices) + sum(c[1].shape[0] for c in self.chunks)
 
 
 def _group_key(kind, fn, kernel, families, params_struct):
@@ -109,7 +156,7 @@ class Problem:
         from .. import config
 
         self.dtype = dtype or config.default_dtype
-        # family name -> (manifold, list of numpy values)
+        # family name -> _Family (array-backed stacked storage)
         self._families: dict = {}
         self._groups: dict = {}
         self._group_order: list = []
@@ -118,41 +165,59 @@ class Problem:
 
     # -- variables ---------------------------------------------------------
 
+    def _family(self, manifold: Manifold) -> "_Family":
+        name = family_name(manifold)
+        fam = self._families.get(name)
+        if fam is None:
+            fam = _Family(manifold, self.dtype)
+            self._families[name] = fam
+        return fam
+
     def add_variable(self, manifold: Manifold, value) -> VarHandle:
         """Add a variable block; returns its handle
         (reference ``addvariable!``, src/problem.jl:114-122)."""
-        name = family_name(manifold)
-        if name not in self._families:
-            self._families[name] = (manifold, [])
-        man, values = self._families[name]
+        fam = self._family(manifold)
         value = np.asarray(value, dtype=self.dtype)
-        if value.shape != man.shape:
+        if value.shape != manifold.shape:
             raise ValueError(
-                f"variable value shape {value.shape} != manifold shape {man.shape}"
+                f"variable value shape {value.shape} != manifold shape {manifold.shape}"
             )
-        values.append(value)
         self._dirty = True
-        return VarHandle(manifold, len(values) - 1)
+        return VarHandle(manifold, fam.add(value))
+
+    def add_variables(self, manifold: Manifold, values) -> list:
+        """Bulk-add ``k`` variables from a stacked ``[k, *shape]`` array;
+        returns their handles (O(1) Python work per call)."""
+        fam = self._family(manifold)
+        values = np.asarray(values, dtype=self.dtype)
+        if values.shape[1:] != manifold.shape:
+            raise ValueError(
+                f"stacked value shape {values.shape[1:]} != manifold shape "
+                f"{manifold.shape}"
+            )
+        first = fam.add_many(values)
+        self._dirty = True
+        return [VarHandle(manifold, first + i) for i in range(values.shape[0])]
 
     def num_variables(self) -> int:
-        return sum(len(v) for _, v in self._families.values())
+        return sum(f.n for f in self._families.values())
 
     def get_value(self, handle: VarHandle):
-        return self._families[handle.family][1][handle.index]
+        # Copy: family storage is a shared array block and callers must not
+        # observe later solver writes through a live view.
+        return self._families[handle.family].values[handle.index].copy()
 
     def set_value(self, handle: VarHandle, value):
-        man, values = self._families[handle.family]
-        values[handle.index] = np.asarray(value, dtype=self.dtype)
+        fam = self._families[handle.family]
+        fam.values[handle.index] = np.asarray(value, dtype=self.dtype)
         self._dirty = True
 
     def set_values(self, variables: dict):
         """Write back a solver-produced variables dict (family -> stacked
         array) into the host-side store."""
         for name, arr in variables.items():
-            man, values = self._families[name]
-            arr = np.asarray(arr)
-            for i in range(len(values)):
-                values[i] = arr[i]
+            fam = self._families[name]
+            fam.values[:] = np.asarray(arr)
         self._dirty = True
 
     # -- costs -------------------------------------------------------------
@@ -202,8 +267,8 @@ class Problem:
                 raise ValueError("plain costs are not robustified")
             kernel = None
         for h in variables:
-            man, values = self._families.get(h.family, (None, []))
-            if man is None or not (0 <= h.index < len(values)):
+            fam = self._families.get(h.family)
+            if fam is None or not (0 <= h.index < fam.n):
                 raise ValueError(f"unknown variable handle {h}")
 
         families = tuple(h.manifold for h in variables)
@@ -218,48 +283,130 @@ class Problem:
         group.indices.append(tuple(h.index for h in variables))
         self._dirty = True
 
+    def add_cost_batch(
+        self,
+        fn: Callable,
+        slots: list,
+        params: Any = None,
+        kernel: Any = None,
+        kind: str = "residual",
+    ):
+        """Bulk-add ``k`` costs of one type in a single call.
+
+        ``slots`` is a list of ``(manifold, index_array[k])`` pairs (one per
+        dependency slot) and ``params`` a pytree whose leaves have leading
+        dimension ``k``.  Semantically identical to ``k`` ``add_cost`` calls
+        but O(1) Python work — the TPU-native ingestion path for BAL-scale
+        problems (SURVEY.md §7 step 8)."""
+        from .. import config
+
+        if not slots:
+            raise ValueError("a cost must depend on at least one variable")
+        if len(slots) > config.MAX_ARGS:
+            raise ValueError(f"at most {config.MAX_ARGS} variable blocks per cost")
+        manifolds = tuple(m for m, _ in slots)
+        idx = np.stack(
+            [np.asarray(i, dtype=np.int32) for _, i in slots], axis=1
+        )  # [k, nslots]
+        for (man, _), col in zip(slots, idx.T):
+            name = family_name(man)
+            fam = self._families.get(name)
+            n = fam.n if fam is not None else 0
+            if col.size and (col.min() < 0 or col.max() >= n):
+                raise ValueError(f"variable index out of range for family {name}")
+        if kernel is None:
+            kernel = NoRobust() if kind == "residual" else None
+        adaptive = isinstance(kernel, AdaptiveRobustifier)
+        if adaptive and manifolds[0] != kernel.manifold:
+            raise ValueError(
+                "first slot of an adaptive cost must be the kernel variable"
+            )
+        params_struct = jtu.tree_structure(None if params is None else 0)
+        if params is not None:
+            params_struct = jtu.tree_structure(
+                jtu.tree_map(lambda l: 0, params)
+            )
+        key = _group_key(kind, fn, kernel, manifolds, params_struct)
+        group = self._groups.get(key)
+        if group is None:
+            group = _CostGroup(kind, fn, kernel, manifolds, [], [])
+            self._groups[key] = group
+            self._group_order.append(key)
+        group.chunks.append(
+            (
+                None
+                if params is None
+                else jtu.tree_map(np.asarray, params),
+                idx,
+            )
+        )
+        self._dirty = True
+
     def num_costs(self) -> int:
         """Reference ``countcosts(costnum, ...)`` (src/problem.jl:201-207)."""
-        return sum(len(g.indices) for g in self._groups.values())
+        return sum(g.count() for g in self._groups.values())
 
     # -- finalization ------------------------------------------------------
 
     def manifold_of(self, name: str) -> Manifold:
-        return self._families[name][0]
+        return self._families[name].manifold
 
     def family_names(self):
         return list(self._families.keys())
 
     def stacked_variables(self) -> dict:
         """Variables as a dict of stacked jnp arrays (the solver state)."""
-        out = {}
-        for name, (man, values) in self._families.items():
-            out[name] = jnp.asarray(np.stack(values), dtype=self.dtype)
-        return out
+        return {
+            name: jnp.asarray(fam.values, dtype=self.dtype)
+            for name, fam in self._families.items()
+        }
 
     def batches(self) -> list:
         """Finalize cost groups into padded CostBatch objects."""
         out = []
         for key in self._group_order:
             g = self._groups[key]
-            n = len(g.indices)
+            n = g.count()
             n_pad = -(-n // BATCH_ALIGN) * BATCH_ALIGN
+            # Indices: per-cost list entries followed by bulk chunks.
+            ind_parts = []
+            if g.indices:
+                ind_parts.append(np.array(g.indices, dtype=np.int32))
+            ind_parts.extend(ci for _, ci in g.chunks)
+            ind = (
+                np.concatenate(ind_parts)
+                if ind_parts
+                else np.zeros((0, len(g.families)), np.int32)
+            )  # [n, nslots]
             idx_arr = np.zeros((len(g.families), n_pad), dtype=np.int32)
-            ind = np.array(g.indices, dtype=np.int32)  # [n, nslots]
             idx_arr[:, :n] = ind.T
             mask = np.zeros(n_pad, dtype=bool)
             mask[:n] = True
 
+            # Params: stack the per-cost list, concatenate with chunks, pad.
+            param_parts = []
+            if g.params and g.params[0] is not None:
+                param_parts.append(
+                    jtu.tree_map(
+                        lambda *ls: np.stack([np.asarray(l) for l in ls]),
+                        *g.params,
+                    )
+                )
+            param_parts.extend(cp for cp, _ in g.chunks if cp is not None)
+
             def pad_leaf(*leaves):
-                arr = np.stack([np.asarray(l) for l in leaves])
+                arr = np.concatenate([np.asarray(l) for l in leaves])
+                if np.issubdtype(arr.dtype, np.floating):
+                    # Keep all float params in the problem dtype so f32
+                    # problems stay f32 end to end.
+                    arr = arr.astype(self.dtype)
                 padded = np.zeros((n_pad,) + arr.shape[1:], dtype=arr.dtype)
                 padded[:n] = arr
                 return jnp.asarray(padded)
 
-            if g.params[0] is None:
-                params = None
-            else:
-                params = jtu.tree_map(pad_leaf, *g.params)
+            params = (
+                jtu.tree_map(pad_leaf, *param_parts) if param_parts else None
+            )
             out.append(
                 CostBatch(
                     kind=g.kind,
@@ -283,7 +430,12 @@ class Problem:
         sub._families = self._families  # shared, as in the reference
         for key in self._group_order:
             g = self._groups[key]
-            for params, indices in zip(g.params, g.indices):
+            all_costs = list(zip(g.params, g.indices))
+            for cp, ci in g.chunks:
+                for r in range(ci.shape[0]):
+                    p = None if cp is None else jtu.tree_map(lambda l: l[r], cp)
+                    all_costs.append((p, tuple(ci[r])))
+            for params, indices in all_costs:
                 handles = tuple(
                     VarHandle(man, i) for man, i in zip(g.families, indices)
                 )
@@ -296,11 +448,14 @@ class Problem:
         row sums of the reference's ``varcostmap`` incidence matrix
         (src/problem.jl:124-168)."""
         counts = {
-            name: np.zeros(len(values), dtype=np.int64)
-            for name, (_, values) in self._families.items()
+            name: np.zeros(fam.n, dtype=np.int64)
+            for name, fam in self._families.items()
         }
         for g in self._groups.values():
             for indices in g.indices:
                 for man, i in zip(g.families, indices):
                     counts[family_name(man)][i] += 1
+            for _, ci in g.chunks:
+                for s, man in enumerate(g.families):
+                    np.add.at(counts[family_name(man)], ci[:, s], 1)
         return counts

@@ -72,12 +72,20 @@ def make_affine_ba(ncameras=3, nlandmarks=5, prop_visible=1.0, seed=1):
 
 
 def perturb_ba(problem, handles, scale, seed=2):
-    """Add Gaussian noise to Euclidean variables
-    (reference perturb_ba_problem, test/optimizeba.jl:38-47)."""
+    """Add Gaussian noise to Euclidean-storage variables, vectorized per
+    family (reference perturb_ba_problem, test/optimizeba.jl:38-47).  Only
+    meaningful for manifolds whose storage is unconstrained (don't perturb
+    SE(3) poses this way — use tangent noise + retract instead)."""
     rng = np.random.default_rng(seed)
+    by_fam = {}
     for h in handles:
-        v = problem.get_value(h)
-        problem.set_value(h, v + rng.standard_normal(v.shape) * scale)
+        by_fam.setdefault(h.family, []).append(h.index)
+    for fam_name_, idxs in by_fam.items():
+        fam = problem._families[fam_name_]
+        idxs = np.asarray(idxs)
+        noise = rng.standard_normal((len(idxs),) + fam.manifold.shape) * scale
+        fam.values[idxs] = fam.values[idxs] + noise
+    problem._dirty = True
 
 
 def pinhole_project(measurement, pose, point):
@@ -112,27 +120,36 @@ def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
         r = np.stack([x, y, z], axis=1)
         return np.concatenate([r, eye[:, None]], axis=1)
 
-    cameras = []
-    for i in range(ncameras):
-        ang = 2 * np.pi * i / ncameras
-        eye = np.array([2 * np.cos(ang), 2 * np.sin(ang), 0.5])
-        cameras.append(p.add_variable(cam_man, look_at(eye)))
-    landmarks = [
-        p.add_variable(lmk_man, rng.random(3) - 0.5) for _ in range(nlandmarks)
-    ]
-    cam_values = [p.get_value(c) for c in cameras]
-    lmk_values = [p.get_value(l) for l in landmarks]
-    vis = _banded_visibility(ncameras, nlandmarks, prop_visible)
-    kernel = Huber(robust_width) if robust_width else None
-    for ci in range(ncameras):
-        pose = cam_values[ci]
-        r, t = pose[:, :3], pose[:, 3]
-        for li in range(nlandmarks):
-            if vis[ci, li]:
-                xc = r.T @ (lmk_values[li] - t)
-                meas = xc[:2] / xc[2] + rng.standard_normal(2) * noise
-                p.add_cost(
-                    pinhole_project, (cameras[ci], landmarks[li]),
-                    params=meas, kernel=kernel,
+    poses = np.stack(
+        [
+            look_at(
+                np.array(
+                    [
+                        2 * np.cos(2 * np.pi * i / ncameras),
+                        2 * np.sin(2 * np.pi * i / ncameras),
+                        0.5,
+                    ]
                 )
+            )
+            for i in range(ncameras)
+        ]
+    )  # [C, 3, 4]
+    points = rng.random((nlandmarks, 3)) - 0.5
+    cameras = p.add_variables(cam_man, poses)
+    landmarks = p.add_variables(lmk_man, points)
+
+    # Fully-vectorized measurement generation + bulk cost ingestion.
+    vis = _banded_visibility(ncameras, nlandmarks, prop_visible)
+    ci, li = np.nonzero(vis)
+    r = poses[ci, :, :3]  # [K, 3, 3]
+    t = poses[ci, :, 3]  # [K, 3]
+    xc = np.einsum("kij,ki->kj", r, points[li] - t)  # R^T (X - t)
+    meas = xc[:, :2] / xc[:, 2:3] + rng.standard_normal((len(ci), 2)) * noise
+    kernel = Huber(robust_width) if robust_width else None
+    p.add_cost_batch(
+        pinhole_project,
+        slots=[(cam_man, ci), (lmk_man, li)],
+        params=meas,
+        kernel=kernel,
+    )
     return p, cameras, landmarks

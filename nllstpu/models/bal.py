@@ -1,0 +1,167 @@
+"""BAL (Bundle Adjustment in the Large) problem family.
+
+The reference's BA workload is a toy affine model (test/optimizeba.jl); the
+BAL family is the real benchmark class named in BASELINE.json ("BAL
+Ladybug-scale BA").  Cameras use the standard Snavely 9-parameter model
+[angle-axis r, translation t, focal f, k1, k2] (a Euclidean chart, matching
+Ceres/BAL conventions), points are 3-vectors, and the residual is the
+radially-distorted reprojection error.
+
+Loading: ``load_bal`` parses the BAL text format through the native C++
+loader (nllstpu/native) when built, else a numpy fast path
+(``np.fromfile(sep=' ')`` — C-speed tokenization).  ``make_bal_problem``
+ingests everything through the bulk problem APIs, so building a million-
+observation problem is a handful of array ops.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.manifolds import Euclidean
+from ..core.problem import Problem
+from ..core.robust import Huber
+
+CAM = Euclidean(9)
+PT = Euclidean(3)
+
+
+def _rodrigues_rotate(w, x):
+    """Rotate ``x`` by the angle-axis vector ``w`` (Rodrigues), smooth at
+    w = 0 for jacfwd."""
+    t2 = jnp.dot(w, w)
+    small = t2 < 1e-14
+    t2s = jnp.where(small, jnp.ones_like(t2), t2)
+    theta = jnp.sqrt(t2s)
+    cos_t = jnp.where(small, 1.0 - t2 / 2.0, jnp.cos(theta))
+    sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    one_m_cos = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - cos_t) / t2s)
+    return x * cos_t + jnp.cross(w, x) * sinc + w * (jnp.dot(w, x) * one_m_cos)
+
+
+def snavely_residual(measurement, camera, point):
+    """Snavely reprojection residual (BAL convention): P = R·X + t,
+    p = −P.xy/P.z, distorted by 1 + k1·r² + k2·r⁴, scaled by f."""
+    w, t = camera[:3], camera[3:6]
+    f, k1, k2 = camera[6], camera[7], camera[8]
+    p = _rodrigues_rotate(w, point) + t
+    xp = -p[:2] / p[2]
+    r2 = jnp.dot(xp, xp)
+    distortion = 1.0 + r2 * (k1 + k2 * r2)
+    return f * distortion * xp - measurement
+
+
+def load_bal(path: str) -> dict:
+    """Parse a BAL text file into arrays: cameras [C,9], points [P,3],
+    cam_idx [K], pt_idx [K], observations [K,2]."""
+    from ..utils import native
+
+    parsed = native.parse_bal(path)
+    if parsed is None:
+        raw = np.fromfile(path, sep=" ")
+        ncam, npt, nobs = int(raw[0]), int(raw[1]), int(raw[2])
+        body = raw[3:]
+        obs = body[: nobs * 4].reshape(nobs, 4)
+        rest = body[nobs * 4 :]
+        cameras = rest[: ncam * 9].reshape(ncam, 9)
+        points = rest[ncam * 9 : ncam * 9 + npt * 3].reshape(npt, 3)
+        parsed = dict(
+            cameras=cameras,
+            points=points,
+            cam_idx=obs[:, 0].astype(np.int32),
+            pt_idx=obs[:, 1].astype(np.int32),
+            observations=obs[:, 2:4],
+        )
+    return parsed
+
+
+def make_bal_problem(data: dict, dtype=None, robust_width=None) -> tuple:
+    """Build a Problem from parsed BAL arrays; returns
+    ``(problem, camera_handles, point_handles)``."""
+    p = Problem(dtype=dtype)
+    cameras = p.add_variables(CAM, data["cameras"])
+    points = p.add_variables(PT, data["points"])
+    kernel = Huber(robust_width) if robust_width else None
+    p.add_cost_batch(
+        snavely_residual,
+        slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
+        params=np.asarray(data["observations"]),
+        kernel=kernel,
+    )
+    return p, cameras, points
+
+
+def make_synthetic_bal(ncameras=16, npoints=256, obs_per_point=4, seed=1,
+                       noise=0.0) -> dict:
+    """Synthetic BAL-format data with measurements generated from ground
+    truth (zero-cost optimum, the reference's test-fixture pattern)."""
+    rng = np.random.default_rng(seed)
+    cameras = np.zeros((ncameras, 9))
+    for i in range(ncameras):
+        ang = 2 * np.pi * i / ncameras
+        # Small rotations around identity; camera centers on a ring.
+        cameras[i, :3] = rng.standard_normal(3) * 0.05
+        center = np.array([4 * np.cos(ang), 4 * np.sin(ang), 1.0])
+        cameras[i, 3:6] = -center  # t = -R·C ≈ -C for small rotations
+        cameras[i, 6] = 500.0 + rng.random() * 100
+        cameras[i, 7:9] = rng.standard_normal(2) * 1e-7
+    points = rng.standard_normal((npoints, 3)) * 0.5
+    points[:, 2] += 10.0  # keep in front of all cameras
+
+    cam_idx = np.empty(npoints * obs_per_point, dtype=np.int32)
+    pt_idx = np.empty(npoints * obs_per_point, dtype=np.int32)
+    for j in range(npoints):
+        cams = rng.choice(ncameras, size=obs_per_point, replace=False)
+        cam_idx[j * obs_per_point : (j + 1) * obs_per_point] = cams
+        pt_idx[j * obs_per_point : (j + 1) * obs_per_point] = j
+
+    # Vectorized ground-truth projection (numpy mirror of snavely_residual).
+    w = cameras[cam_idx, :3]
+    t = cameras[cam_idx, 3:6]
+    x = points[pt_idx]
+    theta = np.linalg.norm(w, axis=1, keepdims=True)
+    theta = np.where(theta < 1e-12, 1e-12, theta)
+    axis = w / theta
+    cos_t = np.cos(theta)
+    sin_t = np.sin(theta)
+    p = (
+        x * cos_t
+        + np.cross(axis, x) * sin_t
+        + axis * (np.sum(axis * x, axis=1, keepdims=True) * (1 - cos_t))
+        + t
+    )
+    xp = -p[:, :2] / p[:, 2:3]
+    r2 = np.sum(xp * xp, axis=1, keepdims=True)
+    f = cameras[cam_idx, 6:7]
+    k1 = cameras[cam_idx, 7:8]
+    k2 = cameras[cam_idx, 8:9]
+    obs = f * (1.0 + r2 * (k1 + k2 * r2)) * xp
+    obs = obs + rng.standard_normal(obs.shape) * noise
+    return dict(
+        cameras=cameras,
+        points=points,
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        observations=obs,
+    )
+
+
+def write_bal(path: str, data: dict):
+    """Write arrays back to the BAL text format (for loader round-trip
+    tests and interchange)."""
+    ncam = data["cameras"].shape[0]
+    npt = data["points"].shape[0]
+    nobs = data["cam_idx"].shape[0]
+    with open(path, "w") as fh:
+        fh.write(f"{ncam} {npt} {nobs}\n")
+        for ci, pi, (ox, oy) in zip(
+            data["cam_idx"], data["pt_idx"], data["observations"]
+        ):
+            fh.write(f"{ci} {pi} {ox:.17g} {oy:.17g}\n")
+        for cam in data["cameras"]:
+            fh.write("\n".join(f"{v:.17g}" for v in cam) + "\n")
+        for pt in data["points"]:
+            fh.write("\n".join(f"{v:.17g}" for v in pt) + "\n")

@@ -1,0 +1,70 @@
+"""BAL model family tests: loader round-trip (native C++ parser vs numpy
+fallback), Snavely residual ground truth, and end-to-end convergence with the
+Schur backend on synthetic BAL data."""
+
+import os
+
+import numpy as np
+import pytest
+
+import nllstpu as nt
+from nllstpu.models import bal
+from nllstpu.models.ba import perturb_ba
+from nllstpu.utils import native
+
+
+def test_synthetic_zero_cost():
+    data = bal.make_synthetic_bal(8, 64, obs_per_point=4)
+    p, cams, pts = bal.make_bal_problem(data)
+    # Measurements generated from ground truth → zero cost at the optimum.
+    assert nt.cost(p) < 1e-18
+
+
+def test_loader_roundtrip(tmp_path):
+    data = bal.make_synthetic_bal(5, 17, obs_per_point=3)
+    path = os.path.join(tmp_path, "toy.txt")
+    bal.write_bal(path, data)
+    loaded = bal.load_bal(path)
+    for key in ("cameras", "points", "observations"):
+        np.testing.assert_allclose(loaded[key], data[key], rtol=1e-15)
+    np.testing.assert_array_equal(loaded["cam_idx"], data["cam_idx"])
+    np.testing.assert_array_equal(loaded["pt_idx"], data["pt_idx"])
+
+
+def test_native_loader_matches_numpy(tmp_path):
+    lib = native._load()
+    if lib is None:
+        pytest.skip("native loader not built and g++ unavailable")
+    data = bal.make_synthetic_bal(4, 11, obs_per_point=2)
+    path = os.path.join(tmp_path, "toy.txt")
+    bal.write_bal(path, data)
+    nat = native.parse_bal(path)
+    assert nat is not None
+    for key in ("cameras", "points", "observations"):
+        np.testing.assert_allclose(nat[key], data[key], rtol=1e-15)
+    np.testing.assert_array_equal(nat["cam_idx"], data["cam_idx"])
+
+
+def test_bal_optimize_schur():
+    data = bal.make_synthetic_bal(8, 96, obs_per_point=5)
+    p, cams, pts = bal.make_bal_problem(data)
+    perturb_ba(p, pts, 0.01, seed=7)
+    start = nt.cost(p)
+    assert start > 1e-4
+    result = nt.optimize(
+        p, nt.Options(solver="schur", schur_family=bal.PT)
+    )
+    assert result.best_cost < start * 1e-12
+
+
+def test_bal_robust_kernel():
+    data = bal.make_synthetic_bal(8, 64, obs_per_point=4, noise=0.5)
+    # Inject gross outliers into 5% of observations.
+    rng = np.random.default_rng(3)
+    k = data["observations"].shape[0]
+    out = rng.choice(k, size=k // 20, replace=False)
+    data["observations"][out] += 500.0
+    p, cams, pts = bal.make_bal_problem(data, robust_width=5.0)
+    perturb_ba(p, pts, 0.01, seed=7)
+    result = nt.optimize(p, nt.Options(solver="schur", schur_family=bal.PT))
+    assert result.best_cost < result.start_cost

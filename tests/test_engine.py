@@ -18,7 +18,7 @@ from nllstpu.models.rosenbrock import make_rosenbrock
 def _check_gradient(problem, unfixed=None):
     compiled = compile_problem(problem, unfixed)
     variables = problem.stacked_variables()
-    cost, a, b = jax.jit(compiled.assemble)(variables)
+    cost, (a, b) = jax.jit(compiled.assemble)(variables)
 
     def total_from_tangent(t):
         newvars = compiled.apply(variables, t)
@@ -62,6 +62,6 @@ def test_gauss_newton_hessian_matches_jj():
     p.add_cost(lambda params, v: params[1] @ v - params[0], (w,), params=(y, x))
     compiled = compile_problem(p)
     variables = p.stacked_variables()
-    _, a, b = compiled.assemble(variables)
+    _, (a, b) = compiled.assemble(variables)
     np.testing.assert_allclose(a, x.T @ x, rtol=1e-12)
     np.testing.assert_allclose(b, x.T @ (x @ np.zeros(4) - y), rtol=1e-12)
