@@ -44,6 +44,7 @@ from .core.structs import (
     Result,
 )
 from .core.optimize import CompiledProblem, compile_problem, cost, optimize
+from .core.singles import optimize_singles
 from .core.callbacks import null_callback, printout_callback, store_costs_callback
 
 __version__ = "0.1.0"
@@ -78,6 +79,7 @@ __all__ = [
     "DOGLEG",
     "GRADIENT_DESCENT",
     "optimize",
+    "optimize_singles",
     "cost",
     "compile_problem",
     "CompiledProblem",

@@ -160,6 +160,28 @@ def so3_exp(w):
     return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
 
 
+def so3_log(r):
+    """Axis-angle vector of a rotation matrix (inverse of :func:`so3_exp`),
+    smooth near the identity.  Accurate for rotation angles below ~π−1e-3
+    (pose-graph residuals live near the identity)."""
+    trace = r[0, 0] + r[1, 1] + r[2, 2]
+    c = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(c)
+    t2 = theta * theta
+    small = t2 < 1e-12
+    sin_t = jnp.sin(theta)
+    # theta / (2 sin theta), Taylor-guarded at 0.
+    factor = jnp.where(
+        small,
+        0.5 + t2 / 12.0,
+        theta / jnp.where(small, jnp.ones_like(sin_t), 2.0 * sin_t),
+    )
+    vee = jnp.stack(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    return factor * vee
+
+
 @dataclasses.dataclass(frozen=True)
 class SO3(Manifold):
     """Rotation stored as a 3x3 matrix with 3 intrinsic DoF; retraction is the

@@ -51,6 +51,7 @@ class CompiledProblem:
     batches: list
     dtype: Any
     schur_info: Any = None  # nllstpu.ops.schur.SchurInfo when Schur is active
+    cg_ops: Any = None  # nllstpu.ops.cg.CGOps when the matrix-free backend is active
 
     def cost(self, variables):
         return engine.total_cost(self.batches, variables, self.dtype)
@@ -62,6 +63,12 @@ class CompiledProblem:
             return schur.assemble_schur(
                 self.batches, variables, self.layout, self.schur_info, self.dtype
             )
+        if self.cg_ops is not None:
+            from ..ops import cg
+
+            return cg.assemble_cg(
+                self.batches, variables, self.layout, self.manifolds, self.dtype
+            )
         cost, a, b = engine.assemble_dense(
             self.batches, variables, self.layout, self.dtype
         )
@@ -71,7 +78,12 @@ class CompiledProblem:
         return engine.apply_step(self.manifolds, self.layout, variables, x)
 
     def ctx(self) -> iterators.IterCtx:
-        linops = self.schur_info.ops() if self.schur_info is not None else None
+        if self.schur_info is not None:
+            linops = self.schur_info.ops()
+        elif self.cg_ops is not None:
+            linops = self.cg_ops
+        else:
+            linops = None
         return iterators.IterCtx(
             cost=self.cost,
             apply=self.apply,
@@ -107,6 +119,17 @@ def compile_problem(
             batches=batches,
             dtype=problem.dtype,
             schur_info=info,
+        )
+    if solver in ("cg", "pcg"):
+        from ..ops import cg
+
+        layout = engine.build_layout(problem, unfixed, batches=batches)
+        return CompiledProblem(
+            manifolds=manifolds,
+            layout=layout,
+            batches=batches,
+            dtype=problem.dtype,
+            cg_ops=cg.build_cg_ops(problem, layout),
         )
     if solver != "dense":
         raise ValueError(f"unknown solver {solver!r}")
@@ -207,10 +230,11 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    # Roll back to the best variables if the last ones are worse
-    # (src/optimize.jl:173-176).
+    # Roll back to the best variables if the last ones are worse — NaN-safe
+    # like the reference's ``!(bestcost >= cost)`` (src/optimize.jl:173-176):
+    # a NaN final cost must also trigger the rollback.
     out_vars = _tree_select(
-        final["bestcost"] < final["lastcost"], final["varbest"], final["variables"]
+        ~(final["bestcost"] >= final["lastcost"]), final["varbest"], final["variables"]
     )
     return dict(final, variables=out_vars, startcost=c0)
 
@@ -377,7 +401,7 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
         if termination:
             break
 
-    if bestcost < lastcost:
+    if not (bestcost >= lastcost):  # NaN-safe rollback (src/optimize.jl:173)
         variables = varbest
     problem.set_values(variables)
     return Result(

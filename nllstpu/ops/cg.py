@@ -1,0 +1,177 @@
+"""Matrix-free preconditioned conjugate-gradient linear system.
+
+Third linear-system backend (after dense and Schur): for problems whose
+variable-cost graph is sparse but not bipartite — pose graphs, deformable
+meshes — a materialized Hessian wastes memory and a landmark elimination does
+not apply.  Here H is never formed: ``H @ x`` is computed batch-wise
+(gather rows of x per cost → per-cost block multiply → scatter-add), which on
+TPU is a stream of small batched matmuls + one scatter per cost type.  The
+preconditioner is block-Jacobi over variable blocks (batched small-block
+inverses), and the CG iteration is a ``lax.while_loop`` so the whole damped
+solve stays inside jit.
+
+Replaces the reference's sparse LDLᵀ for general sparsity
+(src/linearsolver.jl:29; SURVEY.md §2 native table recommends
+"Schur-complement elimination + batched dense Cholesky / PCG").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import engine
+from ..core.linearsolver import cholesky_solve
+from ..core.problem import family_name
+
+
+@dataclasses.dataclass(frozen=True)
+class CGOps:
+    """Linear-system ops over
+    ``sys = (b, hs, rows, pre_blocks, diag)`` where ``hs``/``rows`` are
+    per-batch block Hessians [B,S,S] and global row indices [B,S],
+    ``pre_blocks`` a dict family → [n, dof, dof] diagonal blocks, and
+    ``diag`` the assembled H diagonal.  Implements the same protocol as
+    DenseOps/SchurOps."""
+
+    dim: int
+    pad: int
+    # Static per-family layout for the block-Jacobi preconditioner:
+    # tuples of (family name, offsets [n] (dustbin=dim), dof).
+    fam_offsets: tuple
+    tol: float = 1e-14
+    max_iters: int = 2000
+
+    def grad(self, sys):
+        return sys[0]
+
+    def diag_max(self, sys):
+        return jnp.max(jnp.abs(sys[4]))
+
+    def _matvec(self, sys, x, lam):
+        _, hs, rows, _, _ = sys
+        xp = jnp.concatenate([x, jnp.zeros(self.pad, dtype=x.dtype)])
+        y = jnp.zeros(self.dim + self.pad, dtype=x.dtype)
+        for h, r in zip(hs, rows):
+            xg = xp[r]  # [B, S]
+            y = y.at[r].add(jnp.einsum("bst,bt->bs", h, xg))
+        return y[: self.dim] + lam * x
+
+    def quad(self, sys, x):
+        zero = jnp.zeros((), dtype=x.dtype)
+        return x @ self._matvec(sys, x, zero)
+
+    def _precond_apply(self, inv_blocks, r):
+        rp = jnp.concatenate([r, jnp.zeros(self.pad, dtype=r.dtype)])
+        z = jnp.zeros(self.dim + self.pad, dtype=r.dtype)
+        for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
+            idx = offs[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
+            rg = rp[idx]  # [n, dof]
+            z = z.at[idx].add(jnp.einsum("nst,nt->ns", inv, rg))
+        return z[: self.dim]
+
+    def solve(self, sys, lam):
+        b, hs, rows, pre_blocks, diag = sys
+        dtype = b.dtype
+        eye = None
+        inv_blocks = []
+        for name, offs, dof in self.fam_offsets:
+            blocks = pre_blocks[name]
+            eye = jnp.eye(dof, dtype=dtype)
+            damped = blocks + lam * eye
+            inv_blocks.append(jax.vmap(lambda a: cholesky_solve(a, eye))(damped))
+
+        def matvec(x):
+            return self._matvec(sys, x, lam)
+
+        x0 = jnp.zeros(self.dim, dtype=dtype)
+        r0 = b  # r = b - A·0
+        z0 = self._precond_apply(inv_blocks, r0)
+        p0 = z0
+        rz0 = r0 @ z0
+        bnorm2 = b @ b
+        tol2 = jnp.asarray(self.tol, dtype) ** 2 * bnorm2
+
+        def cond(st):
+            x, r, z, p, rz, k = st
+            return (r @ r > tol2) & (k < self.max_iters)
+
+        def body(st):
+            x, r, z, p, rz, k = st
+            ap = matvec(p)
+            denom = p @ ap
+            alpha = rz / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+            x2 = x + alpha * p
+            r2 = r - alpha * ap
+            z2 = self._precond_apply(inv_blocks, r2)
+            rz2 = r2 @ z2
+            beta = rz2 / jnp.where(rz == 0, jnp.ones_like(rz), rz)
+            p2 = z2 + beta * p
+            return (x2, r2, z2, p2, rz2, k + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0)))
+        return x
+
+
+def build_cg_ops(problem, layout: engine.Layout, tol=1e-14, max_iters=2000) -> CGOps:
+    fam_offsets = []
+    for name in problem.family_names():
+        man = problem.manifold_of(name)
+        fam_offsets.append((name, layout.offsets[name], man.dof))
+    return CGOps(
+        dim=layout.dof_total,
+        pad=layout.pad,
+        fam_offsets=tuple(fam_offsets),
+        tol=tol,
+        max_iters=max_iters,
+    )
+
+
+def assemble_cg(batches, variables, layout: engine.Layout, problem_manifolds, dtype):
+    """Assemble ``(cost, (b, hs, rows, pre_blocks, diag))`` — the gradient,
+    the per-batch Hessian blocks kept unscattered (the matrix-free
+    representation), the block-Jacobi diagonal blocks per family, and the
+    assembled diagonal."""
+    size = layout.padded_size
+    b = jnp.zeros(size, dtype=dtype)
+    diag = jnp.zeros(size, dtype=dtype)
+    total = jnp.zeros((), dtype=dtype)
+    hs, rows_list = [], []
+    pre = {
+        name: jnp.zeros(
+            (int(layout.unfixed[name].shape[0]) + 1, man.dof, man.dof),
+            dtype=dtype,
+        )
+        for name, man in problem_manifolds.items()
+    }
+    for batch in batches:
+        c, g, h, rows = engine.batch_grad_hess(batch, variables, layout, dtype)
+        total = total + c
+        b = b.at[rows].add(g)
+        diag = diag.at[rows].add(
+            jnp.diagonal(h, axis1=-2, axis2=-1)
+        )
+        hs.append(h)
+        rows_list.append(rows)
+        # Per-slot diagonal blocks into the block-Jacobi preconditioner,
+        # keyed by variable index within the family (dustbin = n).
+        start = 0
+        for slot, man in enumerate(batch.manifolds):
+            dof = man.dof
+            name = family_name(man)
+            n = int(layout.unfixed[name].shape[0])
+            sel = np.arange(start, start + dof)
+            h_ss = h[:, sel[:, None], sel[None, :]]
+            vid = batch.idx[slot]
+            # Fixed variables and padding costs go to the dustbin block n.
+            off = layout.offsets[name][vid]
+            vid = jnp.where(
+                batch.mask & (off < layout.dof_total), vid, jnp.int32(n)
+            )
+            pre[name] = pre[name].at[vid].add(h_ss)
+            start += dof
+    pre_blocks = {name: blocks[:-1] for name, blocks in pre.items()}
+    return total, (b[: layout.dof_total], tuple(hs), tuple(rows_list), pre_blocks, diag[: layout.dof_total])

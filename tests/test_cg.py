@@ -1,0 +1,70 @@
+"""Matrix-free PCG backend tests: solves must match the dense backend, and
+the SE(3) pose-graph family must converge to the ground truth with
+``solver="cg"``."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nllstpu as nt
+from nllstpu.core.iterators import DenseOps
+from nllstpu.core.manifolds import so3_exp, so3_log
+from nllstpu.core.optimize import compile_problem
+from nllstpu.models.ba import make_affine_ba, perturb_ba
+from nllstpu.models.posegraph import make_pose_graph
+
+
+def test_so3_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        w = rng.standard_normal(3)
+        w = w / np.linalg.norm(w) * rng.uniform(0, 2.5)
+        r = so3_exp(jnp.asarray(w))
+        np.testing.assert_allclose(so3_log(r), w, rtol=1e-9, atol=1e-10)
+    # Identity.
+    np.testing.assert_allclose(so3_log(jnp.eye(3)), np.zeros(3), atol=1e-12)
+
+
+def test_cg_matches_dense():
+    p, cams, lmks = make_affine_ba(4, 9, 1.0)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    unfixed = cams + lmks[3:]  # pin the gauge
+    dense = compile_problem(p, unfixed=unfixed)
+    cgc = compile_problem(p, unfixed=unfixed, solver="cg")
+    variables = p.stacked_variables()
+    cd, sys_d = jax.jit(dense.assemble)(variables)
+    cc, sys_c = jax.jit(cgc.assemble)(variables)
+    dops = DenseOps(dense.layout.dof_total)
+    cops = cgc.cg_ops
+
+    np.testing.assert_allclose(cd, cc, rtol=1e-12)
+    np.testing.assert_allclose(dops.grad(sys_d), cops.grad(sys_c), rtol=1e-10)
+    np.testing.assert_allclose(
+        dops.diag_max(sys_d), cops.diag_max(sys_c), rtol=1e-12
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dense.layout.dof_total))
+    np.testing.assert_allclose(dops.quad(sys_d, x), cops.quad(sys_c, x), rtol=1e-9)
+    for lam in [0.0, 1e-3, 1.0]:
+        xd = dops.solve(sys_d, jnp.asarray(lam))
+        xc = cops.solve(sys_c, jnp.asarray(lam))
+        np.testing.assert_allclose(xd, xc, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_pose_graph_converges(solver):
+    p, poses, truth = make_pose_graph(n_poses=16, n_loops=4, perturb=0.05)
+    start = nt.cost(p)
+    assert start > 1e-4
+    # Fix the first pose to pin the gauge.
+    result = nt.optimize(
+        p,
+        nt.Options(solver=solver, iterator=nt.LEVENBERG_MARQUARDT),
+        unfixed=poses[1:],
+    )
+    assert result.best_cost < 1e-18
+    # Recovered poses match ground truth (gauge anchored at pose 0).
+    final = np.stack([p.get_value(h) for h in poses])
+    np.testing.assert_allclose(final, truth, atol=1e-8)
