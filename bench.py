@@ -9,95 +9,147 @@ TPU/CPU speedup.  Prints ONE JSON line.
 Workload: 128 SE(3) cameras (768 reduced dims), 8192 landmarks, ~105k
 observations (10% banded visibility), float32, measurement noise 1e-3,
 landmarks perturbed 0.05 — a BAL-Venice-flavored shape scaled to one chip.
+
+Each measurement leg runs in a subprocess with a timeout and retries:
+device-to-host readbacks through tunneled TPU transports can hang
+indefinitely, and a fresh process recovers cleanly (compiles are served from
+the on-disk jax compilation cache, so retries are cheap).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-# Make the CPU backend available alongside the TPU for the baseline leg.
-if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
-    os.environ["JAX_PLATFORMS"] += ",cpu"
-
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_default_matmul_precision", "highest")
-
-import nllstpu as nt  # noqa: E402
-from nllstpu.core.optimize import compile_problem, run_loop  # noqa: E402
-from nllstpu.models.ba import make_pinhole_ba, perturb_ba  # noqa: E402
 
 NCAM = int(os.environ.get("BENCH_NCAM", 128))
 NLMK = int(os.environ.get("BENCH_NLMK", 8192))
 VIS = float(os.environ.get("BENCH_VIS", 0.1))
 ITERS = int(os.environ.get("BENCH_ITERS", 15))
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def build():
+def worker(platform: str, iters: int):
+    """Measure LM iterations/sec on the requested platform and print one
+    JSON line with the raw stats."""
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cache = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    sys.path.insert(0, _REPO)
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem, run_loop
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
     problem, cams, lmks = make_pinhole_ba(
-        ncameras=NCAM,
-        nlandmarks=NLMK,
-        prop_visible=VIS,
-        noise=1e-3,
-        dtype=jnp.float32,
+        ncameras=NCAM, nlandmarks=NLMK, prop_visible=VIS,
+        noise=1e-3, dtype=jnp.float32,
     )
     perturb_ba(problem, lmks, 0.05, seed=5)
     compiled = compile_problem(problem, solver="schur", schur_family=nt.Euclidean(3))
-    return problem, compiled
+    opts = nt.Options(
+        iterator=nt.LEVENBERG_MARQUARDT,
+        max_iters=iters,
+        rel_dcost=0.0,
+        abs_dcost=0.0,
+        dstep=1e-12,
+        max_fails=1 << 30,
+    )
+
+    def run(v):
+        final = run_loop(compiled.assemble, compiled.cost, compiled.ctx(), opts, v)
+        # Pack every scalar we need into ONE array so the host does a single
+        # device read (multi-read robustness, see module docstring).
+        return jnp.stack(
+            [
+                final["iternum"].astype(jnp.float32),
+                final["startcost"].astype(jnp.float32),
+                final["bestcost"].astype(jnp.float32),
+                final["nsolve"].astype(jnp.float32),
+            ]
+        )
+
+    runner = jax.jit(run)
+    vars0 = problem.stacked_variables()
+    t0 = time.perf_counter()
+    jax.block_until_ready(runner(vars0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(runner(vars0))
+    wall = time.perf_counter() - t0
+    stats = [float(x) for x in list(out)]
+    n_iter, start, best, solves = int(stats[0]), stats[1], stats[2], int(stats[3])
+    assert best < start, (start, best)  # sanity: LM actually descends
+    print(
+        json.dumps(
+            {
+                "platform": platform,
+                "iters_per_sec": n_iter / wall,
+                "iters": n_iter,
+                "wall_s": wall,
+                "compile_s": compile_s,
+                "start_cost": start,
+                "best_cost": best,
+                "solves": solves,
+            }
+        ),
+        flush=True,
+    )
 
 
-def bench_on(device, iters):
-    with jax.default_device(device):
-        problem, compiled = build()
-        opts = nt.Options(
-            iterator=nt.LEVENBERG_MARQUARDT,
-            max_iters=iters,
-            rel_dcost=0.0,
-            abs_dcost=0.0,
-            dstep=1e-12,
-            max_fails=1 << 30,
-        )
-        runner = jax.jit(
-            lambda v: run_loop(compiled.assemble, compiled.cost, compiled.ctx(), opts, v)
-        )
-        vars0 = problem.stacked_variables()
-        t0 = time.perf_counter()
-        warm = jax.block_until_ready(runner(vars0))
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        final = jax.block_until_ready(runner(vars0))
-        wall = time.perf_counter() - t0
-        n_iter = int(final["iternum"])
-        start, best = float(final["startcost"]), float(final["bestcost"])
-        assert best < start, (start, best)  # sanity: LM actually descends
-        return {
-            "iters_per_sec": n_iter / wall,
-            "iters": n_iter,
-            "wall_s": wall,
-            "compile_s": compile_s,
-            "start_cost": start,
-            "best_cost": best,
-            "solves": int(final["nsolve"]),
-        }
+def run_leg(platform: str, iters: int, attempts: int = 3, timeout: int = 420):
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", platform, str(iters)],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=_REPO,
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            sys.stderr.write(
+                f"# {platform} leg attempt {attempt}: no result "
+                f"(rc={proc.returncode})\n{proc.stderr[-2000:]}\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"# {platform} leg attempt {attempt}: timeout\n")
+    return None
 
 
 def main():
-    backend = jax.default_backend()
-    main_dev = jax.devices()[0]
-    main_stats = bench_on(main_dev, ITERS)
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], int(sys.argv[3]))
+        return
+
+    has_tpu = os.environ.get("JAX_PLATFORMS", "").replace("cpu", "").strip(", ") != ""
+    main_platform = "tpu" if has_tpu else "cpu"
+    main_stats = run_leg(main_platform, ITERS)
+    if main_stats is None and main_platform == "tpu":
+        # Fall back to CPU so the bench always reports something.
+        main_platform = "cpu"
+        main_stats = run_leg("cpu", ITERS)
+    if main_stats is None:
+        print(json.dumps({"metric": "lm_iters_per_sec", "value": 0.0,
+                          "unit": "iter/s", "vs_baseline": 0.0}))
+        return
     value = main_stats["iters_per_sec"]
 
     vs_baseline = 1.0
-    if backend != "cpu":
-        try:
-            cpu = jax.devices("cpu")[0]
-            cpu_stats = bench_on(cpu, min(ITERS, 5))
-            if cpu_stats["iters_per_sec"] > 0:
-                vs_baseline = value / cpu_stats["iters_per_sec"]
-        except Exception as e:  # CPU leg is best-effort
-            print(f"# cpu baseline failed: {e}", file=sys.stderr)
+    if main_platform != "cpu":
+        cpu_stats = run_leg("cpu", min(ITERS, 5), attempts=2)
+        if cpu_stats and cpu_stats["iters_per_sec"] > 0:
+            vs_baseline = value / cpu_stats["iters_per_sec"]
 
     print(
         json.dumps(

@@ -112,7 +112,6 @@ def build_layout(problem: Problem, unfixed=None, batches=None, order_last=None) 
         pad = max(pad, b.block_dof)
     for name, off in offsets.items():
         off[off < 0] = dof_total
-        offsets[name] = jnp.asarray(off)
     return Layout(offsets=offsets, unfixed=masks, dof_total=dof_total, pad=pad)
 
 
@@ -311,7 +310,9 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
     row_parts = []
     for slot in range(len(batch.manifolds)):
         man = batch.manifolds[slot]
-        off = layout.offsets[family_name(man)][batch.idx[slot]]  # [B]
+        # offsets are host numpy; batch.idx may be traced (shard_map), so
+        # lift to jnp before indexing.
+        off = jnp.asarray(layout.offsets[family_name(man)])[batch.idx[slot]]  # [B]
         off = jnp.where(batch.mask, off, dustbin)
         row_parts.append(off[:, None] + jnp.arange(man.dof, dtype=jnp.int32)[None, :])
     rows = jnp.concatenate(row_parts, axis=1)  # [B, S]

@@ -202,6 +202,16 @@ class Problem:
     def num_variables(self) -> int:
         return sum(f.n for f in self._families.values())
 
+    def __repr__(self):
+        # Reference Base.show (src/problem.jl:27-30).
+        fams = ", ".join(
+            f"{name}×{fam.n}" for name, fam in self._families.items()
+        )
+        return (
+            f"Problem({self.num_variables()} variables [{fams}], "
+            f"{self.num_costs()} costs in {len(self._group_order)} type groups)"
+        )
+
     def get_value(self, handle: VarHandle):
         # Copy: family storage is a shared array block and callers must not
         # observe later solver writes through a live view.
@@ -402,7 +412,9 @@ class Problem:
                     arr = arr.astype(self.dtype)
                 padded = np.zeros((n_pad,) + arr.shape[1:], dtype=arr.dtype)
                 padded[:n] = arr
-                return jnp.asarray(padded)
+                # Host numpy: becomes a trace-time constant; creating device
+                # arrays here would force per-array transfers at build time.
+                return padded
 
             params = (
                 jtu.tree_map(pad_leaf, *param_parts) if param_parts else None
@@ -414,9 +426,9 @@ class Problem:
                     kernel=g.kernel,
                     adaptive=isinstance(g.kernel, AdaptiveRobustifier),
                     manifolds=g.families,
-                    idx=tuple(jnp.asarray(idx_arr[i]) for i in range(len(g.families))),
+                    idx=tuple(idx_arr[i] for i in range(len(g.families))),
                     params=params,
-                    mask=jnp.asarray(mask),
+                    mask=mask,
                     n=n,
                 )
             )

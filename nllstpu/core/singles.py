@@ -46,7 +46,7 @@ def _pair_row_lists(batch, slot, target_indices):
     for i, l in enumerate(lists):
         rows[i, : len(l)] = l
         rmask[i, : len(l)] = True
-    return jnp.asarray(rows), jnp.asarray(rmask)
+    return rows, rmask
 
 
 def optimize_singles(problem: Problem, options: Options = None, targets=None):
@@ -99,13 +99,15 @@ def _solve_family(problem, batches, fam_arrays, fam, man, target_indices, opts):
         def pair_vals(pair_i, value, rows):
             ti, s = pairs[pair_i]
             b = batches[ti]
+            # Batch data are host numpy; lift to jnp before indexing with the
+            # vmapped (traced) row indices.
             params_rows = (
                 None
                 if b.params is None
-                else jtu.tree_map(lambda l: l[rows], b.params)
+                else jtu.tree_map(lambda l: jnp.asarray(l)[rows], b.params)
             )
             other = tuple(
-                fam_arrays[family_name(m)][b.idx[j][rows]]
+                fam_arrays[family_name(m)][jnp.asarray(b.idx[j])[rows]]
                 for j, m in enumerate(b.manifolds)
             )
             return b, s, params_rows, other
@@ -153,7 +155,7 @@ def _solve_family(problem, batches, fam_arrays, fam, man, target_indices, opts):
         final = run_loop(assemble_v, cost_v, ctx, opts, value0)
         return final["variables"], final["iternum"]
 
-    values0 = fam_arrays[fam][jnp.asarray(target_indices)]
+    values0 = fam_arrays[fam][np.asarray(target_indices)]
     solve_all = jax.jit(jax.vmap(solve_one))
     new_values, iters = solve_all(values0, row_data)
     return new_values, jnp.sum(iters)

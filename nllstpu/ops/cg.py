@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import engine
-from ..core.linearsolver import cholesky_solve
+from ..core.linearsolver import batched_inv_spd, cholesky_solve
 from ..core.problem import family_name
 
 
@@ -76,13 +76,11 @@ class CGOps:
     def solve(self, sys, lam):
         b, hs, rows, pre_blocks, diag = sys
         dtype = b.dtype
-        eye = None
         inv_blocks = []
         for name, offs, dof in self.fam_offsets:
             blocks = pre_blocks[name]
-            eye = jnp.eye(dof, dtype=dtype)
-            damped = blocks + lam * eye
-            inv_blocks.append(jax.vmap(lambda a: cholesky_solve(a, eye))(damped))
+            damped = blocks + lam * jnp.eye(dof, dtype=dtype)
+            inv_blocks.append(batched_inv_spd(damped))
 
         def matvec(x):
             return self._matvec(sys, x, lam)
@@ -165,9 +163,9 @@ def assemble_cg(batches, variables, layout: engine.Layout, problem_manifolds, dt
             n = int(layout.unfixed[name].shape[0])
             sel = np.arange(start, start + dof)
             h_ss = h[:, sel[:, None], sel[None, :]]
-            vid = batch.idx[slot]
+            vid = jnp.asarray(batch.idx[slot])
             # Fixed variables and padding costs go to the dustbin block n.
-            off = layout.offsets[name][vid]
+            off = jnp.asarray(layout.offsets[name])[vid]
             vid = jnp.where(
                 batch.mask & (off < layout.dof_total), vid, jnp.int32(n)
             )

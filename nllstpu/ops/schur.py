@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import engine
-from ..core.linearsolver import cholesky_solve
+from ..core.linearsolver import batched_inv_spd, cholesky_solve
 from ..core.problem import family_name
 
 
@@ -78,8 +78,8 @@ class SchurOps:
         eye_r = jnp.eye(self.dim_reduced, dtype=a_rr.dtype)
         h_damped = h_ll + lam * eye_l
         a_damped = a_rr + lam * eye_r
-        # Batched landmark-block inverses (Cholesky with runtime fallback).
-        h_inv = jax.vmap(lambda h: cholesky_solve(h, eye_l))(h_damped)
+        # Batched landmark-block inverses (closed-form for d<=3).
+        h_inv = batched_inv_spd(h_damped)
         y = jnp.einsum("lrd,lde->lre", w, h_inv)
         # Reduced (Schur) system — one MXU contraction over L·dl.
         s = a_damped - jnp.einsum("lrd,lsd->rs", y, w)
@@ -124,7 +124,7 @@ def build_schur_info(problem, layout: engine.Layout, elim_manifold) -> SchurInfo
         dim_reduced=dim_reduced,
         num_elim=num_elim,
         dof_elim=dl,
-        elim_ids={elim_fam: jnp.asarray(ids)},
+        elim_ids={elim_fam: ids},
     )
 
 
@@ -176,7 +176,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             dtype=np.int64,
         )
         # Landmark ids per cost (masked/fixed → dustbin L).
-        lid = info.elim_ids[info.elim_family][batch.idx[e]]
+        lid = jnp.asarray(info.elim_ids[info.elim_family])[batch.idx[e]]
         lid = jnp.where(batch.mask, lid, jnp.int32(L))
         # Reduced rows per cost: drop the eliminated segment; remap any
         # global/dustbin index >= dr into the pad region.

@@ -49,8 +49,8 @@ def _repad_batch(batch: CostBatch, multiple: int) -> CostBatch:
     extra = target - b
 
     def pad_leaf(l):
-        pad_width = [(0, extra)] + [(0, 0)] * (l.ndim - 1)
-        return jnp.pad(l, pad_width)
+        pad_width = [(0, extra)] + [(0, 0)] * (np.asarray(l).ndim - 1)
+        return np.pad(np.asarray(l), pad_width)
 
     return dataclasses.replace(
         batch,
