@@ -12,6 +12,7 @@ structural map of the reference and the design translation.
 from . import config  # noqa: F401  (enables x64 before anything else)
 
 from .core.manifolds import (
+    BarronManifold,
     ContaminatedGaussianManifold,
     Euclidean,
     Manifold,
@@ -24,6 +25,8 @@ from .core.manifolds import (
 )
 from .core.robust import (
     AdaptiveRobustifier,
+    Barron,
+    Cauchy,
     ContaminatedGaussian,
     GemanMcclure,
     Huber,
@@ -31,6 +34,8 @@ from .core.robust import (
     NoRobust,
     Robustifier,
     Scaled,
+    Tukey,
+    Welsch,
     em_fit,
 )
 from .core.problem import Problem, VarHandle, family_name
@@ -58,6 +63,7 @@ __all__ = [
     "SO3",
     "SE3",
     "ContaminatedGaussianManifold",
+    "BarronManifold",
     "so3_exp",
     "Robustifier",
     "NoRobust",
@@ -65,6 +71,10 @@ __all__ = [
     "Huber",
     "Huber2o",
     "GemanMcclure",
+    "Cauchy",
+    "Welsch",
+    "Tukey",
+    "Barron",
     "AdaptiveRobustifier",
     "ContaminatedGaussian",
     "em_fit",

@@ -251,6 +251,27 @@ class ContaminatedGaussianManifold(Manifold):
         return jnp.stack([hi, lo, w])
 
 
+@dataclasses.dataclass(frozen=True)
+class BarronManifold(Manifold):
+    """Parameter manifold of the adaptive Barron general robust kernel:
+    storage ``[alpha, c]`` with shape α ∈ (0, 2) (via the ZeroToOne update
+    scaled by 2 — the range where the kernel's partition function is finite)
+    and scale c ∈ (0, ∞)."""
+
+    @property
+    def dof(self):
+        return 2
+
+    @property
+    def shape(self):
+        return (2,)
+
+    def retract(self, x, delta):
+        t = _zero_to_one_update(x[0] * 0.5, delta[0])
+        c = _positive_scale(x[1], delta[1])
+        return jnp.stack([2.0 * t, c])
+
+
 def batch_retract(manifold: Manifold, xs, deltas):
     """Retract a stacked family ``xs: [n, *shape]`` by ``deltas: [n, dof]``."""
     return jax.vmap(manifold.retract)(xs, deltas)

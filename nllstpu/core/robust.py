@@ -134,6 +134,52 @@ class GemanMcclure(Robustifier):
         return s * w, w2, -2 * w2 * r
 
 
+@dataclasses.dataclass(frozen=True)
+class Cauchy(Robustifier):
+    """Cauchy/Lorentzian kernel: ρ(s) = c²·log(1 + s/c²).  Not in the
+    reference's built-ins but standard in Ceres-class solvers."""
+
+    width: float
+
+    def rho(self, s):
+        csq = self.width * self.width
+        return csq * jnp.log1p(s / csq)
+
+    def rho_dc(self, s):
+        csq = self.width * self.width
+        inv = 1.0 / (1.0 + s / csq)
+        return csq * jnp.log1p(s / csq), inv, -(inv * inv) / csq
+
+
+@dataclasses.dataclass(frozen=True)
+class Welsch(Robustifier):
+    """Welsch kernel: ρ(s) = c²·(1 − exp(−s/c²))."""
+
+    width: float
+
+    def rho(self, s):
+        csq = self.width * self.width
+        return csq * (1.0 - jnp.exp(-s / csq))
+
+    def rho_dc(self, s):
+        csq = self.width * self.width
+        e = jnp.exp(-s / csq)
+        return csq * (1.0 - e), e, -e / csq
+
+
+@dataclasses.dataclass(frozen=True)
+class Tukey(Robustifier):
+    """Tukey biweight kernel: fully redescending (zero influence beyond
+    ``width``)."""
+
+    width: float
+
+    def rho(self, s):
+        csq = self.width * self.width
+        u = jnp.minimum(s / csq, 1.0)
+        return (csq / 3.0) * (1.0 - (1.0 - u) ** 3)
+
+
 # ---------------------------------------------------------------------------
 # Adaptive kernels: the kernel parameters are themselves an optimized variable
 # (reference AbstractAdaptiveRobustifier, src/NLLSsolver.jl:25).
@@ -227,6 +273,70 @@ class ContaminatedGaussian(AdaptiveRobustifier):
             half_s2sq - e2 * den,
             -e2 * half_d * t * den * den,
         )
+
+
+def _barron_core(x2, alpha, eps=1e-5):
+    """Barron's practical smooth form of the general robust loss
+    ρ(x, α) with x² given (scale already applied); continuous in α with
+    epsilon-guarded limits at α → 0 and α → 2 (Barron, "A General and
+    Adaptive Robust Loss Function", CVPR 2019 — public method, reimplemented
+    here for TPU)."""
+    b = jnp.abs(2.0 - alpha) + eps
+    d = jnp.where(alpha >= 0, alpha + eps, alpha - eps)
+    return (b / d) * (jnp.power(x2 / b + 1.0, 0.5 * d) - 1.0)
+
+
+def _barron_log_partition_table(n_alpha=129, x_max=60.0, n_x=16001):
+    """log Z(α) = log ∫ exp(−ρ(x², α)) dx over α ∈ [0, 2], tabulated once at
+    import with vectorized numpy Simpson integration (Barron uses a spline of
+    the same quantity)."""
+    import numpy as np
+
+    alphas = np.linspace(0.0, 2.0, n_alpha)
+    xs = np.linspace(-x_max, x_max, n_x)
+    x2 = xs * xs
+    eps = 1e-5
+    b = np.abs(2.0 - alphas)[:, None] + eps
+    d = np.where(alphas >= 0, alphas + eps, alphas - eps)[:, None]
+    rho = (b / d) * (np.power(x2[None, :] / b + 1.0, 0.5 * d) - 1.0)
+    dens = np.exp(-rho)
+    z = np.trapezoid(dens, xs, axis=1)
+    return alphas, np.log(z)
+
+
+_BARRON_ALPHAS, _BARRON_LOGZ = _barron_log_partition_table()
+
+
+@dataclasses.dataclass(frozen=True)
+class Barron(AdaptiveRobustifier):
+    """Adaptive Barron general robust kernel with parameters
+    ``[alpha, c]`` optimized as a variable.  ``rho`` is scaled so that
+    ½·ρ equals the negative log-likelihood of Barron's probability model
+    (data term + log c·Z(α) partition), which is what makes joint
+    optimization of (α, c) well-posed — without the partition term the
+    optimizer would drive c → ∞.
+
+    The reference ships only the ContaminatedGaussian adaptive kernel; this
+    is the Barron-style adaptive robustifier named in the project north star
+    (BASELINE.json)."""
+
+    @property
+    def manifold(self):
+        from .manifolds import BarronManifold
+
+        return BarronManifold()
+
+    @staticmethod
+    def make_params(alpha: float = 1.0, c: float = 1.0, dtype=None):
+        if not (0.0 < alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
+        return jnp.array([alpha, c], dtype=dtype)
+
+    def rho(self, kparams, s):
+        alpha, c = kparams[0], kparams[1]
+        x2 = s / (c * c)
+        logz = jnp.interp(alpha, jnp.asarray(_BARRON_ALPHAS), jnp.asarray(_BARRON_LOGZ))
+        return 2.0 * _barron_core(x2, alpha) + 2.0 * (jnp.log(c) + logz)
 
 
 def em_fit(kparams, squared_errors, max_iters: int = 10, rtol: float = 1e-6):
