@@ -104,15 +104,17 @@ def compile_problem(
         solver = "schur" if schur_family is not None else "dense"
     batches = problem.batches()
     manifolds = {name: problem.manifold_of(name) for name in problem.family_names()}
-    if solver == "schur":
+    if solver in ("schur", "schur_cg"):
         if schur_family is None:
-            raise ValueError("solver='schur' requires schur_family")
+            raise ValueError(f"solver={solver!r} requires schur_family")
         from ..ops import schur
 
         layout = engine.build_layout(
             problem, unfixed, batches=batches, order_last=family_name(schur_family)
         )
-        info = schur.build_schur_info(problem, layout, schur_family)
+        info = schur.build_schur_info(
+            problem, layout, schur_family, implicit=(solver == "schur_cg")
+        )
         return CompiledProblem(
             manifolds=manifolds,
             layout=layout,

@@ -92,21 +92,172 @@ class SchurOps:
         return jnp.concatenate([xr, xl.reshape(-1)])
 
 
+@dataclasses.dataclass(frozen=True)
+class SchurCGOps:
+    """Implicit (iterative) Schur: the reduced system S = A_rr − W·H_ll⁻¹·Wᵀ
+    is never materialized — its matvec streams through the per-cost W blocks
+    (gather → block multiply → landmark segment-sum → back) and the reduced
+    solve is PCG with a block-Jacobi preconditioner over A_rr's diagonal.
+    This removes the O(L·Dr·dl) dense-W memory of :class:`SchurOps`, making
+    Venice/Final-scale BAL feasible on one chip (Ceres ITERATIVE_SCHUR
+    analogue).
+
+    ``sys = (a_rr, b_r, h_ll, g_l, wparts)`` with ``wparts`` a tuple of
+    per-batch ``(w_blk [B,Sr,dl], rows_r [B,Sr], lid [B])``."""
+
+    dim_reduced: int
+    num_elim: int
+    dof_elim: int
+    pad: int
+    # Reduced-family layout for the preconditioner: (name, offsets [n], dof).
+    fam_offsets: tuple
+    tol: float = 1e-12
+    max_iters: int = 500
+
+    @property
+    def dim(self):
+        return self.dim_reduced + self.num_elim * self.dof_elim
+
+    def grad(self, sys):
+        _, b_r, _, g_l, _ = sys
+        return jnp.concatenate([b_r, g_l.reshape(-1)])
+
+    def diag_max(self, sys):
+        a_rr, _, h_ll, _, _ = sys
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        return jnp.maximum(m_r, m_l)
+
+    def _wt_apply(self, wparts, v):
+        """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl]."""
+        u = jnp.zeros((self.num_elim + 1, self.dof_elim), dtype=v.dtype)
+        vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
+        for w_blk, rows_r, lid in wparts:
+            vg = vp[rows_r]  # [B, Sr]
+            u = u.at[lid].add(jnp.einsum("bsd,bs->bd", w_blk, vg))
+        return u[: self.num_elim]
+
+    def _w_apply(self, wparts, u):
+        """y = Σ_i w_i u[l_i] scattered at rows_i  →  [Dr]."""
+        up = jnp.concatenate(
+            [u, jnp.zeros((1, self.dof_elim), dtype=u.dtype)], axis=0
+        )
+        y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
+        for w_blk, rows_r, lid in wparts:
+            ug = up[lid]  # [B, dl]
+            y = y.at[rows_r].add(jnp.einsum("bsd,bd->bs", w_blk, ug))
+        return y[: self.dim_reduced]
+
+    def quad(self, sys, x):
+        a_rr, _, h_ll, _, wparts = sys
+        xr = x[: self.dim_reduced]
+        xl = x[self.dim_reduced :].reshape(self.num_elim, self.dof_elim)
+        cross = xr @ self._w_apply(wparts, xl)
+        return (
+            xr @ (a_rr @ xr)
+            + 2.0 * cross
+            + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        )
+
+    def solve(self, sys, lam):
+        from ..core.linearsolver import batched_inv_spd
+
+        a_rr, b_r, h_ll, g_l, wparts = sys
+        dtype = b_r.dtype
+        dl = self.dof_elim
+        h_inv = batched_inv_spd(h_ll + lam * jnp.eye(dl, dtype=dtype))
+
+        def s_matvec(v):
+            u = self._wt_apply(wparts, v)  # Wᵀ v
+            u = jnp.einsum("lde,le->ld", h_inv, u)  # H_ll⁻¹ Wᵀ v
+            return a_rr @ v + lam * v - self._w_apply(wparts, u)
+
+        rhs = b_r - self._w_apply(
+            wparts, jnp.einsum("lde,le->ld", h_inv, g_l)
+        )
+
+        # Block-Jacobi preconditioner from A_rr's diagonal blocks.
+        inv_blocks = []
+        for name, offs, dof in self.fam_offsets:
+            idx = offs[:, None] + np.arange(dof, dtype=np.int32)[None, :]
+            idx = np.minimum(idx, self.dim_reduced)  # dustbin-safe
+            a_pad = jnp.pad(a_rr, ((0, 1), (0, 1)))
+            blocks = a_pad[idx[:, :, None], idx[:, None, :]] + lam * jnp.eye(
+                dof, dtype=dtype
+            )
+            inv_blocks.append(batched_inv_spd(blocks))
+
+        def precond(r):
+            rp = jnp.concatenate([r, jnp.zeros(self.pad + 1, dtype=dtype)])
+            z = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=dtype)
+            for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
+                idx = jnp.asarray(offs)[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
+                idx = jnp.minimum(idx, self.dim_reduced + self.pad)
+                rg = rp[idx]
+                z = z.at[idx].add(jnp.einsum("nst,nt->ns", inv, rg))
+            return z[: self.dim_reduced]
+
+        x0 = jnp.zeros(self.dim_reduced, dtype=dtype)
+        r0 = rhs
+        z0 = precond(r0)
+        rz0 = r0 @ z0
+        tol2 = jnp.asarray(self.tol, dtype) ** 2 * (rhs @ rhs)
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return (r @ r > tol2) & (k < self.max_iters)
+
+        def body(st):
+            x, r, z, p, rz, k = st
+            ap = s_matvec(p)
+            denom = p @ ap
+            alpha = rz / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+            x2 = x + alpha * p
+            r2 = r - alpha * ap
+            z2 = precond(r2)
+            rz2 = r2 @ z2
+            beta = rz2 / jnp.where(rz == 0, jnp.ones_like(rz), rz)
+            return (x2, r2, z2, z2 + beta * p, rz2, k + 1)
+
+        xr, *_ = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0))
+        )
+        xl = jnp.einsum(
+            "lde,le->ld", h_inv, g_l - self._wt_apply(wparts, xr)
+        )
+        return jnp.concatenate([xr, xl.reshape(-1)])
+
+
 @dataclasses.dataclass
 class SchurInfo:
-    """Static structure for Schur assembly."""
+    """Static structure for Schur assembly.  ``implicit=True`` selects the
+    matrix-free reduced solve (:class:`SchurCGOps`); otherwise the dense-W
+    direct elimination (:class:`SchurOps`)."""
 
     elim_family: str
     dim_reduced: int  # Dr
     num_elim: int  # L
     dof_elim: int  # dl
     elim_ids: dict  # family name -> [n] landmark ids (L = dustbin) for elim fam
+    implicit: bool = False
+    fam_offsets: tuple = ()  # reduced-family (name, offsets, dof) for precond
+    pad: int = 1
 
-    def ops(self) -> SchurOps:
+    def ops(self):
+        if self.implicit:
+            return SchurCGOps(
+                self.dim_reduced,
+                self.num_elim,
+                self.dof_elim,
+                pad=self.pad,
+                fam_offsets=self.fam_offsets,
+            )
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 
 
-def build_schur_info(problem, layout: engine.Layout, elim_manifold) -> SchurInfo:
+def build_schur_info(
+    problem, layout: engine.Layout, elim_manifold, implicit: bool = False
+) -> SchurInfo:
     """Derive the reduced/eliminated split from a layout built with the
     eliminated family ordered last (see ``build_layout(order_last=...)``)."""
     elim_fam = family_name(elim_manifold)
@@ -119,12 +270,23 @@ def build_schur_info(problem, layout: engine.Layout, elim_manifold) -> SchurInfo
     if num_elim:
         ids[unfixed] = (offs[unfixed] - dim_reduced) // dl
         assert (ids[unfixed] >= 0).all() and (ids[unfixed] < num_elim).all()
+    fam_offsets = []
+    if implicit:
+        for name in problem.family_names():
+            if name == elim_fam:
+                continue
+            fam_offsets.append(
+                (name, layout.offsets[name], problem.manifold_of(name).dof)
+            )
     return SchurInfo(
         elim_family=elim_fam,
         dim_reduced=dim_reduced,
         num_elim=num_elim,
         dof_elim=dl,
         elim_ids={elim_fam: ids},
+        implicit=implicit,
+        fam_offsets=tuple(fam_offsets),
+        pad=layout.pad,
     )
 
 
@@ -143,7 +305,12 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
     b_r = jnp.zeros(dr + pad, dtype=dtype)
     h_ll = jnp.zeros((L + 1, dl, dl), dtype=dtype)
     g_l = jnp.zeros((L + 1, dl), dtype=dtype)
-    w = jnp.zeros((L + 1, dr + pad, dl), dtype=dtype)
+    w = (
+        None
+        if info.implicit
+        else jnp.zeros((L + 1, dr + pad, dl), dtype=dtype)
+    )
+    wparts = []
     total = jnp.zeros((), dtype=dtype)
 
     for batch in batches:
@@ -198,12 +365,18 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         b_r = b_r.at[rows_r].add(g_r)
         h_ll = h_ll.at[lid].add(h_le)
         g_l = g_l.at[lid].add(g_e)
-        w = w.at[lid[:, None], rows_r, :].add(w_blk)
+        if info.implicit:
+            # Keep the coupling blocks per cost; masked costs are neutralized
+            # by zeroing (their lid points at the dustbin anyway).
+            wparts.append((w_blk, rows_r, lid))
+        else:
+            w = w.at[lid[:, None], rows_r, :].add(w_blk)
 
+    w_out = tuple(wparts) if info.implicit else w[:L, :dr, :]
     return total, (
         a_rr[:dr, :dr],
         b_r[:dr],
         h_ll[:L],
         g_l[:L],
-        w[:L, :dr, :],
+        w_out,
     )

@@ -123,3 +123,40 @@ def test_cost_invariant_under_cost_order():
     g.indices = [g.indices[i] for i in perm]
     g.params = [g.params[i] for i in perm]
     np.testing.assert_allclose(nt.cost(p2), c1, rtol=1e-12)
+
+
+def test_implicit_schur_matches_direct():
+    """schur_cg (implicit reduced matvec + PCG) must agree with the dense-W
+    direct elimination."""
+    p, cams, lmks = make_affine_ba(5, 12, 0.7)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    direct = compile_problem(p, solver="schur", schur_family=LMK)
+    implicit = compile_problem(p, solver="schur_cg", schur_family=LMK)
+    variables = p.stacked_variables()
+    cd, sys_d = jax.jit(direct.assemble)(variables)
+    ci, sys_i = jax.jit(implicit.assemble)(variables)
+    dops = direct.schur_info.ops()
+    iops = implicit.schur_info.ops()
+    np.testing.assert_allclose(cd, ci, rtol=1e-12)
+    np.testing.assert_allclose(dops.grad(sys_d), iops.grad(sys_i), rtol=1e-10)
+    np.testing.assert_allclose(
+        dops.diag_max(sys_d), iops.diag_max(sys_i), rtol=1e-12
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(direct.layout.dof_total))
+    np.testing.assert_allclose(dops.quad(sys_d, x), iops.quad(sys_i, x), rtol=1e-9)
+    for lam in [1e-3, 1.0]:
+        xd = dops.solve(sys_d, jnp.asarray(lam))
+        xi = iops.solve(sys_i, jnp.asarray(lam))
+        np.testing.assert_allclose(xd, xi, rtol=1e-6, atol=1e-8)
+
+
+def test_implicit_schur_full_optimize():
+    p, cams, lmks = make_affine_ba(10, 50, 0.3)
+    perturb_ba(p, lmks, 0.001, seed=3)
+    perturb_ba(p, cams, 0.001, seed=4)
+    result = nt.optimize(
+        p, nt.Options(solver="schur_cg", schur_family=LMK)
+    )
+    assert result.best_cost < 1e-15
