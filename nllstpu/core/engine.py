@@ -183,7 +183,17 @@ def _cost_grad_hess_one(batch: CostBatch, params, vals, dtype):
     f, dof = _residual_fn(batch, params, vals)
     z = jnp.zeros(dof, dtype=dtype)
     r = f(z)
-    jac = jax.jacfwd(f)(z)  # [nres, dof]
+    if getattr(batch, "jacobian", None) is not None:
+        # User-supplied hand Jacobian in tangent coordinates (reference
+        # ``computeresjac`` override, src/docstrings.jl:220).
+        rvals = vals[1:] if batch.adaptive else vals
+        r, jac = batch.jacobian(params, *rvals)
+        r = jnp.atleast_1d(r)
+        jac = jnp.atleast_2d(jac)
+    else:
+        # Forward mode only: jacrev returns silently wrong values inside
+        # shard_map in this JAX version (verified empirically).
+        jac = jax.jacfwd(f)(z)  # [nres, dof]
     s = jnp.dot(r, r)
     g = jac.T @ r
     h = jac.T @ jac

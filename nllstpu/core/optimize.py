@@ -113,7 +113,8 @@ def compile_problem(
             problem, unfixed, batches=batches, order_last=family_name(schur_family)
         )
         info = schur.build_schur_info(
-            problem, layout, schur_family, implicit=(solver == "schur_cg")
+            problem, layout, schur_family, implicit=(solver == "schur_cg"),
+            batches=batches,
         )
         return CompiledProblem(
             manifolds=manifolds,
@@ -245,36 +246,95 @@ def _make_jit_runner(compiled: CompiledProblem, opts: Options):
     ctx = compiled.ctx()
 
     def run(vars0):
-        return run_loop(compiled.assemble, compiled.cost, ctx, opts, vars0)
+        final = run_loop(compiled.assemble, compiled.cost, ctx, opts, vars0)
+        # Pack all result scalars into one array: a single device readback
+        # (slow/fragile transports; see CLAUDE.md).
+        packed = jnp.stack(
+            [
+                final["startcost"].astype(jnp.float64),
+                final["bestcost"].astype(jnp.float64),
+                final["converged"].astype(jnp.float64),
+                final["iternum"].astype(jnp.float64),
+                final["ncost"].astype(jnp.float64),
+                final["ngrad"].astype(jnp.float64),
+                final["nsolve"].astype(jnp.float64),
+            ]
+        )
+        return final["variables"], final["trace"], packed
 
     return jax.jit(run)
 
 
-def _run_jit(problem, compiled, opts) -> Result:
-    t0 = time.perf_counter()
+def _unfixed_cache_key(unfixed):
+    from .manifolds import Manifold
+    from .problem import VarHandle
+
+    if unfixed is None or isinstance(unfixed, Manifold):
+        return unfixed
+    if isinstance(unfixed, VarHandle):
+        return (unfixed.family, unfixed.index)
+    if isinstance(unfixed, dict):
+        return tuple(
+            (name, tuple(np.asarray(m, dtype=bool).tolist()))
+            for name, m in sorted(unfixed.items())
+        )
+    return tuple((h.family, h.index) for h in unfixed)
+
+
+_runner_cache: dict = {}
+
+
+def _cached_runner(problem, opts, unfixed):
+    """Reuse the compiled jit runner across optimize() calls as long as the
+    problem *structure* is unchanged (value edits via set_value don't
+    invalidate — variable values are runtime arguments, not constants)."""
+    key = (
+        id(problem),
+        problem.structure_version,
+        opts,
+        _unfixed_cache_key(unfixed),
+    )
+    hit = _runner_cache.get(key)
+    if hit is not None:
+        return hit
+    compiled = compile_problem(
+        problem, unfixed, solver=opts.solver, schur_family=opts.schur_family
+    )
+    if compiled.layout.dof_total == 0:
+        raise ValueError("no unfixed variables to optimize")
     runner = _make_jit_runner(compiled, opts)
+    _runner_cache.clear()  # keep at most one entry per process to bound memory
+    _runner_cache[key] = (compiled, runner)
+    return compiled, runner
+
+
+def _run_jit(problem, compiled_runner, opts) -> Result:
+    t0 = time.perf_counter()
+    compiled, runner = compiled_runner
     vars0 = problem.stacked_variables()
     t1 = time.perf_counter()
-    final = jax.block_until_ready(runner(vars0))
+    out_vars, trace, packed = runner(vars0)
+    stats = np.asarray(packed)  # single readback fences execution
     t2 = time.perf_counter()
-    problem.set_values(final["variables"])
+    problem.set_values(out_vars)
+    n_iter = int(stats[3])
     trajectory = None
     if opts.store_trajectory:
-        costs = np.asarray(final["trace"])[: int(final["iternum"])]
+        costs = np.asarray(trace)[:n_iter]
         trajectory = CostTrajectory(costs=list(costs), times_ns=[], trajectory=[])
     return Result(
-        start_cost=float(final["startcost"]),
-        best_cost=float(final["bestcost"]),
+        start_cost=float(stats[0]),
+        best_cost=float(stats[1]),
         time_total=t2 - t0,
         time_init=t1 - t0,
         time_cost=0.0,
         time_gradient=0.0,
         time_solver=0.0,
-        termination=int(final["converged"]),
-        num_iterations=int(final["iternum"]),
-        cost_computations=int(final["ncost"]),
-        gradient_computations=int(final["ngrad"]),
-        linear_solves=int(final["nsolve"]),
+        termination=int(stats[2]),
+        num_iterations=n_iter,
+        cost_computations=int(stats[4]),
+        gradient_computations=int(stats[5]),
+        linear_solves=int(stats[6]),
         trajectory=trajectory,
     )
 
@@ -452,11 +512,11 @@ def optimize(
     reported shifted into the user bits of ``Result.termination``.
     """
     options = options or Options()
-    compiled = compile_problem(
-        problem, unfixed, solver=options.solver, schur_family=options.schur_family
-    )
-    if compiled.layout.dof_total == 0:
-        raise ValueError("no unfixed variables to optimize")
     if callback is not None or options.store_trajectory:
+        compiled = compile_problem(
+            problem, unfixed, solver=options.solver, schur_family=options.schur_family
+        )
+        if compiled.layout.dof_total == 0:
+            raise ValueError("no unfixed variables to optimize")
         return _run_stepped(problem, compiled, options, callback)
-    return _run_jit(problem, compiled, options)
+    return _run_jit(problem, _cached_runner(problem, options, unfixed), options)

@@ -105,6 +105,7 @@ class _CostGroup:
     families: tuple  # manifold per dependency slot
     params: list  # list of per-cost param pytrees
     indices: list  # list of per-cost tuples of variable indices
+    jacobian: Any = None  # optional hand Jacobian fn (residual kind only)
     chunks: list = dataclasses.field(default_factory=list)
     # each chunk: (params pytree of [k, ...] arrays or None, indices [k, nslots])
 
@@ -112,8 +113,8 @@ class _CostGroup:
         return len(self.indices) + sum(c[1].shape[0] for c in self.chunks)
 
 
-def _group_key(kind, fn, kernel, families, params_struct):
-    return (kind, fn, kernel, families, params_struct)
+def _group_key(kind, fn, kernel, families, params_struct, jacobian=None):
+    return (kind, fn, kernel, families, params_struct, jacobian)
 
 
 @dataclasses.dataclass
@@ -129,6 +130,7 @@ class CostBatch:
     params: Any  # pytree with [B_pad, ...] leaves
     mask: Any  # bool [B_pad]; False for padding
     n: int  # true cost count
+    jacobian: Any = None  # optional hand Jacobian fn: (params, *vals) -> (r, J)
 
     @property
     def n_padded(self) -> int:
@@ -162,6 +164,9 @@ class Problem:
         self._group_order: list = []
         self._dirty = True
         self._built = None
+        # Bumped on structural changes (new variables/costs); value edits
+        # keep the version so compiled solvers can be reused.
+        self.structure_version = 0
 
     # -- variables ---------------------------------------------------------
 
@@ -183,6 +188,7 @@ class Problem:
                 f"variable value shape {value.shape} != manifold shape {manifold.shape}"
             )
         self._dirty = True
+        self.structure_version += 1
         return VarHandle(manifold, fam.add(value))
 
     def add_variables(self, manifold: Manifold, values) -> list:
@@ -197,6 +203,7 @@ class Problem:
             )
         first = fam.add_many(values)
         self._dirty = True
+        self.structure_version += 1
         return [VarHandle(manifold, first + i) for i in range(values.shape[0])]
 
     def num_variables(self) -> int:
@@ -239,6 +246,7 @@ class Problem:
         params: Any = None,
         kernel: Any = None,
         kind: str = "residual",
+        jacobian: Callable = None,
     ):
         """Add one cost block (reference ``addcost!``, src/problem.jl:90-107).
 
@@ -251,6 +259,11 @@ class Problem:
         ``variables`` the kernel-parameter variable (reference convention:
         kernel is the first element of ``getvars``, src/residual.jl:46-47).
         ``fn`` receives only the non-kernel variables.
+
+        ``jacobian(params, *values) -> (residual, J)`` optionally supplies a
+        hand-written Jacobian in tangent coordinates (columns ordered by the
+        non-kernel dependency slots) — the reference's ``computeresjac``
+        override (src/docstrings.jl:220).
         """
         from .. import config
 
@@ -283,15 +296,16 @@ class Problem:
 
         families = tuple(h.manifold for h in variables)
         params_struct = jtu.tree_structure(params)
-        key = _group_key(kind, fn, kernel, families, params_struct)
+        key = _group_key(kind, fn, kernel, families, params_struct, jacobian)
         group = self._groups.get(key)
         if group is None:
-            group = _CostGroup(kind, fn, kernel, families, [], [])
+            group = _CostGroup(kind, fn, kernel, families, [], [], jacobian)
             self._groups[key] = group
             self._group_order.append(key)
         group.params.append(params)
         group.indices.append(tuple(h.index for h in variables))
         self._dirty = True
+        self.structure_version += 1
 
     def add_cost_batch(
         self,
@@ -300,6 +314,7 @@ class Problem:
         params: Any = None,
         kernel: Any = None,
         kind: str = "residual",
+        jacobian: Callable = None,
     ):
         """Bulk-add ``k`` costs of one type in a single call.
 
@@ -336,10 +351,10 @@ class Problem:
             params_struct = jtu.tree_structure(
                 jtu.tree_map(lambda l: 0, params)
             )
-        key = _group_key(kind, fn, kernel, manifolds, params_struct)
+        key = _group_key(kind, fn, kernel, manifolds, params_struct, jacobian)
         group = self._groups.get(key)
         if group is None:
-            group = _CostGroup(kind, fn, kernel, manifolds, [], [])
+            group = _CostGroup(kind, fn, kernel, manifolds, [], [], jacobian)
             self._groups[key] = group
             self._group_order.append(key)
         group.chunks.append(
@@ -351,6 +366,7 @@ class Problem:
             )
         )
         self._dirty = True
+        self.structure_version += 1
 
     def num_costs(self) -> int:
         """Reference ``countcosts(costnum, ...)`` (src/problem.jl:201-207)."""
@@ -430,6 +446,7 @@ class Problem:
                     params=params,
                     mask=mask,
                     n=n,
+                    jacobian=g.jacobian,
                 )
             )
         return out

@@ -98,8 +98,39 @@ def pinhole_project(measurement, pose, point):
     return xc[:2] / xc[2] - measurement
 
 
+def pinhole_project_jacobian(measurement, pose, point):
+    """Hand Jacobian of :func:`pinhole_project` in SE(3)/R³ tangent
+    coordinates (columns: camera [w, v] then point), verified against the
+    autodiff path in tests.  With the right-multiplied retraction
+    R → R·exp([w]×), t → t + R·v:
+
+        X_c = exp(−[w]×)·Rᵀ(X − t − R v)  ⇒  ∂X_c/∂w = [X_c]×,
+        ∂X_c/∂v = −I,  ∂X_c/∂X = Rᵀ,
+        ∂π/∂X_c = [[1/z, 0, −x/z²], [0, 1/z, −y/z²]].
+    """
+    r = pose[:, :3]
+    t = pose[:, 3]
+    xc = r.T @ (point - t)
+    x, y, z = xc[0], xc[1], xc[2]
+    inv_z = 1.0 / z
+    res = xc[:2] * inv_z - measurement
+    # dpi: [2, 3]
+    zero = jnp.zeros_like(z)
+    dpi = jnp.array(
+        [[inv_z, zero, -x * inv_z * inv_z], [zero, inv_z, -y * inv_z * inv_z]]
+    )
+    skew_xc = jnp.array(
+        [[zero, -z, y], [z, zero, -x], [-y, x, zero]]
+    )
+    j_w = dpi @ skew_xc  # [2, 3]
+    j_v = -dpi  # [2, 3]
+    j_pt = dpi @ r.T  # [2, 3]
+    return res, jnp.concatenate([j_w, j_v, j_pt], axis=1)
+
+
 def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
-                    noise=0.0, robust_width=None, dtype=None):
+                    noise=0.0, robust_width=None, dtype=None,
+                    hand_jacobian=False):
     """SE(3)+pinhole BA with ground-truth-generated measurements.  Cameras
     sit on a ring of radius 2 looking at the origin; landmarks fill a unit
     cube around the origin.  Returns ``(problem, cameras, landmarks)``."""
@@ -151,5 +182,6 @@ def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
         slots=[(cam_man, ci), (lmk_man, li)],
         params=meas,
         kernel=kernel,
+        jacobian=pinhole_project_jacobian if hand_jacobian else None,
     )
     return p, cameras, landmarks

@@ -229,6 +229,25 @@ class SchurCGOps:
 
 
 @dataclasses.dataclass
+class _FastBatch:
+    """Host-precomputed structure for the gather/one-hot fast assembly path
+    of a BA-shaped batch (one reduced slot + one eliminated slot).
+
+    TPU scatters with duplicate indices serialize and dominated assembly in
+    profiling (~80% of assemble time); this path replaces them with
+    (a) a per-landmark observation table ``obs_table [L, K]`` so
+    landmark-keyed reductions become gathers + dense sums, and
+    (b) one-hot matmuls over the reduced-variable id so camera-keyed
+    reductions ride the MXU, followed by unique-index block scatters."""
+
+    r_slot: int  # index of the reduced dependency slot
+    n_r: int  # reduced family size
+    obs_table: np.ndarray  # [L, K] batch-row ids (out-of-range = padding)
+    rvid: np.ndarray  # [B] reduced var id (n_r = dustbin for fixed/masked)
+    row_base: np.ndarray  # [n_r] global tangent offset per reduced var (dustbin→dr)
+
+
+@dataclasses.dataclass
 class SchurInfo:
     """Static structure for Schur assembly.  ``implicit=True`` selects the
     matrix-free reduced solve (:class:`SchurCGOps`); otherwise the dense-W
@@ -242,6 +261,7 @@ class SchurInfo:
     implicit: bool = False
     fam_offsets: tuple = ()  # reduced-family (name, offsets, dof) for precond
     pad: int = 1
+    fast: tuple = ()  # per-batch _FastBatch or None, aligned with batches
 
     def ops(self):
         if self.implicit:
@@ -255,8 +275,67 @@ class SchurInfo:
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 
 
+#: Fast-path guards: cap the one-hot [B, n_r] / obs-table memory.
+_FAST_MAX_ONEHOT = 64 * 1024 * 1024  # elements
+_FAST_MAX_K = 512
+
+
+def _fast_batch_data(batch, layout, info):
+    """Precompute the fast-path tables for one batch, or None when the batch
+    shape doesn't qualify (multi-slot costs, oversized one-hot, extreme
+    observation skew)."""
+    elim_slots = [
+        i
+        for i, m in enumerate(batch.manifolds)
+        if family_name(m) == info.elim_family
+    ]
+    if len(elim_slots) != 1 or len(batch.manifolds) != 2:
+        return None
+    e = elim_slots[0]
+    r_slot = 1 - e
+    rman = batch.manifolds[r_slot]
+    rfam = family_name(rman)
+    n_r = int(layout.unfixed[rfam].shape[0])
+    b_pad = batch.n_padded
+    if b_pad * n_r > _FAST_MAX_ONEHOT:
+        return None
+
+    mask = np.asarray(batch.mask)
+    lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
+    lid = lid.copy()
+    lid[~mask] = info.num_elim
+    valid = np.nonzero(lid < info.num_elim)[0]
+    if info.num_elim == 0:
+        return None
+    sorted_order = np.argsort(lid[valid], kind="stable")
+    sorted_rows = valid[sorted_order]
+    sorted_lid = lid[valid][sorted_order]
+    counts = np.bincount(sorted_lid, minlength=info.num_elim)
+    k = int(max(counts.max(initial=0), 1))
+    if k > _FAST_MAX_K or info.num_elim * k > 8 * max(len(valid), 1):
+        return None
+    obs_table = np.full((info.num_elim, k), b_pad, dtype=np.int32)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(sorted_rows)) - np.repeat(starts, counts)
+    obs_table[sorted_lid, pos] = sorted_rows
+
+    off_r = np.asarray(layout.offsets[rfam])
+    rvid = np.asarray(batch.idx[r_slot]).astype(np.int32).copy()
+    var_fixed = off_r[rvid] >= layout.dof_total
+    rvid[(~mask) | var_fixed] = n_r  # dustbin id → all-zero one-hot row
+    row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
+    return _FastBatch(
+        r_slot=r_slot,
+        n_r=n_r,
+        obs_table=obs_table,
+        rvid=rvid,
+        row_base=row_base,
+    )
+
+
 def build_schur_info(
-    problem, layout: engine.Layout, elim_manifold, implicit: bool = False
+    problem, layout: engine.Layout, elim_manifold, implicit: bool = False,
+    batches=None,
 ) -> SchurInfo:
     """Derive the reduced/eliminated split from a layout built with the
     eliminated family ordered last (see ``build_layout(order_last=...)``)."""
@@ -278,7 +357,7 @@ def build_schur_info(
             fam_offsets.append(
                 (name, layout.offsets[name], problem.manifold_of(name).dof)
             )
-    return SchurInfo(
+    info = SchurInfo(
         elim_family=elim_fam,
         dim_reduced=dim_reduced,
         num_elim=num_elim,
@@ -288,6 +367,11 @@ def build_schur_info(
         fam_offsets=tuple(fam_offsets),
         pad=layout.pad,
     )
+    if batches is not None:
+        info.fast = tuple(
+            _fast_batch_data(b, layout, info) for b in batches
+        )
+    return info
 
 
 def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):
@@ -313,7 +397,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
     wparts = []
     total = jnp.zeros((), dtype=dtype)
 
-    for batch in batches:
+    for bi, batch in enumerate(batches):
         elim_slots = [
             i for i, m in enumerate(batch.manifolds)
             if family_name(m) == info.elim_family
@@ -360,6 +444,61 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         # detect via the original row of the eliminated segment).
         elim_fixed = rows[:, sel_e[0]] >= layout.dof_total
         lid = jnp.where(elim_fixed, jnp.int32(L), lid)
+
+        fast = info.fast[bi] if bi < len(info.fast) else None
+        if fast is not None:
+            # Gather/one-hot fast path (see _FastBatch).  Duplicate-index
+            # scatters dominated TPU assembly; here:
+            #  * camera-keyed sums ride the MXU via a one-hot matmul over the
+            #    reduced-variable id, then land with a UNIQUE-index scatter;
+            #  * landmark-keyed sums become gathers through the [L, K]
+            #    observation table plus a dense axis-sum.
+            dr_s = len(sel_r)
+            onehot = (
+                jnp.asarray(fast.rvid)[:, None]
+                == jnp.arange(fast.n_r, dtype=jnp.int32)[None, :]
+            ).astype(dtype)  # [B, n_r]; dustbin rows are all-zero
+            a_blocks = jnp.einsum(
+                "bv,bpq->vpq", onehot, h_rr, precision="highest"
+            )
+            b_blocks = jnp.einsum("bv,bp->vp", onehot, g_r, precision="highest")
+            row_idx = (
+                jnp.asarray(fast.row_base)[:, None]
+                + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
+            )  # [n_r, dr_s]; fixed vars point at the pad row dr
+            a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(a_blocks)
+            b_r = b_r.at[row_idx].add(b_blocks)
+
+            tk = jnp.asarray(fast.obs_table.reshape(-1))
+            k = fast.obs_table.shape[1]
+
+            def table_gather(x):
+                flat = jnp.take(x, tk, axis=0, mode="fill", fill_value=0)
+                return flat.reshape((L, k) + x.shape[1:])
+
+            h_ll = h_ll.at[:L].add(jnp.sum(table_gather(h_le), axis=1))
+            g_l = g_l.at[:L].add(jnp.sum(table_gather(g_e), axis=1))
+            if info.implicit:
+                wparts.append((w_blk, rows_r, lid))
+            else:
+                wc = table_gather(w_blk)  # [L, K, dr_s, dl]
+                vc = jnp.take(
+                    jnp.asarray(fast.rvid), tk, mode="fill", fill_value=fast.n_r
+                ).reshape(L, k)
+                oh_w = (
+                    vc[:, :, None]
+                    == jnp.arange(fast.n_r, dtype=jnp.int32)[None, None, :]
+                ).astype(dtype)  # [L, K, n_r]
+                w_blocks = jnp.einsum(
+                    "lkv,lkpd->lvpd", oh_w, wc, precision="highest"
+                )  # [L, n_r, dr_s, dl]
+                w_add = jnp.zeros((L, dr + pad, dl), dtype=dtype)
+                flat_rows = row_idx.reshape(-1)  # unique per (v, p)
+                w_add = w_add.at[:, flat_rows, :].add(
+                    w_blocks.reshape(L, fast.n_r * dr_s, dl)
+                )
+                w = w.at[:L].add(w_add)
+            continue
 
         a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(h_rr)
         b_r = b_r.at[rows_r].add(g_r)

@@ -102,8 +102,11 @@ class ParallelCompiled:
         if self.schur_info is not None:
             from ..ops import schur
 
+            # The gather/one-hot fast tables index the *global* batch; each
+            # device only holds its shard, so use the generic scatter path.
+            local_info = dataclasses.replace(self.schur_info, fast=())
             c, sys = schur.assemble_schur(
-                bs, variables, self.layout, self.schur_info, self.dtype
+                bs, variables, self.layout, local_info, self.dtype
             )
         else:
             c, a, g = engine.assemble_dense(bs, variables, self.layout, self.dtype)

@@ -50,3 +50,29 @@ def test_pinhole_ba(iterator):
     perturb_ba(p, lmks, 0.01, seed=5)
     result = nt.optimize(p, nt.Options(iterator=iterator))
     assert result.best_cost < 1e-18
+
+
+def test_pinhole_hand_jacobian_matches_autodiff():
+    """The analytic pinhole SE(3) Jacobian must match jacfwd through the
+    retraction exactly (system-level: assembled H and g agree)."""
+    import jax
+    from nllstpu.core.optimize import compile_problem
+
+    p1, _, l1 = make_pinhole_ba(4, 12, 1.0, hand_jacobian=False)
+    p2, _, l2 = make_pinhole_ba(4, 12, 1.0, hand_jacobian=True)
+    perturb_ba(p1, l1, 0.05, seed=9)
+    perturb_ba(p2, l2, 0.05, seed=9)
+    c1 = compile_problem(p1)
+    c2 = compile_problem(p2)
+    cost1, (a1, b1) = jax.jit(c1.assemble)(p1.stacked_variables())
+    cost2, (a2, b2) = jax.jit(c2.assemble)(p2.stacked_variables())
+    np.testing.assert_allclose(cost1, cost2, rtol=1e-12)
+    np.testing.assert_allclose(b1, b2, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(a1, a2, rtol=1e-8, atol=1e-12)
+
+
+def test_pinhole_hand_jacobian_optimizes():
+    p, cams, lmks = make_pinhole_ba(4, 12, 1.0, hand_jacobian=True)
+    perturb_ba(p, lmks, 0.01, seed=5)
+    result = nt.optimize(p, nt.Options(solver="schur", schur_family=nt.Euclidean(3)))
+    assert result.best_cost < 1e-18

@@ -65,3 +65,40 @@ def test_gauss_newton_hessian_matches_jj():
     _, (a, b) = compiled.assemble(variables)
     np.testing.assert_allclose(a, x.T @ x, rtol=1e-12)
     np.testing.assert_allclose(b, x.T @ (x @ np.zeros(4) - y), rtol=1e-12)
+
+
+def test_custom_jacobian():
+    """User-supplied hand Jacobian (reference computeresjac override,
+    src/docstrings.jl:220) must reproduce the autodiff path exactly."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 3))
+    y = rng.standard_normal(4)
+
+    def res(params, w):
+        yy, xx = params
+        return xx @ w - yy
+
+    def res_jac(params, w):
+        yy, xx = params
+        return xx @ w - yy, xx
+
+    p_auto = nt.Problem()
+    w1 = p_auto.add_variable(nt.Euclidean(3), np.ones(3))
+    p_auto.add_cost(res, (w1,), params=(y, x))
+
+    p_hand = nt.Problem()
+    w2 = p_hand.add_variable(nt.Euclidean(3), np.ones(3))
+    p_hand.add_cost(res, (w2,), params=(y, x), jacobian=res_jac)
+
+    from nllstpu.core.optimize import compile_problem as cp
+
+    ca, ch = cp(p_auto), cp(p_hand)
+    va, vh = p_auto.stacked_variables(), p_hand.stacked_variables()
+    _, (aa, ba) = ca.assemble(va)
+    _, (ah, bh) = ch.assemble(vh)
+    np.testing.assert_allclose(aa, ah, rtol=1e-13)
+    np.testing.assert_allclose(ba, bh, rtol=1e-13)
+    r = nt.optimize(p_hand, nt.Options(iterator=nt.NEWTON))
+    np.testing.assert_allclose(
+        p_hand.get_value(w2), np.linalg.solve(x.T @ x, x.T @ y), rtol=1e-9
+    )
