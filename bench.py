@@ -115,7 +115,9 @@ def worker(platform: str, iters: int):
     )
 
 
-def run_leg(platform: str, iters: int, attempts: int = 3, timeout: int = 420):
+def run_leg(platform: str, iters: int, attempts: int = 2, timeout: int = 900):
+    # Long single attempts: killing a wedged TPU worker leaves the remote
+    # lease wedged for the NEXT process too, so patience beats retries.
     for attempt in range(attempts):
         try:
             proc = subprocess.run(
@@ -158,7 +160,7 @@ def main():
 
     vs_baseline = 1.0
     if main_platform != "cpu":
-        cpu_stats = run_leg("cpu", min(ITERS, 5), attempts=2)
+        cpu_stats = run_leg("cpu", min(ITERS, 5), attempts=2, timeout=420)
         if cpu_stats and cpu_stats["iters_per_sec"] > 0:
             vs_baseline = value / cpu_stats["iters_per_sec"]
 
