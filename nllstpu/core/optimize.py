@@ -112,8 +112,20 @@ def compile_problem(
         layout = engine.build_layout(
             problem, unfixed, batches=batches, order_last=family_name(schur_family)
         )
+        implicit = solver == "schur_cg"
+        if not implicit:
+            # The direct elimination stores W densely: [L, Dr, dl].  Past a
+            # memory budget, fall back to the implicit (matrix-free) reduced
+            # solve automatically.
+            elim_fam = family_name(schur_family)
+            n_elim = int(engine.resolve_unfixed(problem, unfixed)[elim_fam].sum())
+            dl = schur_family.dof
+            dr = layout.dof_total - n_elim * dl
+            w_bytes = n_elim * (dr + layout.pad) * dl * np.dtype(problem.dtype).itemsize
+            if w_bytes > 4 << 30:
+                implicit = True
         info = schur.build_schur_info(
-            problem, layout, schur_family, implicit=(solver == "schur_cg"),
+            problem, layout, schur_family, implicit=implicit,
             batches=batches,
         )
         return CompiledProblem(

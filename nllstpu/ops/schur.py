@@ -81,8 +81,12 @@ class SchurOps:
         # Batched landmark-block inverses (closed-form for d<=3).
         h_inv = batched_inv_spd(h_damped)
         y = jnp.einsum("lrd,lde->lre", w, h_inv)
-        # Reduced (Schur) system — one MXU contraction over L·dl.
-        s = a_damped - jnp.einsum("lrd,lsd->rs", y, w)
+        # Reduced (Schur) system — one MXU contraction over L·dl.  For f32
+        # problems run it at HIGH (bf16x3) precision: ~1e-6 relative error —
+        # far below LM's f32 convergence floor — for a 2-3x faster matmul.
+        # f64 problems keep full precision for the reference's 1e-15 targets.
+        prec = "highest" if a_rr.dtype == jnp.float64 else "high"
+        s = a_damped - jnp.einsum("lrd,lsd->rs", y, w, precision=prec)
         rhs = b_r - jnp.einsum("lrd,ld->r", y, g_l)
         xr = cholesky_solve(s, rhs)
         # Back-substitution.

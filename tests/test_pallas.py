@@ -1,0 +1,35 @@
+"""Pallas kernel tests (interpret mode on CPU): the ragged sorted-run block
+reduction must match segment_sum for skewed run-length distributions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nllstpu.ops.pallas.segment_sum import (
+    CHUNK,
+    segment_block_sum,
+    segment_block_sum_reference,
+)
+
+
+@pytest.mark.parametrize("seed,nseg", [(0, 7), (1, 32)])
+def test_segment_block_sum_matches_reference(seed, nseg):
+    rng = np.random.default_rng(seed)
+    # Skewed run lengths, including empty runs and one much longer than CHUNK.
+    lengths = rng.geometric(0.05, nseg)
+    lengths[rng.integers(0, nseg)] = 0
+    lengths[rng.integers(0, nseg)] = CHUNK * 2 + 17
+    starts = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    n = int(starts[-1])
+    d = 16
+    data = rng.standard_normal((n + CHUNK, d)).astype(np.float32)
+    data[n:] = 0.0  # DMA pad region
+
+    out = segment_block_sum(jnp.asarray(data), jnp.asarray(starts), interpret=True)
+    ref = segment_block_sum_reference(jnp.asarray(data), jnp.asarray(starts))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # And against a plain numpy loop.
+    expect = np.stack(
+        [data[starts[i] : starts[i + 1]].sum(axis=0) for i in range(nseg)]
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
