@@ -284,6 +284,14 @@ def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
     src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
     vals = _gather_vals(batch, variables)
 
+    if batch.batched:
+        # Whole-batch residual function: [B]-major scalar-expanded math, no
+        # vmap (avoids tiny-trailing-dim tiling waste on TPU).
+        r = batch.fn(batch.params, *vals)
+        sq = jnp.sum(r * r, axis=-1)
+        costs = 0.5 * batch.kernel.rho(sq)
+        return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
+
     def one(params, *vals_one):
         return _cost_value_one(batch, params, vals_one)
 
@@ -306,11 +314,25 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
     costs point at the dustbin (``layout.dof_total`` onwards)."""
     vals = _gather_vals(batch, variables)
 
-    def one(params, *vals_one):
-        return _cost_grad_hess_one(batch, params, vals_one, dtype)
+    if batch.batched:
+        # Whole-batch residual+jacobian with IRLS composition vectorized
+        # over [B] (see add_cost_batch(batched=True)).
+        r, jac = batch.jacobian(batch.params, *vals)  # [B,n], [B,n,S]
+        sq = jnp.sum(r * r, axis=-1)
+        g = jnp.einsum("bns,bn->bs", jac, r)
+        h = jnp.einsum("bns,bnt->bst", jac, jac, precision="highest")
+        rho, d1, d2 = batch.kernel.rho_dc(sq)
+        h = h * d1[:, None, None] + (2.0 * d2)[:, None, None] * (
+            g[:, :, None] * g[:, None, :]
+        )
+        g = g * d1[:, None]
+        costs = 0.5 * rho
+    else:
+        def one(params, *vals_one):
+            return _cost_grad_hess_one(batch, params, vals_one, dtype)
 
-    in_axes = (None if batch.params is None else 0,) + (0,) * len(vals)
-    costs, g, h = jax.vmap(one, in_axes=in_axes)(batch.params, *vals)
+        in_axes = (None if batch.params is None else 0,) + (0,) * len(vals)
+        costs, g, h = jax.vmap(one, in_axes=in_axes)(batch.params, *vals)
 
     # Row indices: per-slot tangent offsets gathered from the layout, with
     # masked (padding) costs redirected wholesale to the dustbin.

@@ -106,6 +106,7 @@ class _CostGroup:
     params: list  # list of per-cost param pytrees
     indices: list  # list of per-cost tuples of variable indices
     jacobian: Any = None  # optional hand Jacobian fn (residual kind only)
+    batched: bool = False  # fn/jacobian operate on whole [B, ...] batches
     chunks: list = dataclasses.field(default_factory=list)
     # each chunk: (params pytree of [k, ...] arrays or None, indices [k, nslots])
 
@@ -113,8 +114,9 @@ class _CostGroup:
         return len(self.indices) + sum(c[1].shape[0] for c in self.chunks)
 
 
-def _group_key(kind, fn, kernel, families, params_struct, jacobian=None):
-    return (kind, fn, kernel, families, params_struct, jacobian)
+def _group_key(kind, fn, kernel, families, params_struct, jacobian=None,
+               batched=False):
+    return (kind, fn, kernel, families, params_struct, jacobian, batched)
 
 
 @dataclasses.dataclass
@@ -131,6 +133,7 @@ class CostBatch:
     mask: Any  # bool [B_pad]; False for padding
     n: int  # true cost count
     jacobian: Any = None  # optional hand Jacobian fn: (params, *vals) -> (r, J)
+    batched: bool = False  # fn/jacobian take whole [B, ...] batches (no vmap)
 
     @property
     def n_padded(self) -> int:
@@ -315,6 +318,7 @@ class Problem:
         kernel: Any = None,
         kind: str = "residual",
         jacobian: Callable = None,
+        batched: bool = False,
     ):
         """Bulk-add ``k`` costs of one type in a single call.
 
@@ -322,7 +326,13 @@ class Problem:
         dependency slot) and ``params`` a pytree whose leaves have leading
         dimension ``k``.  Semantically identical to ``k`` ``add_cost`` calls
         but O(1) Python work — the TPU-native ingestion path for BAL-scale
-        problems (SURVEY.md §7 step 8)."""
+        problems (SURVEY.md §7 step 8).
+
+        ``batched=True`` declares that ``fn`` (and ``jacobian``) take whole
+        ``[k, ...]`` stacked arguments instead of being vmapped per cost —
+        the performance escape hatch for hot residuals: scalar-expanded
+        batch code avoids the tiny-trailing-dimension tiling waste of
+        vmapped per-cost math on TPU."""
         from .. import config
 
         if not slots:
@@ -346,15 +356,26 @@ class Problem:
             raise ValueError(
                 "first slot of an adaptive cost must be the kernel variable"
             )
+        if batched:
+            if kind != "residual" or adaptive:
+                raise ValueError(
+                    "batched=True supports plain residual costs only"
+                )
+            if jacobian is None:
+                raise ValueError(
+                    "batched=True requires a (batched) hand jacobian"
+                )
         params_struct = jtu.tree_structure(None if params is None else 0)
         if params is not None:
             params_struct = jtu.tree_structure(
                 jtu.tree_map(lambda l: 0, params)
             )
-        key = _group_key(kind, fn, kernel, manifolds, params_struct, jacobian)
+        key = _group_key(kind, fn, kernel, manifolds, params_struct, jacobian,
+                         batched)
         group = self._groups.get(key)
         if group is None:
-            group = _CostGroup(kind, fn, kernel, manifolds, [], [], jacobian)
+            group = _CostGroup(kind, fn, kernel, manifolds, [], [], jacobian,
+                               batched)
             self._groups[key] = group
             self._group_order.append(key)
         group.chunks.append(
@@ -447,6 +468,7 @@ class Problem:
                     mask=mask,
                     n=n,
                     jacobian=g.jacobian,
+                    batched=g.batched,
                 )
             )
         return out

@@ -128,9 +128,64 @@ def pinhole_project_jacobian(measurement, pose, point):
     return res, jnp.concatenate([j_w, j_v, j_pt], axis=1)
 
 
+def pinhole_project_batched(measurement, pose, point):
+    """Whole-batch pinhole residual: scalar-expanded [B]-major math (no
+    per-cost vmap) — the TPU-efficient form for the hot path."""
+    r = pose[:, :, :3]  # [B, 3, 3]
+    t = pose[:, :, 3]
+    d = point - t  # [B, 3]
+    # X_c = Rᵀ d, expanded by columns of R.
+    xc0 = r[:, 0, 0] * d[:, 0] + r[:, 1, 0] * d[:, 1] + r[:, 2, 0] * d[:, 2]
+    xc1 = r[:, 0, 1] * d[:, 0] + r[:, 1, 1] * d[:, 1] + r[:, 2, 1] * d[:, 2]
+    xc2 = r[:, 0, 2] * d[:, 0] + r[:, 1, 2] * d[:, 1] + r[:, 2, 2] * d[:, 2]
+    inv_z = 1.0 / xc2
+    return jnp.stack(
+        [xc0 * inv_z - measurement[:, 0], xc1 * inv_z - measurement[:, 1]],
+        axis=-1,
+    )
+
+
+def pinhole_project_jacobian_batched(measurement, pose, point):
+    """Whole-batch analytic Jacobian (see :func:`pinhole_project_jacobian`),
+    scalar-expanded over [B]."""
+    r = pose[:, :, :3]
+    t = pose[:, :, 3]
+    d = point - t
+    xc0 = r[:, 0, 0] * d[:, 0] + r[:, 1, 0] * d[:, 1] + r[:, 2, 0] * d[:, 2]
+    xc1 = r[:, 0, 1] * d[:, 0] + r[:, 1, 1] * d[:, 1] + r[:, 2, 1] * d[:, 2]
+    xc2 = r[:, 0, 2] * d[:, 0] + r[:, 1, 2] * d[:, 1] + r[:, 2, 2] * d[:, 2]
+    inv_z = 1.0 / xc2
+    u = xc0 * inv_z
+    v = xc1 * inv_z
+    res = jnp.stack([u - measurement[:, 0], v - measurement[:, 1]], axis=-1)
+    # dπ rows: dπ0 = inv_z·(1, 0, −u), dπ1 = inv_z·(0, 1, −v);
+    # dX_c/dw = skew(X_c) = [[0,−z,y],[z,0,−x],[−y,x,0]] with (x,y,z)=X_c.
+    # J_w = dπ @ skew, expanded (derivation checked against autodiff):
+    zero = jnp.zeros_like(u)
+    jw0 = jnp.stack([u * v, -(1.0 + u * u), xc1 * inv_z], axis=-1)
+    jw1 = jnp.stack([1.0 + v * v, -u * v, -xc0 * inv_z], axis=-1)
+    # J_v = -dπ
+    jv0 = jnp.stack([-inv_z, zero, u * inv_z], axis=-1)
+    jv1 = jnp.stack([zero, -inv_z, v * inv_z], axis=-1)
+    # J_pt = dπ · Rᵀ: row i = dπ_i as row vector times Rᵀ = (R @ dπ_iᵀ)ᵀ
+    jp00 = (r[:, 0, 0] - r[:, 0, 2] * u) * inv_z
+    jp01 = (r[:, 1, 0] - r[:, 1, 2] * u) * inv_z
+    jp02 = (r[:, 2, 0] - r[:, 2, 2] * u) * inv_z
+    jp10 = (r[:, 0, 1] - r[:, 0, 2] * v) * inv_z
+    jp11 = (r[:, 1, 1] - r[:, 1, 2] * v) * inv_z
+    jp12 = (r[:, 2, 1] - r[:, 2, 2] * v) * inv_z
+    row0 = jnp.concatenate(
+        [jw0, jv0, jnp.stack([jp00, jp01, jp02], axis=-1)], axis=-1
+    )
+    row1 = jnp.concatenate(
+        [jw1, jv1, jnp.stack([jp10, jp11, jp12], axis=-1)], axis=-1
+    )
+    return res, jnp.stack([row0, row1], axis=1)  # [B, 2, 9]
+
+
 def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
                     noise=0.0, robust_width=None, dtype=None,
-                    hand_jacobian=False):
+                    hand_jacobian=False, batched=False):
     """SE(3)+pinhole BA with ground-truth-generated measurements.  Cameras
     sit on a ring of radius 2 looking at the origin; landmarks fill a unit
     cube around the origin.  Returns ``(problem, cameras, landmarks)``."""
@@ -177,11 +232,21 @@ def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
     xc = np.einsum("kij,ki->kj", r, points[li] - t)  # R^T (X - t)
     meas = xc[:, :2] / xc[:, 2:3] + rng.standard_normal((len(ci), 2)) * noise
     kernel = Huber(robust_width) if robust_width else None
-    p.add_cost_batch(
-        pinhole_project,
-        slots=[(cam_man, ci), (lmk_man, li)],
-        params=meas,
-        kernel=kernel,
-        jacobian=pinhole_project_jacobian if hand_jacobian else None,
-    )
+    if batched:
+        p.add_cost_batch(
+            pinhole_project_batched,
+            slots=[(cam_man, ci), (lmk_man, li)],
+            params=meas,
+            kernel=kernel,
+            jacobian=pinhole_project_jacobian_batched,
+            batched=True,
+        )
+    else:
+        p.add_cost_batch(
+            pinhole_project,
+            slots=[(cam_man, ci), (lmk_man, li)],
+            params=meas,
+            kernel=kernel,
+            jacobian=pinhole_project_jacobian if hand_jacobian else None,
+        )
     return p, cameras, landmarks

@@ -70,6 +70,9 @@ class ParallelCompiled:
     mesh: Mesh
     batches: list  # re-padded batches (arrays live host-side until sharded)
     batch_args: Any  # pytree of sharded device arrays
+    fast_args: Any = None  # per-shard Schur fast tables: list of
+    # (obs_table [ndev, L, K], rvid [ndev, B_local]) or None per batch
+    fast_meta: Any = None  # list of per-batch _FastBatch templates or None
 
     @property
     def layout(self):
@@ -97,14 +100,27 @@ class ParallelCompiled:
         c = engine.total_cost(self._rebuild(batch_args), variables, self.dtype)
         return jax.lax.psum(c, DATA_AXIS)
 
-    def _local_assemble(self, variables, batch_args):
+    def _local_assemble(self, variables, batch_args, fast_args):
         bs = self._rebuild(batch_args)
         if self.schur_info is not None:
             from ..ops import schur
 
-            # The gather/one-hot fast tables index the *global* batch; each
-            # device only holds its shard, so use the generic scatter path.
-            local_info = dataclasses.replace(self.schur_info, fast=())
+            # Per-shard fast tables (row indices local to the shard) arrive
+            # as sharded arguments with a leading device axis of size 1.
+            fast = []
+            for meta, fa in zip(self.fast_meta or [None] * len(bs), fast_args):
+                if meta is None or fa is None:
+                    fast.append(None)
+                else:
+                    obs_table, rvid = fa
+                    fast.append(
+                        dataclasses.replace(
+                            meta,
+                            obs_table=obs_table[0],
+                            rvid=rvid[0],
+                        )
+                    )
+            local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))
             c, sys = schur.assemble_schur(
                 bs, variables, self.layout, local_info, self.dtype
             )
@@ -126,10 +142,10 @@ class ParallelCompiled:
         f = jax.shard_map(
             self._local_assemble,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=P(),
         )
-        return f(variables, self.batch_args)
+        return f(variables, self.batch_args, self.fast_args)
 
     def apply(self, variables, x):
         return self.base.apply(variables, x)
@@ -139,6 +155,53 @@ class ParallelCompiled:
         return dataclasses.replace(base_ctx, cost=self.cost)
 
 
+def _per_shard_fast(compiled, batches, n):
+    """Build per-shard Schur fast tables: slice each batch into its n
+    device shards, run the host-side table builder per shard, and stack —
+    a batch qualifies only if every shard qualifies (one program for all
+    devices).  Returns (fast_meta, fast_args_host)."""
+    from ..ops import schur
+
+    info = compiled.schur_info
+    metas, args = [], []
+    for b in batches:
+        b_pad = b.n_padded
+        per = b_pad // n
+        shard_fast = []
+        for s in range(n):
+            sl = slice(s * per, (s + 1) * per)
+            shard_batch = dataclasses.replace(
+                b,
+                idx=tuple(np.asarray(i)[sl] for i in b.idx),
+                params=None
+                if b.params is None
+                else jtu.tree_map(lambda l: np.asarray(l)[sl], b.params),
+                mask=np.asarray(b.mask)[sl],
+            )
+            shard_fast.append(
+                schur._fast_batch_data(shard_batch, compiled.layout, info)
+            )
+        if any(f is None for f in shard_fast):
+            metas.append(None)
+            args.append(None)
+            continue
+        k_max = max(f.obs_table.shape[1] for f in shard_fast)
+        tables = np.stack(
+            [
+                np.pad(
+                    f.obs_table,
+                    ((0, 0), (0, k_max - f.obs_table.shape[1])),
+                    constant_values=per,
+                )
+                for f in shard_fast
+            ]
+        )  # [n, L, k_max]
+        rvids = np.stack([f.rvid for f in shard_fast])  # [n, per]
+        metas.append(shard_fast[0])
+        args.append((tables, rvids))
+    return metas, args
+
+
 def parallelize(compiled: CompiledProblem, mesh: Mesh) -> ParallelCompiled:
     """Shard a compiled problem's cost batches across ``mesh``."""
     n = int(np.prod(mesh.devices.shape))
@@ -146,7 +209,7 @@ def parallelize(compiled: CompiledProblem, mesh: Mesh) -> ParallelCompiled:
     sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def shard_leaf(l):
-        return jax.device_put(l, sharding)
+        return jax.device_put(np.asarray(l), sharding)
 
     batch_args = [
         (
@@ -156,6 +219,19 @@ def parallelize(compiled: CompiledProblem, mesh: Mesh) -> ParallelCompiled:
         )
         for b in batches
     ]
+    fast_meta = None
+    fast_args = [None] * len(batches)
+    if compiled.schur_info is not None:
+        fast_meta, fast_host = _per_shard_fast(compiled, batches, n)
+        fast_args = [
+            None if fh is None else tuple(shard_leaf(x) for x in fh)
+            for fh in fast_host
+        ]
     return ParallelCompiled(
-        base=compiled, mesh=mesh, batches=batches, batch_args=batch_args
+        base=compiled,
+        mesh=mesh,
+        batches=batches,
+        batch_args=batch_args,
+        fast_args=fast_args,
+        fast_meta=fast_meta,
     )
