@@ -56,7 +56,7 @@ def worker(platform: str, iters: int):
 
     problem, cams, lmks = make_pinhole_ba(
         ncameras=NCAM, nlandmarks=NLMK, prop_visible=VIS,
-        noise=1e-3, dtype=jnp.float32, batched=True,
+        noise=1e-3, dtype=jnp.float32, batched="cm",
     )
     perturb_ba(problem, lmks, 0.05, seed=5)
     compiled = compile_problem(problem, solver="schur", schur_family=nt.Euclidean(3))

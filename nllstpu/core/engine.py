@@ -279,11 +279,32 @@ def _gather_vals(batch: CostBatch, variables: dict):
     return tuple(arr[idx] for arr, idx in zip(arrs, batch.idx))
 
 
+def _gather_vals_cm(batch: CostBatch, variables: dict):
+    """Components-major gathers: per slot ``[ambient, B]``.  Gathering from
+    a transposed ``[ambient, n]`` family array puts the batch on the lane
+    dimension, so the whole residual computation runs on well-tiled [B]
+    vectors (the [B, *shape] layout pads tiny trailing dims ~50x on TPU)."""
+    out = []
+    for m, idx in zip(batch.manifolds, batch.idx):
+        arr = variables[family_name(m)]
+        flat = arr.reshape(arr.shape[0], -1).T  # [ambient, n] — n is small
+        out.append(flat[:, idx])
+    return tuple(out)
+
+
 def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
     """Masked total cost of one batch (reference type-grouped ``sum``,
     src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
     vals = _gather_vals(batch, variables)
 
+    if batch.batched == "cm":
+        # Components-major whole-batch residual: fn gets [ambient, B] slots
+        # and returns [nres, B].
+        gath = _gather_vals_cm(batch, variables)
+        r = batch.fn(batch.params, *gath)
+        sq = jnp.sum(r * r, axis=0)
+        costs = 0.5 * batch.kernel.rho(sq)
+        return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
     if batch.batched:
         # Whole-batch residual function: [B]-major scalar-expanded math, no
         # vmap (avoids tiny-trailing-dim tiling waste on TPU).
@@ -314,7 +335,19 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
     costs point at the dustbin (``layout.dof_total`` onwards)."""
     vals = _gather_vals(batch, variables)
 
-    if batch.batched:
+    if batch.batched == "cm":
+        gath = _gather_vals_cm(batch, variables)
+        r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
+        sq = jnp.sum(r * r, axis=0)
+        g = jnp.einsum("nsb,nb->bs", jac, r)
+        h = jnp.einsum("nsb,ntb->bst", jac, jac, precision="highest")
+        rho, d1, d2 = batch.kernel.rho_dc(sq)
+        h = h * d1[:, None, None] + (2.0 * d2)[:, None, None] * (
+            g[:, :, None] * g[:, None, :]
+        )
+        g = g * d1[:, None]
+        costs = 0.5 * rho
+    elif batch.batched:
         # Whole-batch residual+jacobian with IRLS composition vectorized
         # over [B] (see add_cost_batch(batched=True)).
         r, jac = batch.jacobian(batch.params, *vals)  # [B,n], [B,n,S]

@@ -475,8 +475,20 @@ class Problem:
 
     def subproblem(self, predicate) -> "Problem":
         """New problem sharing this problem's variables but keeping only the
-        costs for which ``predicate(slot_handles) -> bool``
-        (reference ``subproblem``, src/problem.jl:47-83)."""
+        costs selected by ``predicate`` (reference ``subproblem``,
+        src/problem.jl:47-83).  ``predicate`` is either a callable
+        ``(slot_handles) -> bool``, a single :class:`VarHandle` (keep costs
+        touching it — the reference's integer form), or an iterable of
+        handles."""
+        if not callable(predicate):
+            if isinstance(predicate, VarHandle):
+                targets = {(predicate.family, predicate.index)}
+            else:
+                targets = {(h.family, h.index) for h in predicate}
+
+            def predicate(handles, _t=targets):  # noqa: F811
+                return any((h.family, h.index) in _t for h in handles)
+
         sub = Problem(dtype=self.dtype)
         sub._families = self._families  # shared, as in the reference
         for key in self._group_order:

@@ -183,6 +183,61 @@ def pinhole_project_jacobian_batched(measurement, pose, point):
     return res, jnp.stack([row0, row1], axis=1)  # [B, 2, 9]
 
 
+def pinhole_project_cm(measurement, pose_cm, point_cm):
+    """Components-major pinhole residual: ``pose_cm [12, B]`` (row-major
+    [3,4] flattened), ``point_cm [3, B]``; returns ``[2, B]``.  Every
+    intermediate is a [B] vector — the lane-optimal TPU form."""
+    r00, r01, r02, t0 = pose_cm[0], pose_cm[1], pose_cm[2], pose_cm[3]
+    r10, r11, r12, t1 = pose_cm[4], pose_cm[5], pose_cm[6], pose_cm[7]
+    r20, r21, r22, t2 = pose_cm[8], pose_cm[9], pose_cm[10], pose_cm[11]
+    dx = point_cm[0] - t0
+    dy = point_cm[1] - t1
+    dz = point_cm[2] - t2
+    xc0 = r00 * dx + r10 * dy + r20 * dz
+    xc1 = r01 * dx + r11 * dy + r21 * dz
+    xc2 = r02 * dx + r12 * dy + r22 * dz
+    inv = 1.0 / xc2
+    m = measurement.T
+    return jnp.stack([xc0 * inv - m[0], xc1 * inv - m[1]], axis=0)
+
+
+def pinhole_project_jacobian_cm(measurement, pose_cm, point_cm):
+    """Components-major residual + analytic Jacobian: returns
+    ``(r [2, B], J [2, 9, B])`` (tangent columns: camera [w, v], point)."""
+    r00, r01, r02, t0 = pose_cm[0], pose_cm[1], pose_cm[2], pose_cm[3]
+    r10, r11, r12, t1 = pose_cm[4], pose_cm[5], pose_cm[6], pose_cm[7]
+    r20, r21, r22, t2 = pose_cm[8], pose_cm[9], pose_cm[10], pose_cm[11]
+    dx = point_cm[0] - t0
+    dy = point_cm[1] - t1
+    dz = point_cm[2] - t2
+    xc0 = r00 * dx + r10 * dy + r20 * dz
+    xc1 = r01 * dx + r11 * dy + r21 * dz
+    xc2 = r02 * dx + r12 * dy + r22 * dz
+    inv = 1.0 / xc2
+    u = xc0 * inv
+    v = xc1 * inv
+    m = measurement.T
+    res = jnp.stack([u - m[0], v - m[1]], axis=0)
+    zero = jnp.zeros_like(u)
+    row0 = jnp.stack(
+        [
+            u * v, -(1.0 + u * u), xc1 * inv,  # d/dw
+            -inv, zero, u * inv,  # d/dv
+            (r00 - r02 * u) * inv, (r10 - r12 * u) * inv, (r20 - r22 * u) * inv,
+        ],
+        axis=0,
+    )
+    row1 = jnp.stack(
+        [
+            1.0 + v * v, -u * v, -xc0 * inv,
+            zero, -inv, v * inv,
+            (r01 - r02 * v) * inv, (r11 - r12 * v) * inv, (r21 - r22 * v) * inv,
+        ],
+        axis=0,
+    )
+    return res, jnp.stack([row0, row1], axis=0)  # [2, 9, B]
+
+
 def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
                     noise=0.0, robust_width=None, dtype=None,
                     hand_jacobian=False, batched=False):
@@ -232,7 +287,16 @@ def make_pinhole_ba(ncameras=8, nlandmarks=64, prop_visible=1.0, seed=1,
     xc = np.einsum("kij,ki->kj", r, points[li] - t)  # R^T (X - t)
     meas = xc[:, :2] / xc[:, 2:3] + rng.standard_normal((len(ci), 2)) * noise
     kernel = Huber(robust_width) if robust_width else None
-    if batched:
+    if batched == "cm":
+        p.add_cost_batch(
+            pinhole_project_cm,
+            slots=[(cam_man, ci), (lmk_man, li)],
+            params=meas,
+            kernel=kernel,
+            jacobian=pinhole_project_jacobian_cm,
+            batched="cm",
+        )
+    elif batched:
         p.add_cost_batch(
             pinhole_project_batched,
             slots=[(cam_man, ci), (lmk_man, li)],

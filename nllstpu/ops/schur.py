@@ -17,8 +17,10 @@ Block structure, with r = reduced tangent dims and l = eliminated dims:
     [Wᵀ  H_ll] [x_l] = [g_l]   →      S = A_rr − W H_ll⁻¹ Wᵀ
                                        x_l = H_ll⁻¹ (g_l − Wᵀ x_r)
 
-H_ll is block diagonal ([L, dl, dl]), W is stored densely per landmark
-([L, Dr, dl]); the S contraction reshapes to a single [Dr, L·dl] × [L·dl, Dr]
+H_ll is block diagonal ([L, dl, dl]); W is stored densely in
+components-major layout ``[dl, L, Dr]`` (the tiny dl axis must NOT be a
+trailing dimension — TPU tiles pad trailing dims to (8,128), a 42x memory
+inflation for dl=3).  The S contraction is a single [Dr, dl·L] × [dl·L, Dr]
 matmul that XLA maps straight onto the MXU.  Requirement inherited from the
 reference (src/problem.jl:185): each cost touches at most one eliminated
 variable.
@@ -64,7 +66,7 @@ class SchurOps:
         a_rr, _, h_ll, _, w = sys
         xr = x[: self.dim_reduced]
         xl = x[self.dim_reduced :].reshape(self.num_elim, self.dof_elim)
-        cross = jnp.einsum("lrd,r,ld->", w, xr, xl)
+        cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
         return (
             xr @ (a_rr @ xr)
             + 2.0 * cross
@@ -80,18 +82,19 @@ class SchurOps:
         a_damped = a_rr + lam * eye_r
         # Batched landmark-block inverses (closed-form for d<=3).
         h_inv = batched_inv_spd(h_damped)
-        y = jnp.einsum("lrd,lde->lre", w, h_inv)
-        # Reduced (Schur) system — one MXU contraction over L·dl.  For f32
+        # y = W·H⁻¹ in components-major [dl, L, Dr] layout.
+        y = jnp.einsum("dlr,lde->elr", w, h_inv)
+        # Reduced (Schur) system — one MXU contraction over dl·L.  For f32
         # problems run it at HIGH (bf16x3) precision: ~1e-6 relative error —
         # far below LM's f32 convergence floor — for a 2-3x faster matmul.
         # f64 problems keep full precision for the reference's 1e-15 targets.
         prec = "highest" if a_rr.dtype == jnp.float64 else "high"
-        s = a_damped - jnp.einsum("lrd,lsd->rs", y, w, precision=prec)
-        rhs = b_r - jnp.einsum("lrd,ld->r", y, g_l)
+        s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
+        rhs = b_r - jnp.einsum("elr,le->r", y, g_l)
         xr = cholesky_solve(s, rhs)
         # Back-substitution.
         xl = jnp.einsum(
-            "lde,le->ld", h_inv, g_l - jnp.einsum("lrd,r->ld", w, xr)
+            "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
         )
         return jnp.concatenate([xr, xl.reshape(-1)])
 
@@ -396,7 +399,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
     w = (
         None
         if info.implicit
-        else jnp.zeros((L + 1, dr + pad, dl), dtype=dtype)
+        else jnp.zeros((dl, L + 1, dr + pad), dtype=dtype)
     )
     wparts = []
     total = jnp.zeros((), dtype=dtype)
@@ -494,14 +497,14 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                     == jnp.arange(fast.n_r, dtype=jnp.int32)[None, None, :]
                 ).astype(dtype)  # [L, K, n_r]
                 w_blocks = jnp.einsum(
-                    "lkv,lkpd->lvpd", oh_w, wc, precision="highest"
-                )  # [L, n_r, dr_s, dl]
-                w_add = jnp.zeros((L, dr + pad, dl), dtype=dtype)
+                    "lkv,lkpd->dlvp", oh_w, wc, precision="highest"
+                )  # [dl, L, n_r, dr_s]
+                w_add = jnp.zeros((dl, L, dr + pad), dtype=dtype)
                 flat_rows = row_idx.reshape(-1)  # unique per (v, p)
-                w_add = w_add.at[:, flat_rows, :].add(
-                    w_blocks.reshape(L, fast.n_r * dr_s, dl)
+                w_add = w_add.at[:, :, flat_rows].add(
+                    w_blocks.reshape(dl, L, fast.n_r * dr_s)
                 )
-                w = w.at[:L].add(w_add)
+                w = w.at[:, :L].add(w_add)
             continue
 
         a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(h_rr)
@@ -513,9 +516,12 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             # by zeroing (their lid points at the dustbin anyway).
             wparts.append((w_blk, rows_r, lid))
         else:
-            w = w.at[lid[:, None], rows_r, :].add(w_blk)
+            # [B, Sr, dl] → [dl, B, Sr] scatter into the components-major W.
+            w = w.at[:, lid[:, None], rows_r].add(
+                jnp.moveaxis(w_blk, -1, 0)
+            )
 
-    w_out = tuple(wparts) if info.implicit else w[:L, :dr, :]
+    w_out = tuple(wparts) if info.implicit else w[:, :L, :dr]
     return total, (
         a_rr[:dr, :dr],
         b_r[:dr],

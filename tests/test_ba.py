@@ -104,3 +104,30 @@ def test_pinhole_batched_matches_vmapped():
         p2, nt.Options(solver="schur", schur_family=nt.Euclidean(3))
     )
     assert result.best_cost < 1e-15
+
+
+def test_pinhole_cm_matches_vmapped():
+    """Components-major pinhole residual/jacobian must match the vmapped
+    autodiff path at the system level."""
+    import jax
+    from nllstpu.core.optimize import compile_problem
+
+    p1, _, l1 = make_pinhole_ba(4, 12, 0.8, hand_jacobian=False)
+    p2, _, l2 = make_pinhole_ba(4, 12, 0.8, batched="cm")
+    perturb_ba(p1, l1, 0.05, seed=9)
+    perturb_ba(p2, l2, 0.05, seed=9)
+    c1, c2 = compile_problem(p1), compile_problem(p2)
+    cost1, (a1, b1) = jax.jit(c1.assemble)(p1.stacked_variables())
+    cost2, (a2, b2) = jax.jit(c2.assemble)(p2.stacked_variables())
+    np.testing.assert_allclose(cost1, cost2, rtol=1e-12)
+    np.testing.assert_allclose(b1, b2, rtol=1e-8, atol=1e-13)
+    np.testing.assert_allclose(a1, a2, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(
+        float(jax.jit(c1.cost)(p1.stacked_variables())),
+        float(jax.jit(c2.cost)(p2.stacked_variables())),
+        rtol=1e-12,
+    )
+    result = nt.optimize(
+        p2, nt.Options(solver="schur", schur_family=nt.Euclidean(3))
+    )
+    assert result.best_cost < 1e-15
