@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
-from . import engine, iterators, linearsolver, structs
+from . import engine, iterators, structs
 from .problem import Problem, family_name
 from .structs import CostTrajectory, Options, Result
 

@@ -17,14 +17,14 @@ resulting integer arrays are trace-time constants of the compiled solver.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import numpy as np
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from .manifolds import Manifold
-from .robust import AdaptiveRobustifier, NoRobust, Robustifier
+from .robust import AdaptiveRobustifier, NoRobust
 
 #: Batch padding granularity.  Cost batches are padded to a multiple of this
 #: so recompilation is avoided for small count changes and batch dims stay

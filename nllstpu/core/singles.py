@@ -18,18 +18,16 @@ the two are identical.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
-from . import engine, iterators, linearsolver
+from . import iterators
 from .engine import _cost_grad_hess_slot, _cost_value_one
 from .optimize import run_loop
 from .manifolds import Manifold
-from .problem import Problem, VarHandle, family_name
+from .problem import Problem, family_name
 from .structs import Options
 
 

@@ -8,7 +8,7 @@ in src/optimize.jl:149-165.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 NEWTON = "newton"
 LEVENBERG_MARQUARDT = "levenberg_marquardt"

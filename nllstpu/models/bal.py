@@ -16,8 +16,6 @@ observation problem is a handful of array ops.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import engine
-from ..core.linearsolver import batched_inv_spd, cholesky_solve
+from ..core.linearsolver import batched_inv_spd
 from ..core.problem import family_name
 
 

@@ -11,7 +11,6 @@ per-batch block computation the solvers use.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..core import engine

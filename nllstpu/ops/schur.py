@@ -282,9 +282,15 @@ class SchurInfo:
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 
 
-#: Fast-path guards: cap the one-hot [B, n_r] / obs-table memory.
+#: Fast-path guards: transient one-hot memory cap (elements) and
+#: observation-table skew cap.
 _FAST_MAX_ONEHOT = 64 * 1024 * 1024  # elements
 _FAST_MAX_K = 512
+
+
+def _onehot_chunks(n_r, rows_per_chunk_elems, b):
+    chunk = max(1, min(n_r, rows_per_chunk_elems // max(b, 1)))
+    return [(start, min(chunk, n_r - start)) for start in range(0, n_r, chunk)]
 
 
 def _fast_batch_data(batch, layout, info):
@@ -304,8 +310,6 @@ def _fast_batch_data(batch, layout, info):
     rfam = family_name(rman)
     n_r = int(layout.unfixed[rfam].shape[0])
     b_pad = batch.n_padded
-    if b_pad * n_r > _FAST_MAX_ONEHOT:
-        return None
 
     mask = np.asarray(batch.mask)
     lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
@@ -461,14 +465,24 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             #  * landmark-keyed sums become gathers through the [L, K]
             #    observation table plus a dense axis-sum.
             dr_s = len(sel_r)
-            onehot = (
-                jnp.asarray(fast.rvid)[:, None]
-                == jnp.arange(fast.n_r, dtype=jnp.int32)[None, :]
-            ).astype(dtype)  # [B, n_r]; dustbin rows are all-zero
-            a_blocks = jnp.einsum(
-                "bv,bpq->vpq", onehot, h_rr, precision="highest"
-            )
-            b_blocks = jnp.einsum("bv,bp->vp", onehot, g_r, precision="highest")
+            # One-hot matmuls chunked over the variable axis so transient
+            # [B, chunk] memory stays bounded at BAL scale.
+            rvid = jnp.asarray(fast.rvid)
+            bsz = rvid.shape[0]
+            a_parts, b_parts = [], []
+            for start, width in _onehot_chunks(fast.n_r, _FAST_MAX_ONEHOT, bsz):
+                oh = (
+                    rvid[:, None]
+                    == (start + jnp.arange(width, dtype=jnp.int32))[None, :]
+                ).astype(dtype)  # [B, width]; dustbin rows are all-zero
+                a_parts.append(
+                    jnp.einsum("bv,bpq->vpq", oh, h_rr, precision="highest")
+                )
+                b_parts.append(
+                    jnp.einsum("bv,bp->vp", oh, g_r, precision="highest")
+                )
+            a_blocks = jnp.concatenate(a_parts, axis=0)
+            b_blocks = jnp.concatenate(b_parts, axis=0)
             row_idx = (
                 jnp.asarray(fast.row_base)[:, None]
                 + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
@@ -492,13 +506,20 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                 vc = jnp.take(
                     jnp.asarray(fast.rvid), tk, mode="fill", fill_value=fast.n_r
                 ).reshape(L, k)
-                oh_w = (
-                    vc[:, :, None]
-                    == jnp.arange(fast.n_r, dtype=jnp.int32)[None, None, :]
-                ).astype(dtype)  # [L, K, n_r]
-                w_blocks = jnp.einsum(
-                    "lkv,lkpd->dlvp", oh_w, wc, precision="highest"
-                )  # [dl, L, n_r, dr_s]
+                w_parts = []
+                for start, width in _onehot_chunks(
+                    fast.n_r, _FAST_MAX_ONEHOT, L * k
+                ):
+                    oh_w = (
+                        vc[:, :, None]
+                        == (start + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+                    ).astype(dtype)  # [L, K, width]
+                    w_parts.append(
+                        jnp.einsum(
+                            "lkv,lkpd->dlvp", oh_w, wc, precision="highest"
+                        )
+                    )  # [dl, L, width, dr_s]
+                w_blocks = jnp.concatenate(w_parts, axis=2)
                 w_add = jnp.zeros((dl, L, dr + pad), dtype=dtype)
                 flat_rows = row_idx.reshape(-1)  # unique per (v, p)
                 w_add = w_add.at[:, :, flat_rows].add(

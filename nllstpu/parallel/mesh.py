@@ -21,7 +21,6 @@ from typing import Any
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import jax.tree_util as jtu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

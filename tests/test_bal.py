@@ -68,3 +68,19 @@ def test_bal_robust_kernel():
     perturb_ba(p, pts, 0.01, seed=7)
     result = nt.optimize(p, nt.Options(solver="schur", schur_family=bal.PT))
     assert result.best_cost < result.start_cost
+
+
+def test_bal_ladybug_scale_schur_cg():
+    """BAL Ladybug-49-ish scale (49 cameras, 7k points, ~28k observations)
+    with the implicit Schur backend: a few LM iterations must reduce the
+    cost by orders of magnitude (BASELINE.json config 5 at single-host
+    test scale)."""
+    data = bal.make_synthetic_bal(49, 7000, obs_per_point=4, noise=0.0)
+    p, cams, pts = bal.make_bal_problem(data)
+    perturb_ba(p, pts, 0.02, seed=11)
+    start = nt.cost(p)
+    result = nt.optimize(
+        p,
+        nt.Options(solver="schur_cg", schur_family=bal.PT, max_iters=8),
+    )
+    assert result.best_cost < start * 1e-6
