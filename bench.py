@@ -90,12 +90,21 @@ def worker(platform: str, iters: int):
     t0 = time.perf_counter()
     float(runner(vars0)[0])
     compile_s = time.perf_counter() - t0
+    # Each timed run uses a slightly perturbed input: repeat calls with
+    # bit-identical inputs have been observed to return physically
+    # impossible times (runtime-level result reuse), so force real compute.
+    best_rate = 0.0
     wall = float("inf")
-    for _ in range(3):
+    for i in range(1, 4):
+        eps = 1e-7 * i
+        vars_i = jax.tree.map(lambda x: x * (1.0 + eps), vars0)
         t0 = time.perf_counter()
-        out = runner(vars0)
-        stats = [float(x) for x in list(np.asarray(out))]
-        wall = min(wall, time.perf_counter() - t0)
+        out = runner(vars_i)
+        run_stats = [float(x) for x in list(np.asarray(out))]
+        run_wall = time.perf_counter() - t0
+        rate = run_stats[0] / run_wall
+        if rate > best_rate:
+            best_rate, wall, stats = rate, run_wall, run_stats
     n_iter, start, best, solves = int(stats[0]), stats[1], stats[2], int(stats[3])
     assert best < start, (start, best)  # sanity: LM actually descends
     print(

@@ -1,0 +1,4 @@
+"""Multi-device / multi-host execution: mesh sharding and distributed
+initialization."""
+
+from .mesh import DATA_AXIS, make_mesh, parallelize  # noqa: F401

@@ -1,0 +1,3 @@
+"""Utility subpackage: native bindings, checkpointing, profiling."""
+
+from . import checkpoint, native, profiling  # noqa: F401

@@ -38,3 +38,15 @@ def test_subset_of_handles():
     for i, h in enumerate(lmks):
         moved = not np.array_equal(p.get_value(h), before[i])
         assert moved == (i < 2)
+
+
+def test_scalar_family_singles():
+    """Univariate alternation on a scalar family (storage shape ())."""
+    p = nt.Problem()
+    xs = [p.add_variable(nt.Scalar(), 0.0) for _ in range(5)]
+    targets_vals = np.array([1.0, -2.0, 3.0, 0.5, -0.25])
+    for h, t in zip(xs, targets_vals):
+        p.add_cost(lambda tv, x: x - tv, (h,), params=t)
+    optimize_singles(p, nt.Options(iterator=nt.NEWTON), targets=nt.Scalar())
+    got = np.array([float(p.get_value(h)) for h in xs])
+    np.testing.assert_allclose(got, targets_vals, rtol=1e-10)
