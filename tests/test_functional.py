@@ -103,3 +103,39 @@ def test_jit_and_stepped_agree():
     )
     np.testing.assert_allclose(r1.best_cost, r2.best_cost, atol=1e-25)
     assert r1.num_iterations == r2.num_iterations
+
+
+def test_float32_problem():
+    """f32 problems run end-to-end (TPU production dtype) and converge to an
+    f32-appropriate tolerance."""
+    import jax.numpy as jnp
+    from nllstpu.models.rosenbrock import make_rosenbrock
+
+    p, x, y = make_rosenbrock(x0=-0.5, y0=2.5)
+    # rebuild as f32
+    p32 = nt.Problem(dtype=jnp.float32)
+    x = p32.add_variable(nt.Scalar(), -0.5)
+    y = p32.add_variable(nt.Scalar(), 2.5)
+    p32.add_cost(rosenbrock_a, (x,), params=1.0, kernel=KERNEL_A)
+    p32.add_cost(rosenbrock_b, (x, y), params=10.0)
+    result = nt.optimize(p32, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    np.testing.assert_allclose(float(p32.get_value(x)), 1.0, rtol=1e-3)
+    np.testing.assert_allclose(float(p32.get_value(y)), 1.0, rtol=1e-3)
+
+
+def test_jit_trajectory():
+    """store_trajectory works in the stepped driver and records decreasing
+    costs for a Schur-backed problem too."""
+    from nllstpu.models.ba import make_affine_ba, perturb_ba
+
+    p, cams, lmks = make_affine_ba(3, 5, 1.0)
+    perturb_ba(p, lmks, 0.01, seed=3)
+    result = nt.optimize(
+        p,
+        nt.Options(
+            solver="schur", schur_family=nt.Euclidean(3), store_trajectory=True
+        ),
+    )
+    assert result.trajectory is not None
+    assert len(result.trajectory.costs) == result.num_iterations
+    assert result.trajectory.costs[-1] <= result.trajectory.costs[0]
