@@ -69,15 +69,17 @@ class IterCtx:
         return self.linops if self.linops is not None else DenseOps(self.dim)
 
 
-def init_data(dtype):
+def init_data(dtype, opts=None):
     """Initial iterator scalars (reference ``reset!`` values:
     λ = 0 src/iterators.jl:129, trust radius = 0 line 40, step size = 1
-    line 184)."""
-    zero = jnp.zeros((), dtype=dtype)
+    line 184; overridable via Options — the reference's ``iteratordata``)."""
+    lam = getattr(opts, "init_lm_lambda", 0.0) if opts is not None else 0.0
+    tr = getattr(opts, "init_trust_radius", 0.0) if opts is not None else 0.0
+    gd = getattr(opts, "init_gd_step", 1.0) if opts is not None else 1.0
     return {
-        "lm_lambda": zero,
-        "tr": zero,
-        "gd_step": jnp.ones((), dtype=dtype),
+        "lm_lambda": jnp.asarray(lam, dtype=dtype),
+        "tr": jnp.asarray(tr, dtype=dtype),
+        "gd_step": jnp.asarray(gd, dtype=dtype),
     }
 
 

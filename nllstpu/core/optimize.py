@@ -192,7 +192,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
         varbest=vars0,
         bestcost=c0,
         lastcost=c0,
-        itdata=iterators.init_data(dtype),
+        itdata=iterators.init_data(dtype, opts),
         fails=jnp.int32(0),
         iternum=jnp.int32(0),
         converged=jnp.int32(0),
@@ -390,7 +390,7 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
     c0 = float(cost_j(variables))
     bestcost = c0
     varbest = variables
-    itdata = iterators.init_data(ctx.dtype)
+    itdata = iterators.init_data(ctx.dtype, opts)
     fails = 0
     iternum = 0
     ncost, ngrad, nsolve = 1, 0, 0

@@ -65,6 +65,11 @@ class Options:
     solver: str = "auto"
     schur_family: Any = None  # Manifold of the eliminated (landmark) family
     store_trajectory: bool = False
+    # Initial iterator scalars (reference ``iteratordata`` override,
+    # src/structs.jl:31): 0 = auto for λ and trust radius.
+    init_lm_lambda: float = 0.0
+    init_trust_radius: float = 0.0
+    init_gd_step: float = 1.0
 
     def __post_init__(self):
         if self.iterator not in ITERATORS:
