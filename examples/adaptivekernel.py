@@ -19,8 +19,8 @@ KERNEL = nt.ContaminatedGaussian()
 
 def main():
     rng = np.random.default_rng(0)
-    inliers = rng.normal(3.0, 1.0, 900)
-    outliers = rng.normal(3.0, 12.0, 100)
+    inliers = rng.normal(3.0, 1.0, 450)
+    outliers = rng.normal(3.0, 12.0, 50)
     data = np.concatenate([inliers, outliers])
 
     p = nt.Problem()

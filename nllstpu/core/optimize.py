@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import weakref
 from typing import Any, Callable, Optional
 
 import numpy as np
@@ -307,8 +308,9 @@ def _cached_runner(problem, opts, unfixed):
         _unfixed_cache_key(unfixed),
     )
     hit = _runner_cache.get(key)
-    if hit is not None:
-        return hit
+    # id() can alias a garbage-collected problem: verify identity via weakref.
+    if hit is not None and hit[2]() is problem:
+        return hit[0], hit[1]
     compiled = compile_problem(
         problem, unfixed, solver=opts.solver, schur_family=opts.schur_family
     )
@@ -316,7 +318,7 @@ def _cached_runner(problem, opts, unfixed):
         raise ValueError("no unfixed variables to optimize")
     runner = _make_jit_runner(compiled, opts)
     _runner_cache.clear()  # keep at most one entry per process to bound memory
-    _runner_cache[key] = (compiled, runner)
+    _runner_cache[key] = (compiled, runner, weakref.ref(problem))
     return compiled, runner
 
 

@@ -5,14 +5,18 @@
 rows [starts[l], starts[l+1])).  This is the landmark-keyed reduction of
 Schur assembly for *skewed* track-length distributions: the gather-table
 fast path needs O(L·K_max) memory and XLA scatter serializes on duplicate
-indices, while this kernel streams each run once from HBM (double-buffered
-DMA) and is insensitive to skew.
+indices, while this kernel streams each run once from HBM (chunked DMA) and
+is insensitive to skew.
 
-Grid: one program per segment; run offsets arrive via scalar prefetch; the
-data stays in HBM and is DMA'd in fixed-size chunks into VMEM scratch.
+TPU tiling: output blocks must be (8, 128)-aligned, so each grid program
+reduces SEGS_PER_PROGRAM=8 consecutive segments and the wrapper pads the
+feature dimension to a multiple of 128 (and the segment count to a multiple
+of 8), slicing the result back.  Run offsets arrive via scalar prefetch; the
+data stays in HBM (memory_space=ANY) and is DMA'd in fixed-size chunks into
+VMEM scratch.
 
-Falls back to ``jax.ops.segment_sum`` off-TPU; ``interpret=True`` is used in
-CPU tests.
+Verified against ``jax.ops.segment_sum`` in interpret mode (CPU tests) and
+compiled on a real v5e.
 """
 
 from __future__ import annotations
@@ -24,54 +28,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Rows DMA'd per chunk (tuned for VMEM; D is padded to 128 lanes).
+#: Rows DMA'd per chunk.
 CHUNK = 256
+#: Segments reduced by one grid program (sublane alignment).
+SEGS_PER_PROGRAM = 8
 
 
 def _kernel(starts_ref, data_ref, out_ref, scratch, sem):
-    seg = pl.program_id(0)
-    start = starts_ref[seg]
-    end = starts_ref[seg + 1]
-    count = end - start
+    block = pl.program_id(0)
     d = out_ref.shape[-1]
 
-    num_chunks = pl.cdiv(count, jnp.int32(CHUNK))
-
-    def body(c, acc):
-        offset = start + c * CHUNK
-        take = jnp.minimum(CHUNK, count - c * CHUNK)
-        dma = pltpu.make_async_copy(
-            data_ref.at[pl.ds(offset, CHUNK), :],
-            scratch,
-            sem,
+    # The per-program segment loop is unrolled with STATIC j (dynamic-index
+    # stores into the output block don't legalize in Mosaic); the inner DMA
+    # chunk loop keeps its dynamic trip count.  lax arithmetic avoids jnp
+    # ufunc dispatch inside the Mosaic trace (RecursionError with x64 on).
+    for j in range(SEGS_PER_PROGRAM):
+        seg = jax.lax.add(jax.lax.mul(block, jnp.int32(SEGS_PER_PROGRAM)), jnp.int32(j))
+        start = starts_ref[seg]
+        end = starts_ref[jax.lax.add(seg, jnp.int32(1))]
+        count = jax.lax.sub(end, start)
+        num_chunks = jax.lax.div(
+            jax.lax.add(count, jnp.int32(CHUNK - 1)), jnp.int32(CHUNK)
         )
-        dma.start()
-        dma.wait()
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, d), 0)
-        masked = jnp.where(row_ids < take, scratch[:, :], 0.0)
-        return acc + jnp.sum(masked, axis=0)
 
-    acc = jax.lax.fori_loop(
-        0, num_chunks, body, jnp.zeros((d,), dtype=out_ref.dtype)
-    )
-    out_ref[0, :] = acc
+        def chunk_body(c, acc, start=start, count=count):
+            offset = jax.lax.add(start, jax.lax.mul(c, jnp.int32(CHUNK)))
+            take = jnp.minimum(
+                jnp.int32(CHUNK), jax.lax.sub(count, jax.lax.mul(c, jnp.int32(CHUNK)))
+            )
+            dma = pltpu.make_async_copy(
+                data_ref.at[pl.ds(offset, CHUNK), :],
+                scratch,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, d), 0)
+            masked = jnp.where(row_ids < take, scratch[:, :], 0.0)
+            return acc + jnp.sum(masked, axis=0)
+
+        acc = jax.lax.fori_loop(
+            jnp.int32(0), num_chunks, chunk_body,
+            jnp.zeros((d,), dtype=out_ref.dtype),
+        )
+        out_ref[j, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def segment_block_sum(data, starts, interpret: bool = False):
-    """Sum contiguous runs of rows: ``out[l] = data[starts[l]:starts[l+1]].sum(0)``.
+def _round_up(x, m):
+    return -(-x // m) * m
 
-    ``data`` must be padded with at least CHUNK extra zero rows beyond the
-    last run (DMA reads fixed-size chunks).  ``starts`` is int32 [L+1].
-    """
-    n, d = data.shape
-    num_segments = starts.shape[0] - 1
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def _call(data, starts, num_segments: int, interpret: bool):
+    d = data.shape[-1]
+    grid = num_segments // SEGS_PER_PROGRAM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_segments,),
+        grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, d), lambda i, starts: (i, 0), memory_space=pltpu.VMEM
+            (SEGS_PER_PROGRAM, d),
+            lambda i, starts: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, d), data.dtype),
@@ -84,6 +102,27 @@ def segment_block_sum(data, starts, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((num_segments, d), data.dtype),
         interpret=interpret,
     )(starts, data)
+
+
+def segment_block_sum(data, starts, interpret: bool = False):
+    """Sum contiguous runs of rows: ``out[l] = data[starts[l]:starts[l+1]].sum(0)``.
+
+    ``data`` must be padded with at least CHUNK extra zero rows beyond the
+    last run (DMA reads fixed-size chunks).  ``starts`` is int32 [L+1].
+    Feature and segment counts are padded internally to TPU tile multiples.
+    """
+    n, d = data.shape
+    num_segments = starts.shape[0] - 1
+    d_pad = _round_up(max(d, 1), 128)
+    l_pad = _round_up(max(num_segments, 1), SEGS_PER_PROGRAM)
+    if d_pad != d:
+        data = jnp.pad(data, ((0, 0), (0, d_pad - d)))
+    if l_pad != num_segments:
+        # Padding segments are empty runs at the end of the data.
+        tail = jnp.full((l_pad - num_segments,), starts[-1], dtype=starts.dtype)
+        starts = jnp.concatenate([starts, tail])
+    out = _call(data, starts, l_pad, interpret)
+    return out[:num_segments, :d]
 
 
 def segment_block_sum_reference(data, starts):
