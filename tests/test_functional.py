@@ -139,3 +139,13 @@ def test_jit_trajectory():
     assert result.trajectory is not None
     assert len(result.trajectory.costs) == result.num_iterations
     assert result.trajectory.costs[-1] <= result.trajectory.costs[0]
+
+
+def test_subproblem_handles_overload():
+    """subproblem accepts a handle / handle list directly (reference
+    integer form, src/problem.jl:47-83)."""
+    p, x, y = make_problem()
+    sub_y = p.subproblem(y)
+    assert sub_y.num_costs() == 1
+    sub_both = p.subproblem([x, y])
+    assert sub_both.num_costs() == 2
