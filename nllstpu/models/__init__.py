@@ -11,3 +11,4 @@ from .bal import (
     snavely_residual,
 )
 from .posegraph import make_pose_graph, relative_pose_residual
+from .simple_error import measurement_residual

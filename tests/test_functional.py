@@ -149,3 +149,24 @@ def test_subproblem_handles_overload():
     assert sub_y.num_costs() == 1
     sub_both = p.subproblem([x, y])
     assert sub_both.num_costs() == 2
+
+
+def test_measurement_residual_helper():
+    """SimpleError-style measurement residuals (reference src/residual.jl:3-41)."""
+    import jax.numpy as jnp
+    from nllstpu.models.simple_error import measurement_residual
+
+    def generate(pose, point):
+        return jnp.stack([pose[:3] @ point, pose[3:] @ point])
+
+    res = measurement_residual(generate)
+    p = nt.Problem()
+    cam = p.add_variable(nt.Euclidean(6), np.array([1.0, 0, 0, 0, 1.0, 0]))
+    pt = p.add_variable(nt.Euclidean(3), np.array([0.5, -0.5, 2.0]))
+    meas = np.array([0.5, -0.5])
+    p.add_cost(res, (cam, pt), params=meas)
+    np.testing.assert_allclose(nt.cost(p), 0.0, atol=1e-30)
+    p.set_value(pt, np.array([0.4, -0.4, 2.0]))
+    assert nt.cost(p) > 0
+    nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT), unfixed=pt)
+    assert nt.cost(p) < 1e-20
