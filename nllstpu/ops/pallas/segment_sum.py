@@ -65,13 +65,14 @@ def _kernel(starts_ref, data_ref, out_ref, scratch, sem):
             dma.wait()
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, d), 0)
             masked = jnp.where(row_ids < take, scratch[:, :], 0.0)
-            return acc + jnp.sum(masked, axis=0)
+            # 2-D accumulator: Mosaic legalizes 2-D vectors only.
+            return acc + jnp.sum(masked, axis=0, keepdims=True)
 
         acc = jax.lax.fori_loop(
             jnp.int32(0), num_chunks, chunk_body,
-            jnp.zeros((d,), dtype=out_ref.dtype),
+            jnp.zeros((1, d), dtype=out_ref.dtype),
         )
-        out_ref[j, :] = acc
+        out_ref[pl.ds(j, 1), :] = acc
 
 
 def _round_up(x, m):
@@ -88,7 +89,10 @@ def _call(data, starts, num_segments: int, interpret: bool):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (SEGS_PER_PROGRAM, d),
-            lambda i, starts: (i, 0),
+            # i * 0 keeps both coordinates int32: a literal 0 traces as i64
+            # under x64 and the mixed-type index map fails Mosaic
+            # legalization.
+            lambda i, starts: (i, i * 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
