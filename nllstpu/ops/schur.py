@@ -110,7 +110,14 @@ class SchurCGOps:
     analogue).
 
     ``sys = (a_rr, b_r, h_ll, g_l, wparts)`` with ``wparts`` a tuple of
-    per-batch ``(w_blk [B,Sr,dl], rows_r [B,Sr], lid [B])``."""
+    per-batch ``(w_blk [B,Sr,dl], rows_r [B,Sr], lid [B], starts)`` where
+    ``starts`` is the [L+1] run-offset table when the batch rows are sorted
+    by landmark id (None otherwise).
+
+    ``segment_impl`` selects the landmark reduction in ``Wᵀv``:
+    "scatter" (XLA scatter-add), or "pallas"/"pallas_interpret" (the
+    sorted-run DMA kernel from ops.pallas — skew-insensitive; requires
+    sorted wparts)."""
 
     dim_reduced: int
     num_elim: int
@@ -120,6 +127,7 @@ class SchurCGOps:
     fam_offsets: tuple
     tol: float = 1e-12
     max_iters: int = 500
+    segment_impl: str = "scatter"
 
     @property
     def dim(self):
@@ -139,9 +147,23 @@ class SchurCGOps:
         """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl]."""
         u = jnp.zeros((self.num_elim + 1, self.dof_elim), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
-        for w_blk, rows_r, lid in wparts:
+        for w_blk, rows_r, lid, starts in wparts:
             vg = vp[rows_r]  # [B, Sr]
-            u = u.at[lid].add(jnp.einsum("bsd,bs->bd", w_blk, vg))
+            q = jnp.einsum("bsd,bs->bd", w_blk, vg)  # [B, dl]
+            if starts is not None and self.segment_impl != "scatter":
+                from .pallas.segment_sum import CHUNK, segment_block_sum
+
+                q_pad = jnp.concatenate(
+                    [q, jnp.zeros((CHUNK, self.dof_elim), dtype=q.dtype)]
+                )
+                u_part = segment_block_sum(
+                    q_pad,
+                    starts,
+                    interpret=(self.segment_impl == "pallas_interpret"),
+                )
+                u = u.at[: self.num_elim].add(u_part)
+            else:
+                u = u.at[lid].add(q)
         return u[: self.num_elim]
 
     def _w_apply(self, wparts, u):
@@ -150,7 +172,7 @@ class SchurCGOps:
             [u, jnp.zeros((1, self.dof_elim), dtype=u.dtype)], axis=0
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
-        for w_blk, rows_r, lid in wparts:
+        for w_blk, rows_r, lid, starts in wparts:
             ug = up[lid]  # [B, dl]
             y = y.at[rows_r].add(jnp.einsum("bsd,bd->bs", w_blk, ug))
         return y[: self.dim_reduced]
@@ -269,15 +291,21 @@ class SchurInfo:
     fam_offsets: tuple = ()  # reduced-family (name, offsets, dof) for precond
     pad: int = 1
     fast: tuple = ()  # per-batch _FastBatch or None, aligned with batches
+    # Per-batch (perm [B], starts [L+1]) sorting costs by landmark id — the
+    # reference's reordercostsforschur! (src/problem.jl:177-199), enabling
+    # run-contiguous (pallas) landmark reductions in the implicit solver.
+    elim_sort: tuple = ()
 
     def ops(self):
         if self.implicit:
+            segment_impl = "pallas" if jax.default_backend() == "tpu" else "scatter"
             return SchurCGOps(
                 self.dim_reduced,
                 self.num_elim,
                 self.dof_elim,
                 pad=self.pad,
                 fam_offsets=self.fam_offsets,
+                segment_impl=segment_impl,
             )
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 
@@ -344,6 +372,46 @@ def _fast_batch_data(batch, layout, info):
     )
 
 
+def _sorted_wpart(info, bi, batch, w_blk, rows_r, lid):
+    """Permute a wpart into landmark-sorted order when sort data applies
+    (built for this exact batch padding — per-shard batches skip it)."""
+    sort = info.elim_sort[bi] if bi < len(info.elim_sort) else None
+    if sort is not None and sort[0].shape[0] == batch.n_padded:
+        perm, starts = sort
+        perm = jnp.asarray(perm)
+        return (
+            w_blk[perm],
+            rows_r[perm],
+            lid[perm],
+            jnp.asarray(starts),
+        )
+    return (w_blk, rows_r, lid, None)
+
+
+def _elim_sort_data(batch, layout, info):
+    """Per-batch permutation sorting costs by landmark id + run offsets
+    (reference ``reordercostsforschur!``).  Masked/fixed-landmark costs sort
+    last, outside ``starts[-1]``."""
+    elim_slots = [
+        i
+        for i, m in enumerate(batch.manifolds)
+        if family_name(m) == info.elim_family
+    ]
+    if len(elim_slots) != 1 or info.num_elim == 0:
+        return None
+    e = elim_slots[0]
+    mask = np.asarray(batch.mask)
+    lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
+    lid = lid.copy()
+    lid[~mask] = info.num_elim
+    perm = np.argsort(lid, kind="stable").astype(np.int32)
+    counts = np.bincount(
+        lid[lid < info.num_elim], minlength=info.num_elim
+    )
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return perm, starts
+
+
 def build_schur_info(
     problem, layout: engine.Layout, elim_manifold, implicit: bool = False,
     batches=None,
@@ -382,6 +450,10 @@ def build_schur_info(
         info.fast = tuple(
             _fast_batch_data(b, layout, info) for b in batches
         )
+        if implicit:
+            info.elim_sort = tuple(
+                _elim_sort_data(b, layout, info) for b in batches
+            )
     return info
 
 
@@ -500,7 +572,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             h_ll = h_ll.at[:L].add(jnp.sum(table_gather(h_le), axis=1))
             g_l = g_l.at[:L].add(jnp.sum(table_gather(g_e), axis=1))
             if info.implicit:
-                wparts.append((w_blk, rows_r, lid))
+                wparts.append(_sorted_wpart(info, bi, batch, w_blk, rows_r, lid))
             else:
                 wc = table_gather(w_blk)  # [L, K, dr_s, dl]
                 vc = jnp.take(
@@ -535,7 +607,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         if info.implicit:
             # Keep the coupling blocks per cost; masked costs are neutralized
             # by zeroing (their lid points at the dustbin anyway).
-            wparts.append((w_blk, rows_r, lid))
+            wparts.append(_sorted_wpart(info, bi, batch, w_blk, rows_r, lid))
         else:
             # [B, Sr, dl] → [dl, B, Sr] scatter into the components-major W.
             w = w.at[:, lid[:, None], rows_r].add(

@@ -33,3 +33,33 @@ def test_segment_block_sum_matches_reference(seed, nseg):
         [data[starts[i] : starts[i + 1]].sum(axis=0) for i in range(nseg)]
     )
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_implicit_schur_pallas_segment_matches_scatter():
+    """The implicit-Schur solve with the pallas sorted-run reduction
+    (interpret mode on CPU) must match the scatter implementation."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_affine_ba, perturb_ba
+
+    p, cams, lmks = make_affine_ba(5, 12, 0.7)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    compiled = compile_problem(p, solver="schur_cg", schur_family=nt.Euclidean(3))
+    variables = p.stacked_variables()
+    _, sys_i = jax.jit(compiled.assemble)(variables)
+    ops_scatter = dataclasses.replace(
+        compiled.schur_info.ops(), segment_impl="scatter"
+    )
+    ops_pallas = dataclasses.replace(
+        compiled.schur_info.ops(), segment_impl="pallas_interpret"
+    )
+    # wparts carry sorted rows + starts; both impls must agree.
+    assert sys_i[4][0][3] is not None  # starts attached
+    x1 = ops_scatter.solve(sys_i, jnp.asarray(1e-3))
+    x2 = ops_pallas.solve(sys_i, jnp.asarray(1e-3))
+    np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
