@@ -298,7 +298,16 @@ class SchurInfo:
 
     def ops(self):
         if self.implicit:
-            segment_impl = "pallas" if jax.default_backend() == "tpu" else "scatter"
+            # The pallas sorted-run reduction is opt-in (NLLSTPU_SEGMENT_IMPL
+            # =pallas): it is verified standalone on v5e, but inside the full
+            # LM while-loop at 100k-observation scale it faulted the TPU
+            # worker once — kept off the default path until diagnosed
+            # (docs/ROUND1.md gaps).
+            import os
+
+            segment_impl = os.environ.get("NLLSTPU_SEGMENT_IMPL", "scatter")
+            if segment_impl == "pallas" and jax.default_backend() != "tpu":
+                segment_impl = "scatter"
             return SchurCGOps(
                 self.dim_reduced,
                 self.num_elim,
