@@ -68,3 +68,11 @@ def test_pose_graph_converges(solver):
     # Recovered poses match ground truth (gauge anchored at pose 0).
     final = np.stack([p.get_value(h) for h in poses])
     np.testing.assert_allclose(final, truth, atol=1e-8)
+
+
+def test_dogleg_on_cg_backend():
+    p, poses, truth = make_pose_graph(n_poses=12, n_loops=3, perturb=0.05)
+    result = nt.optimize(
+        p, nt.Options(solver="cg", iterator=nt.DOGLEG), unfixed=poses[1:]
+    )
+    assert result.best_cost < 1e-10

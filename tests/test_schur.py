@@ -160,3 +160,19 @@ def test_implicit_schur_full_optimize():
         p, nt.Options(solver="schur_cg", schur_family=LMK)
     )
     assert result.best_cost < 1e-15
+
+
+@pytest.mark.parametrize("iterator", [nt.NEWTON, nt.GRADIENT_DESCENT])
+def test_more_iterators_on_schur(iterator):
+    """Newton and gradient descent also run on the Schur backend (protocol
+    completeness: solve/grad/quad/diag_max)."""
+    p, cams, lmks = make_affine_ba(4, 9, 1.0)
+    perturb_ba(p, lmks, 0.001, seed=3)
+    result = nt.optimize(
+        p,
+        nt.Options(
+            iterator=iterator, solver="schur", schur_family=LMK, max_iters=40
+        ),
+        unfixed=cams + lmks[3:],  # pin the gauge for the λ=0 Newton solve
+    )
+    assert result.best_cost < result.start_cost
