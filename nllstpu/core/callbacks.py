@@ -21,14 +21,19 @@ def printout_callback(cost, ctx):
     the iterator's trust proxy: 1/λ for LM, the trust radius for dogleg, the
     step size for gradient descent."""
     if ctx.iteration == 1:
-        print(f"{'iter':>6} {'cost':>16} {'cost change':>16} {'trust':>12}")
+        print(
+            f"{'iter':>6} {'cost':>16} {'cost change':>16} {'|step|':>12}"
+            f" {'trust':>12}"
+        )
         print(f"{0:>6} {ctx.bestcost:>16.8e}")
     lam = float(ctx.itdata["lm_lambda"])
     tr = float(ctx.itdata["tr"])
     gd = float(ctx.itdata["gd_step"])
     trust = (1.0 / lam) if lam > 0 else (tr if tr > 0 else gd)
+    step = float(np.linalg.norm(np.asarray(ctx.step))) if ctx.step is not None else 0.0
     print(
-        f"{ctx.iteration:>6} {cost:>16.8e} {ctx.bestcost - cost:>16.8e} {trust:>12.4e}"
+        f"{ctx.iteration:>6} {cost:>16.8e} {ctx.bestcost - cost:>16.8e}"
+        f" {step:>12.4e} {trust:>12.4e}"
     )
     return cost, 0
 

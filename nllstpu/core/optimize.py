@@ -94,16 +94,70 @@ class CompiledProblem:
         )
 
 
+def _auto_dense_or_cg(problem, batches, layout):
+    """The reference's dense-vs-sparse decision (``makesymmvls``,
+    src/linearsystem.jl:109-118): dense when the system is small (d ≤ 40),
+    else count the scalar nonzeros of the lower-triangle block sparsity
+    (``block_sparse_nnz``, src/utils.jl:110-120) from the cost-variable
+    incidence and apply ``sparse_dense_decision`` (src/utils.jl:108) —
+    "sparse" selects the matrix-free CG backend here."""
+    d = layout.dof_total
+    if d <= 40:
+        return "dense"
+    base, total, dof_parts = {}, 0, []
+    for name in problem.family_names():
+        n = int(np.asarray(layout.offsets[name]).shape[0])
+        base[name] = total
+        total += n
+        dof_parts.append(
+            np.full(n, problem.manifold_of(name).dof, dtype=np.int64)
+        )
+    dofs = np.concatenate(dof_parts) if dof_parts else np.zeros(0, np.int64)
+    diag_ids, pair_keys = [], []
+    for b in batches:
+        mask = np.asarray(b.mask)
+        gids = []
+        for s, man in enumerate(b.manifolds):
+            fam = family_name(man)
+            idx = np.asarray(b.idx[s])
+            unfixed = np.asarray(layout.offsets[fam])[idx] < layout.dof_total
+            gids.append(np.where(unfixed & mask, base[fam] + idx, -1))
+        for i in range(len(gids)):
+            diag_ids.append(gids[i])
+            for j in range(i + 1, len(gids)):
+                lo = np.minimum(gids[i], gids[j]).astype(np.int64)
+                hi = np.maximum(gids[i], gids[j]).astype(np.int64)
+                keep = (lo >= 0) & (lo != hi)
+                pair_keys.append(lo[keep] * total + hi[keep])
+    nnz = 0
+    if diag_ids:
+        dv = np.unique(np.concatenate(diag_ids))
+        dv = dv[dv >= 0]
+        nnz += int((dofs[dv] ** 2).sum())
+    if pair_keys:
+        pk = np.unique(np.concatenate(pair_keys))
+        nnz += int((dofs[pk // total] * dofs[pk % total]).sum())
+    return "cg" if nnz * 64 < 25 * d * (d - 40) else "dense"
+
+
 def compile_problem(
     problem: Problem, unfixed=None, solver: str = "dense", schur_family=None
 ) -> CompiledProblem:
-    """Lower a problem; ``solver`` is "dense", "schur" (requires
-    ``schur_family``, the eliminated manifold) or "auto" (schur iff a
-    ``schur_family`` is given) — the analogue of the reference's
-    dense/sparse decision in ``makesymmvls`` (src/linearsystem.jl:91-124)."""
-    if solver == "auto":
-        solver = "schur" if schur_family is not None else "dense"
+    """Lower a problem; ``solver`` is "dense", "schur"/"schur_cg" (require
+    ``schur_family``, the eliminated manifold), "cg", or "auto" — the
+    analogue of the reference's uni/dense/sparse decision in ``makesymmvls``
+    (src/linearsystem.jl:91-124): schur iff a ``schur_family`` is given,
+    dense for small systems (d ≤ 40), and the reference's fill heuristic
+    ``sparse_dense_decision`` (src/utils.jl:108, nnz·64 < 25·d·(d−40))
+    chooses between dense and the matrix-free CG backend (the TPU-native
+    replacement for its sparse LDLᵀ)."""
     batches = problem.batches()
+    if solver == "auto":
+        if schur_family is not None:
+            solver = "schur"
+        else:
+            layout = engine.build_layout(problem, unfixed, batches=batches)
+            solver = _auto_dense_or_cg(problem, batches, layout)
     manifolds = {name: problem.manifold_of(name) for name in problem.family_names()}
     if solver in ("schur", "schur_cg"):
         if schur_family is None:

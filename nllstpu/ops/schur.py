@@ -110,9 +110,17 @@ class SchurCGOps:
     analogue).
 
     ``sys = (a_rr, b_r, h_ll, g_l, wparts)`` with ``wparts`` a tuple of
-    per-batch ``(w_blk [B,Sr,dl], rows_r [B,Sr], lid [B], starts)`` where
-    ``starts`` is the [L+1] run-offset table when the batch rows are sorted
-    by landmark id (None otherwise).
+    per-batch ``(w_blk [B,Sr,dl], rows_r [B,Sr], lid [B], starts, rvid)``
+    where ``starts`` is the [L+1] run-offset table when the batch rows are
+    sorted by landmark id (None otherwise) and ``rvid`` is the per-cost
+    reduced-variable id within its family (None when unavailable).
+
+    The PCG preconditioner is **Schur-Jacobi** (the Ceres ``SCHUR_JACOBI``
+    analogue): the exact diagonal blocks of S = A_rr − W·H_ll⁻¹·Wᵀ, i.e.
+    A_rr's diagonal blocks minus the per-camera Σ_c w_c H_ll⁻¹ w_cᵀ
+    correction, reduced over costs with a one-hot MXU matmul.  Batches
+    without ``rvid`` (or reduced families untouched by coupling costs) fall
+    back to the A_rr-only block-Jacobi blocks.
 
     ``segment_impl`` selects the landmark reduction in ``Wᵀv``:
     "scatter" (XLA scatter-add), or "pallas"/"pallas_interpret" (the
@@ -125,6 +133,9 @@ class SchurCGOps:
     pad: int
     # Reduced-family layout for the preconditioner: (name, offsets [n], dof).
     fam_offsets: tuple
+    # Per-wpart index into fam_offsets of the single reduced slot's family
+    # (None disables the Schur-Jacobi correction for that wpart).
+    wpart_fam: tuple = ()
     tol: float = 1e-12
     max_iters: int = 500
     segment_impl: str = "scatter"
@@ -147,7 +158,7 @@ class SchurCGOps:
         """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl]."""
         u = jnp.zeros((self.num_elim + 1, self.dof_elim), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
-        for w_blk, rows_r, lid, starts in wparts:
+        for w_blk, rows_r, lid, starts, _rvid in wparts:
             vg = vp[rows_r]  # [B, Sr]
             q = jnp.einsum("bsd,bs->bd", w_blk, vg)  # [B, dl]
             if starts is not None and self.segment_impl != "scatter":
@@ -172,7 +183,7 @@ class SchurCGOps:
             [u, jnp.zeros((1, self.dof_elim), dtype=u.dtype)], axis=0
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
-        for w_blk, rows_r, lid, starts in wparts:
+        for w_blk, rows_r, lid, starts, _rvid in wparts:
             ug = up[lid]  # [B, dl]
             y = y.at[rows_r].add(jnp.einsum("bsd,bd->bs", w_blk, ug))
         return y[: self.dim_reduced]
@@ -187,6 +198,86 @@ class SchurCGOps:
             + 2.0 * cross
             + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
         )
+
+    def precond_blocks(self, sys, lam, h_inv):
+        """Per-family damped S diagonal blocks (Schur-Jacobi) — exact
+        ``S[v,v] = (A_rr + λI)[v,v] − Σ_c w_c H⁻¹ w_cᵀ`` where coupling data
+        is available, A_rr-only (block-Jacobi) otherwise.  Returns
+        ``(blocks, corrected)``: a list of ``[n, dof, dof]`` aligned with
+        ``fam_offsets`` and per-family flags marking which received the
+        Schur correction."""
+        a_rr, _, _, _, wparts = sys
+        dtype = a_rr.dtype
+        dl = self.dof_elim
+
+        # Start from A_rr's diagonal blocks, then subtract the per-variable
+        # correction Σ_c w_c H⁻¹ w_cᵀ, reduced over costs with a chunked
+        # one-hot MXU matmul keyed by the reduced-variable id
+        # (duplicate-index scatters serialize on TPU).
+        a_pad = jnp.pad(a_rr, ((0, 1), (0, 1)))
+        fam_blocks = []
+        for name, offs, dof in self.fam_offsets:
+            idx = offs[:, None] + np.arange(dof, dtype=np.int32)[None, :]
+            idx = np.minimum(idx, self.dim_reduced)  # dustbin-safe
+            fam_blocks.append(
+                a_pad[idx[:, :, None], idx[:, None, :]]
+                + lam * jnp.eye(dof, dtype=dtype)
+            )
+        h_inv_p = jnp.concatenate(
+            [h_inv, jnp.zeros((1, dl, dl), dtype=dtype)], axis=0
+        )
+        corrected = [False] * len(fam_blocks)
+        for i, (w_blk, _rows, lid, _starts, rvid) in enumerate(wparts):
+            fi = self.wpart_fam[i] if i < len(self.wpart_fam) else None
+            if fi is None or rvid is None:
+                continue
+            name, offs, dof = self.fam_offsets[fi]
+            if w_blk.shape[1] != dof or rvid.shape[0] != w_blk.shape[0]:
+                continue  # per-shard repads: shapes no longer line up
+            hi = h_inv_p[lid]  # [B, dl, dl]; masked costs hit the zero pad
+            m = jnp.einsum("bpd,bde,bqe->bpq", w_blk, hi, w_blk)
+            n_r = offs.shape[0]
+            mf = m.reshape(m.shape[0], dof * dof)
+            parts = []
+            for start, width in _onehot_chunks(
+                n_r, _FAST_MAX_ONEHOT, mf.shape[0]
+            ):
+                oh = (
+                    rvid[:, None]
+                    == (start + jnp.arange(width, dtype=jnp.int32))[None, :]
+                ).astype(dtype)  # dustbin (fixed/masked) rows are all-zero
+                parts.append(jnp.einsum("bv,bk->vk", oh, mf))
+            corr = jnp.concatenate(parts, axis=0).reshape(n_r, dof, dof)
+            fam_blocks[fi] = fam_blocks[fi] - corr
+            corrected[fi] = True
+        return fam_blocks, corrected
+
+    def precond_inverses(self, sys, lam, h_inv):
+        """Inverted preconditioner blocks, with a per-block fallback to the
+        A_rr-only inverse when a corrected block loses definiteness (λ=0 on
+        gauge-deficient problems)."""
+        a_rr = sys[0]
+        dtype = a_rr.dtype
+        a_pad = jnp.pad(a_rr, ((0, 1), (0, 1)))
+        fam_blocks, corrected = self.precond_blocks(sys, lam, h_inv)
+        inv_blocks = []
+        for was_corrected, (name, offs, dof), blocks in zip(
+            corrected, self.fam_offsets, fam_blocks
+        ):
+            inv = batched_inv_spd(blocks)
+            if was_corrected:
+                idx = offs[:, None] + np.arange(dof, dtype=np.int32)[None, :]
+                idx = np.minimum(idx, self.dim_reduced)
+                plain = batched_inv_spd(
+                    a_pad[idx[:, :, None], idx[:, None, :]]
+                    + lam * jnp.eye(dof, dtype=dtype)
+                )
+                bad = ~jnp.all(
+                    jnp.isfinite(inv), axis=(-2, -1), keepdims=True
+                )
+                inv = jnp.where(bad, plain, inv)
+            inv_blocks.append(inv)
+        return inv_blocks
 
     def solve(self, sys, lam):
         from ..core.linearsolver import batched_inv_spd
@@ -205,16 +296,7 @@ class SchurCGOps:
             wparts, jnp.einsum("lde,le->ld", h_inv, g_l)
         )
 
-        # Block-Jacobi preconditioner from A_rr's diagonal blocks.
-        inv_blocks = []
-        for name, offs, dof in self.fam_offsets:
-            idx = offs[:, None] + np.arange(dof, dtype=np.int32)[None, :]
-            idx = np.minimum(idx, self.dim_reduced)  # dustbin-safe
-            a_pad = jnp.pad(a_rr, ((0, 1), (0, 1)))
-            blocks = a_pad[idx[:, :, None], idx[:, None, :]] + lam * jnp.eye(
-                dof, dtype=dtype
-            )
-            inv_blocks.append(batched_inv_spd(blocks))
+        inv_blocks = self.precond_inverses(sys, lam, h_inv)
 
         def precond(r):
             rp = jnp.concatenate([r, jnp.zeros(self.pad + 1, dtype=dtype)])
@@ -295,6 +377,9 @@ class SchurInfo:
     # reference's reordercostsforschur! (src/problem.jl:177-199), enabling
     # run-contiguous (pallas) landmark reductions in the implicit solver.
     elim_sort: tuple = ()
+    # Per-wpart fam_offsets index of the (single) reduced slot's family, for
+    # the Schur-Jacobi preconditioner; None = correction unavailable.
+    wpart_fam: tuple = ()
 
     def ops(self):
         if self.implicit:
@@ -314,6 +399,7 @@ class SchurInfo:
                 self.dof_elim,
                 pad=self.pad,
                 fam_offsets=self.fam_offsets,
+                wpart_fam=self.wpart_fam,
                 segment_impl=segment_impl,
             )
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
@@ -381,7 +467,28 @@ def _fast_batch_data(batch, layout, info):
     )
 
 
-def _sorted_wpart(info, bi, batch, w_blk, rows_r, lid):
+def _generic_rvid(batch, layout, info):
+    """Per-cost reduced-variable id for the Schur-Jacobi preconditioner on a
+    two-slot batch without fast-path tables (fixed/masked → dustbin n_r)."""
+    elim_slots = [
+        i
+        for i, m in enumerate(batch.manifolds)
+        if family_name(m) == info.elim_family
+    ]
+    if len(elim_slots) != 1 or len(batch.manifolds) != 2:
+        return None
+    r_slot = 1 - elim_slots[0]
+    rfam = family_name(batch.manifolds[r_slot])
+    n_r = int(layout.unfixed[rfam].shape[0])
+    # jnp throughout: batch.idx/mask may be traced under shard_map.
+    idx = jnp.asarray(batch.idx[r_slot]).astype(jnp.int32)
+    var_fixed = jnp.asarray(layout.offsets[rfam])[idx] >= layout.dof_total
+    return jnp.where(
+        jnp.asarray(batch.mask) & ~var_fixed, idx, jnp.int32(n_r)
+    )
+
+
+def _sorted_wpart(info, bi, batch, w_blk, rows_r, lid, rvid=None):
     """Permute a wpart into landmark-sorted order when sort data applies
     (built for this exact batch padding — per-shard batches skip it)."""
     sort = info.elim_sort[bi] if bi < len(info.elim_sort) else None
@@ -393,8 +500,9 @@ def _sorted_wpart(info, bi, batch, w_blk, rows_r, lid):
             rows_r[perm],
             lid[perm],
             jnp.asarray(starts),
+            None if rvid is None else rvid[perm],
         )
-    return (w_blk, rows_r, lid, None)
+    return (w_blk, rows_r, lid, None, rvid)
 
 
 def _elim_sort_data(batch, layout, info):
@@ -463,6 +571,26 @@ def build_schur_info(
             info.elim_sort = tuple(
                 _elim_sort_data(b, layout, info) for b in batches
             )
+            # Mirror assemble_schur's wpart append order: one entry per
+            # batch with exactly one eliminated slot; the entry is the
+            # fam_offsets index of the single reduced slot's family when the
+            # Schur-Jacobi correction applies (two-slot cost), else None.
+            fam_index = {name: i for i, (name, _, _) in enumerate(fam_offsets)}
+            wpart_fam = []
+            for b in batches:
+                eslots = [
+                    i
+                    for i, m in enumerate(b.manifolds)
+                    if family_name(m) == elim_fam
+                ]
+                if len(eslots) != 1:
+                    continue
+                if len(b.manifolds) == 2:
+                    rfam = family_name(b.manifolds[1 - eslots[0]])
+                    wpart_fam.append(fam_index.get(rfam))
+                else:
+                    wpart_fam.append(None)
+            info.wpart_fam = tuple(wpart_fam)
     return info
 
 
@@ -581,7 +709,12 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             h_ll = h_ll.at[:L].add(jnp.sum(table_gather(h_le), axis=1))
             g_l = g_l.at[:L].add(jnp.sum(table_gather(g_e), axis=1))
             if info.implicit:
-                wparts.append(_sorted_wpart(info, bi, batch, w_blk, rows_r, lid))
+                wparts.append(
+                    _sorted_wpart(
+                        info, bi, batch, w_blk, rows_r, lid,
+                        rvid=jnp.asarray(fast.rvid),
+                    )
+                )
             else:
                 wc = table_gather(w_blk)  # [L, K, dr_s, dl]
                 vc = jnp.take(
@@ -616,7 +749,12 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         if info.implicit:
             # Keep the coupling blocks per cost; masked costs are neutralized
             # by zeroing (their lid points at the dustbin anyway).
-            wparts.append(_sorted_wpart(info, bi, batch, w_blk, rows_r, lid))
+            wparts.append(
+                _sorted_wpart(
+                    info, bi, batch, w_blk, rows_r, lid,
+                    rvid=_generic_rvid(batch, layout, info),
+                )
+            )
         else:
             # [B, Sr, dl] → [dl, B, Sr] scatter into the components-major W.
             w = w.at[:, lid[:, None], rows_r].add(

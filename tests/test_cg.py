@@ -76,3 +76,25 @@ def test_dogleg_on_cg_backend():
         p, nt.Options(solver="cg", iterator=nt.DOGLEG), unfixed=poses[1:]
     )
     assert result.best_cost < 1e-10
+
+
+def test_auto_solver_selection():
+    """solver="auto" mirrors the reference's ``makesymmvls`` decision
+    (src/linearsystem.jl:109-118): dense for small systems (d <= 40), the
+    fill heuristic ``sparse_dense_decision`` (src/utils.jl:108) for large
+    ones — "sparse" selecting the matrix-free CG backend."""
+    import nllstpu.models.rosenbrock as rb
+
+    p_small, _, _ = rb.make_rosenbrock()
+    c_small = compile_problem(p_small, solver="auto")
+    assert c_small.cg_ops is None and c_small.schur_info is None
+
+    # A long sparse pose chain: d = 17*6 > 40, nearest-neighbour coupling.
+    p_chain, poses, _ = make_pose_graph(n_poses=18, n_loops=0, perturb=0.01)
+    c_chain = compile_problem(p_chain, unfixed=poses[1:], solver="auto")
+    assert c_chain.cg_ops is not None
+
+    # Fully coupled affine BA at moderate size stays dense (high fill).
+    p_ba, cams, lmks = make_affine_ba(6, 10, 1.0)
+    c_ba = compile_problem(p_ba, solver="auto")
+    assert c_ba.cg_ops is None and c_ba.schur_info is None
