@@ -42,8 +42,15 @@ class CGOps:
     # Static per-family layout for the block-Jacobi preconditioner:
     # tuples of (family name, offsets [n] (dustbin=dim), dof).
     fam_offsets: tuple
-    tol: float = 1e-14
+    # None = dtype default: 1e-14 for f64, 1e-5 for f32 (an f64 tolerance is
+    # unreachable in f32 and forces every solve to burn max_iters).
+    tol: object = None
     max_iters: int = 2000
+
+    def _tol(self, dtype):
+        if self.tol is not None:
+            return self.tol
+        return 1e-5 if jnp.dtype(dtype).itemsize <= 4 else 1e-14
 
     def grad(self, sys):
         return sys[0]
@@ -91,7 +98,7 @@ class CGOps:
         p0 = z0
         rz0 = r0 @ z0
         bnorm2 = b @ b
-        tol2 = jnp.asarray(self.tol, dtype) ** 2 * bnorm2
+        tol2 = jnp.asarray(self._tol(dtype), dtype) ** 2 * bnorm2
 
         def cond(st):
             x, r, z, p, rz, k = st
@@ -114,7 +121,7 @@ class CGOps:
         return x
 
 
-def build_cg_ops(problem, layout: engine.Layout, tol=1e-14, max_iters=2000) -> CGOps:
+def build_cg_ops(problem, layout: engine.Layout, tol=None, max_iters=2000) -> CGOps:
     fam_offsets = []
     for name in problem.family_names():
         man = problem.manifold_of(name)

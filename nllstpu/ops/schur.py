@@ -29,6 +29,7 @@ variable.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple, Optional, Any
 
 import numpy as np
 import jax
@@ -99,6 +100,27 @@ class SchurOps:
         return jnp.concatenate([xr, xl.reshape(-1)])
 
 
+class WPart(NamedTuple):
+    """Per-batch coupling data for the implicit (matrix-free) Schur solve.
+    A NamedTuple so it rides through jit as a pytree; optional fields are
+    None when the corresponding fast-path table is unavailable.
+
+    The two observation tables turn the CG matvec's landmark- and
+    camera-keyed reductions into gathers + dense sums: XLA scatter-add
+    SERIALIZES on duplicate indices (profiling showed them dominating the
+    implicit solve on TPU), while a ``[keys, K]`` table gather with a
+    fill-value for padding is one vectorized load + sum."""
+
+    w_blk: Any  # [B, Sr, dl] per-cost coupling blocks
+    rows_r: Any  # [B, Sr] global reduced row per block column
+    lid: Any  # [B] eliminated-variable id (dustbin L when masked/fixed)
+    starts: Optional[Any]  # [L+1] run offsets when sorted by lid (pallas)
+    rvid: Optional[Any]  # [B] reduced-variable id within its family
+    obs: Optional[Any]  # [L, K] cost ids per landmark (pad = out-of-range)
+    cam_obs: Optional[Any]  # [n_r, Kc] cost ids per reduced var
+    row_base: Optional[Any]  # [n_r] first reduced row per var (fixed → dr)
+
+
 @dataclasses.dataclass(frozen=True)
 class SchurCGOps:
     """Implicit (iterative) Schur: the reduced system S = A_rr − W·H_ll⁻¹·Wᵀ
@@ -136,9 +158,17 @@ class SchurCGOps:
     # Per-wpart index into fam_offsets of the single reduced slot's family
     # (None disables the Schur-Jacobi correction for that wpart).
     wpart_fam: tuple = ()
-    tol: float = 1e-12
+    # Relative PCG residual tolerance; None = dtype default (1e-12 for f64,
+    # 1e-5 for f32 — an f64 tolerance is unreachable in f32 and forces every
+    # solve to burn max_iters; LM's acceptance test tolerates inexact steps).
+    tol: Optional[float] = None
     max_iters: int = 500
     segment_impl: str = "scatter"
+
+    def _tol(self, dtype):
+        if self.tol is not None:
+            return self.tol
+        return 1e-5 if jnp.dtype(dtype).itemsize <= 4 else 1e-12
 
     @property
     def dim(self):
@@ -155,13 +185,16 @@ class SchurCGOps:
         return jnp.maximum(m_r, m_l)
 
     def _wt_apply(self, wparts, v):
-        """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl]."""
+        """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl].
+
+        Landmark reduction preference: pallas sorted-run kernel (opt-in) >
+        observation-table gather + dense sum > scatter-add fallback."""
         u = jnp.zeros((self.num_elim + 1, self.dof_elim), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
-        for w_blk, rows_r, lid, starts, _rvid in wparts:
-            vg = vp[rows_r]  # [B, Sr]
-            q = jnp.einsum("bsd,bs->bd", w_blk, vg)  # [B, dl]
-            if starts is not None and self.segment_impl != "scatter":
+        for wp in wparts:
+            vg = vp[wp.rows_r]  # [B, Sr]
+            q = jnp.einsum("bsd,bs->bd", wp.w_blk, vg)  # [B, dl]
+            if wp.starts is not None and self.segment_impl.startswith("pallas"):
                 from .pallas.segment_sum import CHUNK, segment_block_sum
 
                 q_pad = jnp.concatenate(
@@ -169,23 +202,47 @@ class SchurCGOps:
                 )
                 u_part = segment_block_sum(
                     q_pad,
-                    starts,
+                    wp.starts,
                     interpret=(self.segment_impl == "pallas_interpret"),
                 )
                 u = u.at[: self.num_elim].add(u_part)
+            elif wp.obs is not None:
+                L, k = wp.obs.shape
+                flat = jnp.take(
+                    q, wp.obs.reshape(-1), axis=0, mode="fill", fill_value=0
+                )
+                u = u.at[:L].add(flat.reshape(L, k, -1).sum(axis=1))
             else:
-                u = u.at[lid].add(q)
+                u = u.at[wp.lid].add(q)
         return u[: self.num_elim]
 
     def _w_apply(self, wparts, u):
-        """y = Σ_i w_i u[l_i] scattered at rows_i  →  [Dr]."""
+        """y = Σ_i w_i u[l_i] scattered at rows_i  →  [Dr].
+
+        With a camera table the per-cost contributions are gathered per
+        reduced variable and land with a UNIQUE-row scatter; otherwise a
+        duplicate-index scatter-add."""
         up = jnp.concatenate(
             [u, jnp.zeros((1, self.dof_elim), dtype=u.dtype)], axis=0
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
-        for w_blk, rows_r, lid, starts, _rvid in wparts:
-            ug = up[lid]  # [B, dl]
-            y = y.at[rows_r].add(jnp.einsum("bsd,bd->bs", w_blk, ug))
+        for wp in wparts:
+            ug = up[wp.lid]  # [B, dl]
+            t = jnp.einsum("bsd,bd->bs", wp.w_blk, ug)  # [B, Sr]
+            if wp.cam_obs is not None and wp.row_base is not None:
+                n_r, kc = wp.cam_obs.shape
+                sr = t.shape[1]
+                g = jnp.take(
+                    t, wp.cam_obs.reshape(-1), axis=0, mode="fill",
+                    fill_value=0,
+                ).reshape(n_r, kc, sr).sum(axis=1)
+                idx = (
+                    wp.row_base[:, None]
+                    + jnp.arange(sr, dtype=jnp.int32)[None, :]
+                )
+                y = y.at[idx].add(g)
+            else:
+                y = y.at[wp.rows_r].add(t)
         return y[: self.dim_reduced]
 
     def quad(self, sys, x):
@@ -227,28 +284,36 @@ class SchurCGOps:
             [h_inv, jnp.zeros((1, dl, dl), dtype=dtype)], axis=0
         )
         corrected = [False] * len(fam_blocks)
-        for i, (w_blk, _rows, lid, _starts, rvid) in enumerate(wparts):
+        for i, wp in enumerate(wparts):
             fi = self.wpart_fam[i] if i < len(self.wpart_fam) else None
-            if fi is None or rvid is None:
+            if fi is None or wp.rvid is None:
                 continue
             name, offs, dof = self.fam_offsets[fi]
-            if w_blk.shape[1] != dof or rvid.shape[0] != w_blk.shape[0]:
+            if wp.w_blk.shape[1] != dof or wp.rvid.shape[0] != wp.w_blk.shape[0]:
                 continue  # per-shard repads: shapes no longer line up
-            hi = h_inv_p[lid]  # [B, dl, dl]; masked costs hit the zero pad
-            m = jnp.einsum("bpd,bde,bqe->bpq", w_blk, hi, w_blk)
+            hi = h_inv_p[wp.lid]  # [B, dl, dl]; masked costs hit the zero pad
+            m = jnp.einsum("bpd,bde,bqe->bpq", wp.w_blk, hi, wp.w_blk)
             n_r = offs.shape[0]
             mf = m.reshape(m.shape[0], dof * dof)
-            parts = []
-            for start, width in _onehot_chunks(
-                n_r, _FAST_MAX_ONEHOT, mf.shape[0]
-            ):
-                oh = (
-                    rvid[:, None]
-                    == (start + jnp.arange(width, dtype=jnp.int32))[None, :]
-                ).astype(dtype)  # dustbin (fixed/masked) rows are all-zero
-                parts.append(jnp.einsum("bv,bk->vk", oh, mf))
-            corr = jnp.concatenate(parts, axis=0).reshape(n_r, dof, dof)
-            fam_blocks[fi] = fam_blocks[fi] - corr
+            if wp.cam_obs is not None:
+                # Camera-table gather: O(B) work, no one-hot transient.
+                kc = wp.cam_obs.shape[1]
+                corr = jnp.take(
+                    mf, wp.cam_obs.reshape(-1), axis=0, mode="fill",
+                    fill_value=0,
+                ).reshape(n_r, kc, dof * dof).sum(axis=1)
+            else:
+                parts = []
+                for start, width in _onehot_chunks(
+                    n_r, _FAST_MAX_ONEHOT, mf.shape[0]
+                ):
+                    oh = (
+                        wp.rvid[:, None]
+                        == (start + jnp.arange(width, dtype=jnp.int32))[None, :]
+                    ).astype(dtype)  # dustbin (fixed/masked) rows are all-zero
+                    parts.append(jnp.einsum("bv,bk->vk", oh, mf))
+                corr = jnp.concatenate(parts, axis=0)
+            fam_blocks[fi] = fam_blocks[fi] - corr.reshape(n_r, dof, dof)
             corrected[fi] = True
         return fam_blocks, corrected
 
@@ -312,7 +377,7 @@ class SchurCGOps:
         r0 = rhs
         z0 = precond(r0)
         rz0 = r0 @ z0
-        tol2 = jnp.asarray(self.tol, dtype) ** 2 * (rhs @ rhs)
+        tol2 = jnp.asarray(self._tol(dtype), dtype) ** 2 * (rhs @ rhs)
 
         def cond(st):
             _, r, _, _, _, k = st
@@ -356,6 +421,7 @@ class _FastBatch:
     obs_table: np.ndarray  # [L, K] batch-row ids (out-of-range = padding)
     rvid: np.ndarray  # [B] reduced var id (n_r = dustbin for fixed/masked)
     row_base: np.ndarray  # [n_r] global tangent offset per reduced var (dustbin→dr)
+    cam_table: np.ndarray = None  # [n_r, Kc] batch-row ids keyed by rvid
 
 
 @dataclasses.dataclass
@@ -406,9 +472,10 @@ class SchurInfo:
 
 
 #: Fast-path guards: transient one-hot memory cap (elements) and
-#: observation-table skew cap.
+#: observation-table skew caps (per-landmark / per-camera).
 _FAST_MAX_ONEHOT = 64 * 1024 * 1024  # elements
 _FAST_MAX_K = 512
+_FAST_MAX_CAM_K = 8192
 
 
 def _onehot_chunks(n_r, rows_per_chunk_elems, b):
@@ -458,13 +525,35 @@ def _fast_batch_data(batch, layout, info):
     var_fixed = off_r[rvid] >= layout.dof_total
     rvid[(~mask) | var_fixed] = n_r  # dustbin id → all-zero one-hot row
     row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
+    cam_table = _key_table(rvid, n_r, b_pad, _FAST_MAX_CAM_K)
     return _FastBatch(
         r_slot=r_slot,
         n_r=n_r,
         obs_table=obs_table,
         rvid=rvid,
         row_base=row_base,
+        cam_table=cam_table,
     )
+
+
+def _key_table(keys, n_keys, pad_value, max_k):
+    """[n_keys, K] table of row ids grouped by key (pad = ``pad_value``);
+    None when the per-key count is too skewed for a dense table."""
+    valid = np.nonzero(keys < n_keys)[0]
+    if n_keys == 0:
+        return None
+    order = np.argsort(keys[valid], kind="stable")
+    rows = valid[order]
+    skey = keys[valid][order]
+    counts = np.bincount(skey, minlength=n_keys)
+    k = int(max(counts.max(initial=0), 1))
+    if k > max_k or n_keys * k > 8 * max(len(valid), 1):
+        return None
+    table = np.full((n_keys, k), pad_value, dtype=np.int32)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows)) - np.repeat(starts, counts)
+    table[skey, pos] = rows
+    return table
 
 
 def _generic_rvid(batch, layout, info):
@@ -488,21 +577,53 @@ def _generic_rvid(batch, layout, info):
     )
 
 
-def _sorted_wpart(info, bi, batch, w_blk, rows_r, lid, rvid=None):
-    """Permute a wpart into landmark-sorted order when sort data applies
-    (built for this exact batch padding — per-shard batches skip it)."""
+def _make_wpart(info, bi, batch, w_blk, rows_r, lid, fast=None, rvid=None):
+    """Assemble a :class:`WPart`, permuted into landmark-sorted order when
+    sort data applies (built for this exact batch padding — per-shard
+    batches skip it); the fast-path tables' row ids are remapped through the
+    permutation so they index the (possibly sorted) wpart arrays."""
     sort = info.elim_sort[bi] if bi < len(info.elim_sort) else None
-    if sort is not None and sort[0].shape[0] == batch.n_padded:
+    sorted_ok = sort is not None and sort[0].shape[0] == batch.n_padded
+    obs = cam = row_base = None
+    if fast is not None:
+        rvid = jnp.asarray(fast.rvid) if rvid is None else rvid
+        obs_np, cam_np = fast.obs_table, fast.cam_table
+        if sorted_ok:
+            perm_np = np.asarray(sort[0])
+            b_pad = batch.n_padded
+            inv = np.full(b_pad + 1, b_pad, dtype=np.int32)
+            inv[perm_np] = np.arange(b_pad, dtype=np.int32)
+            obs_np = np.where(obs_np < b_pad, inv[np.minimum(obs_np, b_pad)], b_pad)
+            if cam_np is not None:
+                cam_np = np.where(
+                    cam_np < b_pad, inv[np.minimum(cam_np, b_pad)], b_pad
+                )
+        obs = jnp.asarray(obs_np)
+        cam = None if cam_np is None else jnp.asarray(cam_np)
+        row_base = jnp.asarray(fast.row_base)
+    if sorted_ok:
         perm, starts = sort
         perm = jnp.asarray(perm)
-        return (
-            w_blk[perm],
-            rows_r[perm],
-            lid[perm],
-            jnp.asarray(starts),
-            None if rvid is None else rvid[perm],
+        return WPart(
+            w_blk=w_blk[perm],
+            rows_r=rows_r[perm],
+            lid=lid[perm],
+            starts=jnp.asarray(starts),
+            rvid=None if rvid is None else rvid[perm],
+            obs=obs,
+            cam_obs=cam,
+            row_base=row_base,
         )
-    return (w_blk, rows_r, lid, None, rvid)
+    return WPart(
+        w_blk=w_blk,
+        rows_r=rows_r,
+        lid=lid,
+        starts=None,
+        rvid=rvid,
+        obs=obs,
+        cam_obs=cam,
+        row_base=row_base,
+    )
 
 
 def _elim_sort_data(batch, layout, info):
@@ -710,10 +831,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             g_l = g_l.at[:L].add(jnp.sum(table_gather(g_e), axis=1))
             if info.implicit:
                 wparts.append(
-                    _sorted_wpart(
-                        info, bi, batch, w_blk, rows_r, lid,
-                        rvid=jnp.asarray(fast.rvid),
-                    )
+                    _make_wpart(info, bi, batch, w_blk, rows_r, lid, fast=fast)
                 )
             else:
                 wc = table_gather(w_blk)  # [L, K, dr_s, dl]
@@ -750,7 +868,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             # Keep the coupling blocks per cost; masked costs are neutralized
             # by zeroing (their lid points at the dustbin anyway).
             wparts.append(
-                _sorted_wpart(
+                _make_wpart(
                     info, bi, batch, w_blk, rows_r, lid,
                     rvid=_generic_rvid(batch, layout, info),
                 )

@@ -117,6 +117,10 @@ class ParallelCompiled:
                             meta,
                             obs_table=obs_table[0],
                             rvid=rvid[0],
+                            # Shard-0's camera table rows are invalid for the
+                            # other shards; the sharded path never runs the
+                            # implicit solve, so drop it rather than ship it.
+                            cam_table=None,
                         )
                     )
             local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))

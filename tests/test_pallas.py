@@ -59,7 +59,7 @@ def test_implicit_schur_pallas_segment_matches_scatter():
         compiled.schur_info.ops(), segment_impl="pallas_interpret"
     )
     # wparts carry sorted rows + starts; both impls must agree.
-    assert sys_i[4][0][3] is not None  # starts attached
+    assert sys_i[4][0].starts is not None
     x1 = ops_scatter.solve(sys_i, jnp.asarray(1e-3))
     x2 = ops_pallas.solve(sys_i, jnp.asarray(1e-3))
     np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
