@@ -9,6 +9,14 @@ import sys
 
 sys.path.insert(0, ".")
 
+import os
+
+# Demos default to CPU: on tunneled TPU backends compiles take minutes and a
+# demo is not worth a device slot (set NLLSTPU_PLATFORM=tpu to override).
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("NLLSTPU_PLATFORM", "cpu"))
+
 import numpy as np
 
 import nllstpu as nt
