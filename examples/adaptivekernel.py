@@ -25,6 +25,13 @@ import nllstpu as nt
 KERNEL = nt.ContaminatedGaussian()
 
 
+def measurement(d, m):
+    """One shared residual function: costs added with the SAME function
+    object group into one padded batch (a fresh lambda per data point would
+    compile 500 single-cost batches)."""
+    return m - d
+
+
 def main():
     rng = np.random.default_rng(0)
     inliers = rng.normal(3.0, 1.0, 450)
@@ -37,7 +44,7 @@ def main():
     )
     mean = p.add_variable(nt.Scalar(), 0.0)
     for d in data:
-        p.add_cost(lambda d_, m: m - d_, (kvar, mean), params=d, kernel=KERNEL)
+        p.add_cost(measurement, (kvar, mean), params=d, kernel=KERNEL)
 
     result = nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
     sw = np.asarray(

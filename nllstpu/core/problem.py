@@ -267,6 +267,12 @@ class Problem:
         hand-written Jacobian in tangent coordinates (columns ordered by the
         non-kernel dependency slots) — the reference's ``computeresjac``
         override (src/docstrings.jl:220).
+
+        Costs batch by ``fn`` IDENTITY (the analogue of the reference's
+        by-concrete-type VectorRepo grouping): pass the SAME function object
+        and vary ``params`` per cost.  A fresh lambda/closure per cost
+        creates one single-cost batch each — one XLA program per cost
+        instead of one vmapped program for all of them.
         """
         from .. import config
 
