@@ -94,6 +94,11 @@ class CompiledProblem:
         )
 
 
+#: Direct ("schur") elimination stores W densely; past this budget the
+#: compile falls back to the implicit (matrix-free) reduced solve.
+DENSE_W_BYTE_LIMIT = 4 << 30
+
+
 def _auto_dense_or_cg(problem, batches, layout):
     """The reference's dense-vs-sparse decision (``makesymmvls``,
     src/linearsystem.jl:109-118): dense when the system is small (d ≤ 40),
@@ -177,7 +182,7 @@ def compile_problem(
             dl = schur_family.dof
             dr = layout.dof_total - n_elim * dl
             w_bytes = n_elim * (dr + layout.pad) * dl * np.dtype(problem.dtype).itemsize
-            if w_bytes > 4 << 30:
+            if w_bytes > DENSE_W_BYTE_LIMIT:
                 implicit = True
         info = schur.build_schur_info(
             problem, layout, schur_family, implicit=implicit,

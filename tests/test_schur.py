@@ -235,3 +235,22 @@ def test_schur_jacobi_preconditioner_converges_no_worse():
         e_schur += float(jnp.linalg.norm(schur_jac.solve(sys_i, lamj) - x_true)) / scale
         e_block += float(jnp.linalg.norm(block_jac.solve(sys_i, lamj) - x_true)) / scale
     assert e_schur <= e_block * 1.02
+
+
+def test_auto_implicit_fallback_past_w_budget(monkeypatch):
+    """solver="schur" silently switches to the implicit (matrix-free)
+    reduced solve when the dense W exceeds the memory budget."""
+    from nllstpu.core import optimize as opt
+
+    p, cams, lmks = make_affine_ba(4, 9, 1.0)
+    direct = compile_problem(p, solver="schur", schur_family=nt.Euclidean(3))
+    assert not direct.schur_info.implicit
+    monkeypatch.setattr(opt, "DENSE_W_BYTE_LIMIT", 1)
+    implicit = compile_problem(p, solver="schur", schur_family=nt.Euclidean(3))
+    assert implicit.schur_info.implicit
+    result = nt.optimize(
+        p,
+        nt.Options(solver="schur", schur_family=nt.Euclidean(3),
+                   iterator=nt.LEVENBERG_MARQUARDT),
+    )
+    assert result.best_cost < 1e-15
