@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.manifolds import SE3, so3_exp, so3_log
+from ..core.manifolds import SE3, so3_log
 from ..core.problem import Problem
 
 POSE = SE3()
@@ -33,11 +33,27 @@ def _np_se3(r, t):
     return np.concatenate([r, t[:, None]], axis=1)
 
 
-def make_pose_graph(n_poses=20, n_loops=5, noise=0.0, perturb=0.05, seed=1):
+def _np_so3_exp(w):
+    """Host-side Rodrigues (problem construction must not dispatch thousands
+    of tiny device ops through a tunneled backend)."""
+    theta = np.linalg.norm(w)
+    k = np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]]
+    )
+    if theta < 1e-12:
+        return np.eye(3) + k
+    a = np.sin(theta) / theta
+    b = (1.0 - np.cos(theta)) / (theta * theta)
+    return np.eye(3) + a * k + b * (k @ k)
+
+
+def make_pose_graph(n_poses=20, n_loops=5, noise=0.0, perturb=0.05, seed=1,
+                    dtype=None):
     """Ground-truth poses on a circle, odometry edges between consecutive
     poses, ``n_loops`` random loop closures; measurements generated from
     ground truth (+optional noise), initial values perturbed in the tangent
-    space.  Returns ``(problem, pose_handles, ground_truth [n,3,4])``."""
+    space.  Returns ``(problem, pose_handles, ground_truth [n,3,4])``;
+    ``dtype`` sets the problem precision (f32 for TPU production)."""
     rng = np.random.default_rng(seed)
 
     def rotz(a):
@@ -64,7 +80,7 @@ def make_pose_graph(n_poses=20, n_loops=5, noise=0.0, perturb=0.05, seed=1):
         r_z = r_i.T @ r_j
         t_z = r_i.T @ (t_j - t_i)
         if noise:
-            r_z = r_z @ np.asarray(so3_exp(jnp.asarray(rng.standard_normal(3) * noise)))
+            r_z = r_z @ _np_so3_exp(rng.standard_normal(3) * noise)
             t_z = t_z + rng.standard_normal(3) * noise
         meas.append(_np_se3(r_z, t_z))
     meas = np.stack(meas)
@@ -74,11 +90,11 @@ def make_pose_graph(n_poses=20, n_loops=5, noise=0.0, perturb=0.05, seed=1):
     for i in range(1, n_poses):
         w = rng.standard_normal(3) * perturb
         v = rng.standard_normal(3) * perturb
-        r = init[i][:, :3] @ np.asarray(so3_exp(jnp.asarray(w)))
+        r = init[i][:, :3] @ _np_so3_exp(w)
         t = init[i][:, 3] + init[i][:, :3] @ v
         init[i] = _np_se3(r, t)
 
-    p = Problem()
+    p = Problem(dtype=dtype)
     poses = p.add_variables(POSE, init)
     ei = np.array([e[0] for e in edges], dtype=np.int32)
     ej = np.array([e[1] for e in edges], dtype=np.int32)
