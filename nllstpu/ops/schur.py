@@ -450,10 +450,10 @@ class SchurInfo:
     def ops(self):
         if self.implicit:
             # The pallas sorted-run reduction is opt-in (NLLSTPU_SEGMENT_IMPL
-            # =pallas): it is verified standalone on v5e, but inside the full
-            # LM while-loop at 100k-observation scale it faulted the TPU
-            # worker once — kept off the default path until diagnosed
-            # (docs/ROUND1.md gaps).
+            # =pallas): verified standalone on v5e, but LARGE nested-while
+            # implicit programs can fault the TPU worker regardless of the
+            # reduction implementation (docs/ROUND1.md gaps) — kept off the
+            # default path.
             import os
 
             segment_impl = os.environ.get("NLLSTPU_SEGMENT_IMPL", "scatter")
