@@ -254,3 +254,18 @@ def test_auto_implicit_fallback_past_w_budget(monkeypatch):
                    iterator=nt.LEVENBERG_MARQUARDT),
     )
     assert result.best_cost < 1e-15
+
+
+def test_implicit_schur_stepped_driver():
+    """The stepped driver (Python outer loop + jitted assemble/solve) on the
+    implicit backend — the documented workaround for the TPU-worker fault in
+    giant nested-while implicit programs (docs/ROUND1.md)."""
+    p, cams, lmks = make_affine_ba(6, 20, 0.5)
+    perturb_ba(p, lmks, 0.01, seed=3)
+    result = nt.optimize(
+        p,
+        nt.Options(solver="schur_cg", schur_family=LMK,
+                   iterator=nt.LEVENBERG_MARQUARDT),
+        callback=nt.null_callback,  # forces the stepped driver
+    )
+    assert result.best_cost < 1e-15
