@@ -86,7 +86,7 @@ def _call(data, starts, num_segments: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (SEGS_PER_PROGRAM, d),
             # i * 0 keeps both coordinates int32: a literal 0 traces as i64
