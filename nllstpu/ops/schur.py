@@ -59,7 +59,9 @@ class SchurOps:
 
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
-        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)))
+        # initial= handles an empty reduced block (every reduced variable
+        # fixed — e.g. landmark-only polish with solver="schur").
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
         m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
         return jnp.maximum(m_r, m_l)
 
@@ -180,7 +182,7 @@ class SchurCGOps:
 
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
-        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)))
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
         m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
         return jnp.maximum(m_r, m_l)
 

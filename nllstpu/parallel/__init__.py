@@ -2,3 +2,4 @@
 initialization."""
 
 from .mesh import DATA_AXIS, make_mesh, parallelize  # noqa: F401
+from .schur_shard import optimize_sharded, parallelize_schur  # noqa: F401

@@ -1,0 +1,540 @@
+"""Landmark-sharded distributed Schur solve: the reduced system assembled
+and eliminated across the device mesh.
+
+The basic data-parallel path (:mod:`nllstpu.parallel.mesh`) shards costs
+arbitrarily and ``psum``s the *whole* assembled system — including the dense
+W coupling ([dl, L, Dr], by far the largest buffer) — so every device holds
+and reduces the full W and the elimination work is replicated.  This module
+is the scaling design the reference cannot express (it is single-threaded,
+SURVEY.md §5; no distributed machinery anywhere):
+
+* Landmarks are partitioned into ``n`` contiguous chunks; every cost is
+  routed to the device owning its landmark, so each device assembles a
+  **complete, local** ``h_ll / g_l / W`` for its own landmarks — these are
+  never communicated.
+* The reduced (camera) system is formed by a ``psum`` of the per-device
+  partial Schur corrections ``Σ_l W_l H_ll⁻¹ W_lᵀ`` — only the small
+  [Dr, Dr] S and [Dr] rhs ride the ICI, not W.
+* The reduced Cholesky runs replicated (Dr is small by construction — that
+  is the point of the Schur trick); back-substitution for the landmark
+  steps is local, and only the [L·dl] step vector is all-gathered.
+
+Per-device W memory and elimination FLOPs both scale 1/n, so an
+``n``-device mesh raises the direct solver's feasible problem size and
+speeds up the dominant S contraction by the device count.  The whole outer
+optimization (``core.optimize.run_loop``) runs inside ONE ``shard_map``:
+collectives appear only inside the linear-system ops, and XLA sees a single
+program with no per-iteration host round-trips.
+
+Tested against the single-device Schur backend on a virtual 8-device CPU
+mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import engine, iterators, structs
+from ..core.linearsolver import batched_inv_spd, cholesky_solve
+from ..core.optimize import CompiledProblem, compile_problem, run_loop
+from ..core.problem import family_name
+from ..core.structs import CostTrajectory, Options, Result
+from ..ops import schur
+from .mesh import DATA_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSchurOps:
+    """The :class:`nllstpu.ops.schur.SchurOps` protocol over a
+    landmark-sharded system ``sys = (a_rr, b_r, h_ll, g_l, w)`` where
+    ``a_rr``/``b_r`` are replicated and ``h_ll [Lc, dl, dl]``,
+    ``g_l [Lc, dl]``, ``w [dl, Lc, Dr]`` hold only the local landmark chunk.
+    Must be used inside a ``shard_map`` over ``axis``.
+
+    Global landmark slots are padded to ``Lp = n · Lc``; pad slots (global
+    id ≥ ``num_elim``) carry zero blocks and are regularized with an
+    identity before inversion so the λ=0 Newton solve stays finite (their
+    gradient and coupling are zero, so their step is exactly zero)."""
+
+    dim_reduced: int
+    num_elim: int  # real landmark count L
+    num_elim_local: int  # Lc = Lp / n
+    dof_elim: int
+    n_devices: int = 1
+    axis: str = DATA_AXIS
+
+    @property
+    def dim(self):
+        # Global step length includes the pad slots (they solve to zero).
+        return (
+            self.dim_reduced
+            + self.n_devices * self.num_elim_local * self.dof_elim
+        )
+
+    def _pad_eye(self, dtype):
+        """[Lc, dl, dl] identity on pad slots (global id ≥ L), zero else."""
+        lc, dl = self.num_elim_local, self.dof_elim
+        s = jax.lax.axis_index(self.axis)
+        gid = s * lc + jnp.arange(lc, dtype=jnp.int32)
+        pad = (gid >= self.num_elim).astype(dtype)
+        return pad[:, None, None] * jnp.eye(dl, dtype=dtype)
+
+    def _local_xl(self, x):
+        lc, dl = self.num_elim_local, self.dof_elim
+        xl_full = x[self.dim_reduced :].reshape(-1, dl)
+        s = jax.lax.axis_index(self.axis)
+        return jax.lax.dynamic_slice_in_dim(xl_full, s * lc, lc, axis=0)
+
+    def _gather_elim(self, v_local):
+        """Concatenate the per-device landmark chunks into the global
+        [Lp, dl] array, replicated.  Written as place-into-zeros + psum
+        rather than ``all_gather`` because the latter has no replication
+        rule in shard_map's output checker (same bytes over the ICI)."""
+        lc = self.num_elim_local
+        full = jnp.zeros(
+            (self.n_devices * lc, self.dof_elim), dtype=v_local.dtype
+        )
+        s = jax.lax.axis_index(self.axis)
+        full = jax.lax.dynamic_update_slice_in_dim(full, v_local, s * lc, 0)
+        return jax.lax.psum(full, self.axis)
+
+    def grad(self, sys):
+        _, b_r, _, g_l, _ = sys
+        return jnp.concatenate([b_r, self._gather_elim(g_l).reshape(-1)])
+
+    def diag_max(self, sys):
+        a_rr, _, h_ll, _, _ = sys
+        # initial= handles an empty reduced block (every reduced variable
+        # fixed); pad-slot h_ll blocks are zero and cannot win the max.
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
+
+    def quad(self, sys, x):
+        a_rr, _, h_ll, _, w = sys
+        xr = x[: self.dim_reduced]
+        xl = self._local_xl(x)
+        cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
+        local = 2.0 * cross + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
+
+    def solve(self, sys, lam):
+        a_rr, b_r, h_ll, g_l, w = sys
+        dl = self.dof_elim
+        dtype = b_r.dtype
+        eye_l = jnp.eye(dl, dtype=dtype)
+        eye_r = jnp.eye(self.dim_reduced, dtype=dtype)
+        h_damped = h_ll + lam * eye_l + self._pad_eye(dtype)
+        h_inv = batched_inv_spd(h_damped)
+        y = jnp.einsum("dlr,lde->elr", w, h_inv)  # local W·H⁻¹
+        prec = "highest" if dtype == jnp.float64 else "high"
+        # Only the [Dr, Dr] partial correction and [Dr] partial rhs cross
+        # the ICI — W itself never moves.
+        corr, wy = jax.lax.psum(
+            (
+                jnp.einsum("elr,els->rs", y, w, precision=prec),
+                jnp.einsum("elr,le->r", y, g_l),
+            ),
+            self.axis,
+        )
+        s_mat = a_rr + lam * eye_r - corr
+        rhs = b_r - wy
+        xr = cholesky_solve(s_mat, rhs)  # replicated reduced solve
+        xl = jnp.einsum(
+            "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
+        )
+        return jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)])
+
+
+def _balanced_fill(counts, n, total_extra):
+    """Assign ``total_extra`` extra items to ``n`` buckets, most-empty
+    first; returns per-item bucket ids [total_extra]."""
+    counts = list(counts)
+    out = np.empty(total_extra, dtype=np.int64)
+    for i in range(total_extra):
+        s = int(np.argmin(counts))
+        out[i] = s
+        counts[s] += 1
+    return out
+
+
+def _slice_batch(batch, sel, target, mask_np):
+    """Shard sub-batch: rows ``sel`` of ``batch`` padded to ``target`` rows
+    (padding replicates row 0 with mask False)."""
+    b_pad = batch.n_padded
+    pad_n = target - len(sel)
+    idx_rows = np.concatenate([sel, np.zeros(pad_n, dtype=np.int64)])
+    mask = np.concatenate([mask_np[sel], np.zeros(pad_n, dtype=bool)])
+    return dataclasses.replace(
+        batch,
+        idx=tuple(np.asarray(i)[idx_rows] for i in batch.idx),
+        params=None
+        if batch.params is None
+        else jtu.tree_map(lambda l: np.asarray(l)[idx_rows], batch.params),
+        mask=mask,
+    )
+
+
+@dataclasses.dataclass
+class ShardedSchurCompiled:
+    """Landmark-sharded direct-Schur execution of a compiled problem.
+
+    ``batch_tpl`` holds per-shard batch *templates* (shard 0's structure);
+    the per-shard arrays live in ``batch_args`` with a leading device axis,
+    sharded over the mesh.  ``elim_ids`` maps each eliminated-family
+    variable to its LOCAL landmark slot on the owning device (dustbin
+    ``Lc`` elsewhere), also per-shard."""
+
+    base: CompiledProblem
+    mesh: Mesh
+    batch_tpl: list
+    batch_args: Any  # sharded [(idx..., params, mask)] per batch
+    elim_ids: Any  # sharded [n, n_vars] int32
+    fast_meta: Any  # per-batch _FastBatch template or None
+    fast_args: Any  # per-batch (obs [n,Lc,K], rvid [n,B_local]) or None
+    num_elim: int  # real L
+    num_elim_local: int  # Lc
+    n_devices: int
+
+    @property
+    def layout(self):
+        return self.base.layout
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def info(self):
+        return self.base.schur_info
+
+    def _dim(self):
+        i = self.info
+        return i.dim_reduced + self.n_devices * self.num_elim_local * i.dof_elim
+
+    def ops(self):
+        i = self.info
+        return ShardedSchurOps(
+            dim_reduced=i.dim_reduced,
+            num_elim=self.num_elim,
+            num_elim_local=self.num_elim_local,
+            dof_elim=i.dof_elim,
+            n_devices=self.n_devices,
+        )
+
+    # -- local (inside-shard_map) computations -----------------------------
+
+    def _rebuild(self, batch_args):
+        # Every leaf was stacked host-side with a leading device axis of
+        # size n; inside shard_map the local slice is [1, ...] — strip it.
+        return [
+            dataclasses.replace(
+                b,
+                idx=tuple(x[0] for x in i),
+                params=None if p is None else jtu.tree_map(lambda l: l[0], p),
+                mask=m[0],
+            )
+            for b, (i, p, m) in zip(self.batch_tpl, batch_args)
+        ]
+
+    def _local_info(self, elim_ids, fast_args):
+        i = self.info
+        fast = []
+        for meta, fa in zip(self.fast_meta, fast_args):
+            if meta is None or fa is None:
+                fast.append(None)
+            else:
+                obs_table, rvid = fa
+                fast.append(
+                    dataclasses.replace(
+                        meta,
+                        obs_table=obs_table[0],
+                        rvid=rvid[0],
+                        cam_table=None,
+                    )
+                )
+        return dataclasses.replace(
+            i,
+            num_elim=self.num_elim_local,
+            elim_ids={i.elim_family: elim_ids[0]},
+            fast=tuple(fast),
+            elim_sort=(),
+            wpart_fam=(),
+        )
+
+    def _local_assemble(self, variables, batch_args, elim_ids, fast_args):
+        bs = self._rebuild(batch_args)
+        info = self._local_info(elim_ids, fast_args)
+        c, sys = schur.assemble_schur(
+            bs, variables, self.layout, info, self.dtype
+        )
+        a_rr, b_r, h_ll, g_l, w = sys
+        c, a_rr, b_r = jax.lax.psum((c, a_rr, b_r), DATA_AXIS)
+        return c, (a_rr, b_r, h_ll, g_l, w)
+
+    def _local_cost(self, variables, batch_args):
+        c = engine.total_cost(self._rebuild(batch_args), variables, self.dtype)
+        return jax.lax.psum(c, DATA_AXIS)
+
+    # -- public jitted entry points ----------------------------------------
+
+    def cost(self, variables):
+        f = jax.shard_map(
+            self._local_cost,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(),
+        )
+        return f(variables, self.batch_args)
+
+    def assemble(self, variables):
+        """(cost, sys) with the landmark-sharded layout: ``h_ll``/``g_l``
+        are [Lp, ...] arrays sharded on the landmark axis, ``w`` is
+        [dl, Lp, Dr] sharded on axis 1."""
+        f = jax.shard_map(
+            self._local_assemble,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(
+                P(),
+                (P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(None, DATA_AXIS)),
+            ),
+        )
+        return f(variables, self.batch_args, self.elim_ids, self.fast_args)
+
+    def run(self, vars0, opts: Options):
+        """The full jitted optimization under one ``shard_map`` — the
+        sharded analogue of ``core.optimize.run_loop``."""
+        cache = self.__dict__.setdefault("_runner_cache", {})
+        runner = cache.get(opts)
+        if runner is None:
+            runner = self._make_runner(opts)
+            cache.clear()
+            cache[opts] = runner
+        return runner(vars0)
+
+    def _make_runner(self, opts: Options):
+        def _run(vars0, batch_args, elim_ids, fast_args):
+            def assemble_fn(v):
+                return self._local_assemble(v, batch_args, elim_ids, fast_args)
+
+            def cost_fn(v):
+                return self._local_cost(v, batch_args)
+
+            ctx = iterators.IterCtx(
+                cost=cost_fn,
+                apply=self.base.apply,
+                dtype=jnp.dtype(self.dtype),
+                dim=self._dim(),
+                linops=self.ops(),
+            )
+            final = run_loop(assemble_fn, cost_fn, ctx, opts, vars0)
+            packed = jnp.stack(
+                [
+                    final["startcost"].astype(jnp.float64),
+                    final["bestcost"].astype(jnp.float64),
+                    final["converged"].astype(jnp.float64),
+                    final["iternum"].astype(jnp.float64),
+                    final["ncost"].astype(jnp.float64),
+                    final["ngrad"].astype(jnp.float64),
+                    final["nsolve"].astype(jnp.float64),
+                ]
+            )
+            return final["variables"], final["trace"], packed
+
+        f = jax.shard_map(
+            _run,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+        )
+        return jax.jit(
+            lambda v: f(v, self.batch_args, self.elim_ids, self.fast_args)
+        )
+
+
+def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurCompiled:
+    """Partition a direct-Schur compiled problem across ``mesh`` by
+    landmark ownership (see module docstring)."""
+    info = compiled.schur_info
+    if info is None or info.implicit:
+        raise ValueError(
+            "parallelize_schur requires a direct-Schur compiled problem "
+            "(solver='schur'); use parallel.mesh.parallelize otherwise"
+        )
+    n = int(np.prod(mesh.devices.shape))
+    L = info.num_elim
+    lc = -(-max(L, 1) // n)  # local landmarks per device (≥ 1)
+    elim_fam = info.elim_family
+    gids = np.asarray(info.elim_ids[elim_fam])  # [n_vars] global lid (L=dustbin)
+
+    # Per-shard LOCAL elim ids: owned vars map to [0, Lc), others to the
+    # dustbin Lc.
+    elim_ids = np.full((n, gids.shape[0]), lc, dtype=np.int32)
+    for s in range(n):
+        owned = (gids >= s * lc) & (gids < min((s + 1) * lc, L))
+        elim_ids[s, owned] = gids[owned] - s * lc
+
+    batch_tpl, batch_args_host, fast_meta, fast_args_host = [], [], [], []
+    for b in compiled.batches:
+        mask_np = np.asarray(b.mask)
+        elim_slots = [
+            i
+            for i, m in enumerate(b.manifolds)
+            if family_name(m) == elim_fam
+        ]
+        b_rows = b.n_padded
+        if elim_slots:
+            e = elim_slots[0]
+            lid = gids[np.asarray(b.idx[e])]
+            lid = np.where(mask_np, lid, L)
+            sh = np.where(lid < L, lid // lc, -1)
+        else:
+            sh = np.full(b_rows, -1, dtype=np.int64)
+        sels = [np.nonzero(sh == s)[0] for s in range(n)]
+        extra_rows = np.nonzero(sh < 0)[0]
+        fill = _balanced_fill([len(s) for s in sels], n, len(extra_rows))
+        for s in range(n):
+            sels[s] = np.concatenate(
+                [sels[s], extra_rows[fill == s]]
+            )
+        target = max(1, max(len(s) for s in sels))
+        target = -(-target // 8) * 8  # pad to a tile-friendly multiple
+        shards = [_slice_batch(b, sels[s], target, mask_np) for s in range(n)]
+
+        # Stack per-shard leaves with a leading device axis.
+        def stack(getter):
+            return np.stack([np.asarray(getter(sb)) for sb in shards])
+
+        idx_stacked = tuple(
+            stack(lambda sb, k=k: sb.idx[k]) for k in range(len(b.idx))
+        )
+        params_stacked = (
+            None
+            if b.params is None
+            else jtu.tree_map(
+                lambda *ls: np.stack([np.asarray(l) for l in ls]),
+                *[sb.params for sb in shards],
+            )
+        )
+        mask_stacked = stack(lambda sb: sb.mask)
+        batch_tpl.append(shards[0])
+        batch_args_host.append((idx_stacked, params_stacked, mask_stacked))
+
+        # Per-shard fast tables against the LOCAL landmark numbering.
+        meta = None
+        fargs = None
+        if elim_slots:
+            local_infos = [
+                dataclasses.replace(
+                    info,
+                    num_elim=lc,
+                    elim_ids={elim_fam: elim_ids[s]},
+                    fast=(),
+                    elim_sort=(),
+                )
+                for s in range(n)
+            ]
+            shard_fast = [
+                schur._fast_batch_data(sb, compiled.layout, li)
+                for sb, li in zip(shards, local_infos)
+            ]
+            if all(f is not None for f in shard_fast):
+                k_max = max(f.obs_table.shape[1] for f in shard_fast)
+                tables = np.stack(
+                    [
+                        np.pad(
+                            f.obs_table,
+                            ((0, 0), (0, k_max - f.obs_table.shape[1])),
+                            constant_values=target,
+                        )
+                        for f in shard_fast
+                    ]
+                )
+                rvids = np.stack([f.rvid for f in shard_fast])
+                meta = shard_fast[0]
+                fargs = (tables, rvids)
+        fast_meta.append(meta)
+        fast_args_host.append(fargs)
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        return jax.device_put(np.asarray(x), sharding)
+
+    batch_args = [
+        (
+            tuple(put(i) for i in idx),
+            None if params is None else jtu.tree_map(put, params),
+            put(mask),
+        )
+        for idx, params, mask in batch_args_host
+    ]
+    fast_args = [
+        None if fa is None else tuple(put(x) for x in fa)
+        for fa in fast_args_host
+    ]
+    return ShardedSchurCompiled(
+        base=compiled,
+        mesh=mesh,
+        batch_tpl=batch_tpl,
+        batch_args=batch_args,
+        elim_ids=put(elim_ids),
+        fast_meta=fast_meta,
+        fast_args=fast_args,
+        num_elim=L,
+        num_elim_local=lc,
+        n_devices=n,
+    )
+
+
+def optimize_sharded(
+    problem,
+    mesh: Mesh,
+    options: Options = None,
+    unfixed=None,
+) -> Result:
+    """Distributed drop-in for :func:`nllstpu.optimize` on Schur problems:
+    the whole jitted optimization runs landmark-sharded over ``mesh``."""
+    options = options or Options()
+    if options.schur_family is None:
+        raise ValueError("optimize_sharded requires Options(schur_family=...)")
+    t0 = time.perf_counter()
+    compiled = compile_problem(
+        problem, unfixed, solver="schur", schur_family=options.schur_family
+    )
+    par = parallelize_schur(compiled, mesh)
+    vars0 = problem.stacked_variables()
+    t1 = time.perf_counter()
+    out_vars, trace, packed = par.run(vars0, options)
+    stats = np.asarray(packed)
+    t2 = time.perf_counter()
+    problem.set_values(out_vars)
+    n_iter = int(stats[3])
+    trajectory = None
+    if options.store_trajectory:
+        costs = np.asarray(trace)[:n_iter]
+        trajectory = CostTrajectory(costs=list(costs), times_ns=[], trajectory=[])
+    return Result(
+        start_cost=float(stats[0]),
+        best_cost=float(stats[1]),
+        time_total=t2 - t0,
+        time_init=t1 - t0,
+        time_cost=0.0,
+        time_gradient=0.0,
+        time_solver=0.0,
+        termination=int(stats[2]),
+        num_iterations=n_iter,
+        cost_computations=int(stats[4]),
+        gradient_computations=int(stats[5]),
+        linear_solves=int(stats[6]),
+        trajectory=trajectory,
+    )

@@ -9,9 +9,10 @@ import numpy as np
 import pytest
 
 import nllstpu as nt
-from nllstpu.core.optimize import compile_problem, run_loop
-from nllstpu.models.ba import make_affine_ba, perturb_ba
+from nllstpu.core.optimize import compile_problem, optimize, run_loop
+from nllstpu.models.ba import make_affine_ba, make_pinhole_ba, perturb_ba
 from nllstpu.parallel.mesh import make_mesh, parallelize
+from nllstpu.parallel.schur_shard import optimize_sharded, parallelize_schur
 
 LMK = nt.Euclidean(3)
 
@@ -47,3 +48,91 @@ def test_sharded_full_optimize(n_devices):
         lambda v: run_loop(par.assemble, par.cost, par.ctx(), opts, v)
     )(p.stacked_variables())
     assert float(final["bestcost"]) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# Landmark-sharded distributed Schur (parallel.schur_shard)
+# ---------------------------------------------------------------------------
+
+
+def _pinhole_problem(nlmk=41):
+    # 41 landmarks: does NOT divide 8, exercising the pad-slot handling.
+    p, cams, lmks = make_pinhole_ba(
+        ncameras=6, nlandmarks=nlmk, prop_visible=0.6, dtype=jnp.float64
+    )
+    perturb_ba(p, lmks, 0.01, seed=3)
+    return p
+
+
+def test_landmark_sharded_assembly_matches():
+    p = _pinhole_problem()
+    compiled = compile_problem(p, solver="schur", schur_family=LMK)
+    variables = p.stacked_variables()
+    c1, (a1, b1, h1, g1, w1) = jax.jit(compiled.assemble)(variables)
+    par = parallelize_schur(compiled, make_mesh(8))
+    c2, (a2, b2, h2, g2, w2) = par.assemble(variables)
+    L = h1.shape[0]
+    np.testing.assert_allclose(c1, c2, rtol=1e-12)
+    np.testing.assert_allclose(a1, a2, atol=1e-12)
+    np.testing.assert_allclose(b1, b2, atol=1e-13)
+    # Local landmark blocks are exact (each landmark's costs live on exactly
+    # one device — no cross-device reduction touches them).
+    np.testing.assert_array_equal(np.asarray(h2)[:L], np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(g2)[:L], np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(w2)[:, :L, :], np.asarray(w1))
+    # Pad slots beyond the real landmark count are all-zero.
+    assert not np.asarray(h2)[L:].any()
+    assert not np.asarray(g2)[L:].any()
+    assert not np.asarray(w2)[:, L:, :].any()
+
+
+def test_landmark_sharded_solve_matches():
+    from jax.sharding import PartitionSpec as P
+
+    p = _pinhole_problem()
+    compiled = compile_problem(p, solver="schur", schur_family=LMK)
+    variables = p.stacked_variables()
+    _, sys_ref = jax.jit(compiled.assemble)(variables)
+    x_ref = np.asarray(compiled.schur_info.ops().solve(sys_ref, jnp.float64(0.1)))
+    mesh = make_mesh(8)
+    par = parallelize_schur(compiled, mesh)
+    _, sys_sh = par.assemble(variables)
+    spec = (P(), P(), P("data"), P("data"), P(None, "data"))
+    x_sh = np.asarray(
+        jax.shard_map(
+            lambda sys: par.ops().solve(sys, jnp.float64(0.1)),
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=P(),
+        )(sys_sh)
+    )
+    dr = compiled.schur_info.dim_reduced
+    L = np.asarray(sys_ref[2]).shape[0]
+    np.testing.assert_allclose(x_sh[: dr + 3 * L], x_ref, atol=1e-12)
+    assert not x_sh[dr + 3 * L :].any()  # pad-slot steps are exactly zero
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_landmark_sharded_full_optimize(n_devices):
+    opts = nt.Options(
+        solver="schur", schur_family=LMK, max_iters=30
+    )
+    p_ref = _pinhole_problem()
+    res_ref = optimize(p_ref, opts)
+    p_sh = _pinhole_problem()
+    res_sh = optimize_sharded(p_sh, make_mesh(n_devices), opts)
+    assert res_sh.best_cost < 1e-25
+    assert res_sh.num_iterations == res_ref.num_iterations
+    for name in p_ref.family_names():
+        np.testing.assert_allclose(
+            p_sh.stacked_variables()[name],
+            p_ref.stacked_variables()[name],
+            atol=1e-9,
+        )
+
+
+def test_landmark_sharded_requires_direct_schur():
+    p = _pinhole_problem()
+    compiled = compile_problem(p, solver="dense")
+    with pytest.raises(ValueError):
+        parallelize_schur(compiled, make_mesh(2))
