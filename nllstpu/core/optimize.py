@@ -247,6 +247,27 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
     per-variable alternation solves."""
     dtype = ctx.dtype
     c0 = cost_fn(vars0)
+
+    # Opt-in wall-clock termination inside the jitted loop: an ordered
+    # io_callback reads the host monotonic clock once per outer iteration.
+    # Times are returned relative to a trace-time base so they fit f32
+    # (absolute monotonic values would lose sub-second resolution).
+    use_timer = bool(getattr(opts, "jit_max_time", False)) and np.isfinite(
+        opts.max_time
+    )
+    if use_timer:
+        from jax.experimental import io_callback
+
+        _t_base = time.monotonic()
+        _t_sds = jax.ShapeDtypeStruct((), np.float32)
+
+        def _now():
+            return np.float32(time.monotonic() - _t_base)
+
+        t0 = io_callback(_now, _t_sds, ordered=True)
+    else:
+        t0 = jnp.float32(0)
+
     state = dict(
         variables=vars0,
         varbest=vars0,
@@ -259,6 +280,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
         ncost=jnp.int32(1),
         ngrad=jnp.int32(0),
         nsolve=jnp.int32(0),
+        t0=t0,
         trace=(
             jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
             if opts.store_trajectory
@@ -286,6 +308,11 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
         bits = _termination_bits(
             c, dcost_term, bestcost, maxstep, fails, iternum, opts
         )
+        if use_timer:
+            from jax.experimental import io_callback
+
+            now = io_callback(_now, _t_sds, ordered=True)
+            bits |= jnp.int32(now - st["t0"] > opts.max_time) << 9
         trace = st["trace"]
         if opts.store_trajectory:
             trace = trace.at[iternum - 1].set(c)
@@ -301,6 +328,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
             ncost=st["ncost"] + nc,
             ngrad=st["ngrad"] + 1,
             nsolve=st["nsolve"] + ns,
+            t0=st["t0"],
             trace=trace,
         )
 

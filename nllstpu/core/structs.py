@@ -52,7 +52,9 @@ class Options:
     normal equations), ``"schur"`` (landmark-eliminated reduced system; needs
     ``schur_family``), or ``"auto"``.  ``max_time`` is enforced in stepped
     (callback-driven) mode; the fully-jitted loop bounds work by
-    ``max_iters``.
+    ``max_iters`` unless ``jit_max_time=True`` opts into a host-clock
+    check (one ``io_callback`` round-trip per outer iteration — cheap on
+    CPU, ~tens of ms on tunneled TPU backends, so off by default).
     """
 
     rel_dcost: float = 1e-15
@@ -61,6 +63,7 @@ class Options:
     max_fails: int = 3
     max_iters: int = 100
     max_time: float = 30.0
+    jit_max_time: bool = False
     iterator: str = LEVENBERG_MARQUARDT
     solver: str = "auto"
     schur_family: Any = None  # Manifold of the eliminated (landmark) family

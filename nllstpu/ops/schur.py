@@ -166,6 +166,13 @@ class SchurCGOps:
     tol: Optional[float] = None
     max_iters: int = 500
     segment_impl: str = "scatter"
+    # Fixed-trip-count CG: run exactly this many iterations as a
+    # ``lax.fori_loop`` with masked (frozen-on-convergence) updates instead
+    # of a data-dependent ``while_loop``.  Removes one level of nested
+    # dynamic control flow — the mitigation for the TPU-worker fault
+    # observed in LARGE implicit programs (docs/ROUND1.md), at the price of
+    # always burning the full iteration budget.  None = dynamic while loop.
+    fixed_iters: Optional[int] = None
 
     def _tol(self, dtype):
         if self.tol is not None:
@@ -381,25 +388,36 @@ class SchurCGOps:
         rz0 = r0 @ z0
         tol2 = jnp.asarray(self._tol(dtype), dtype) ** 2 * (rhs @ rhs)
 
-        def cond(st):
-            _, r, _, _, _, k = st
-            return (r @ r > tol2) & (k < self.max_iters)
-
         def body(st):
             x, r, z, p, rz, k = st
+            active = r @ r > tol2
             ap = s_matvec(p)
             denom = p @ ap
             alpha = rz / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+            # Frozen once converged: keeps the fixed-trip fori_loop exact.
+            alpha = jnp.where(active, alpha, jnp.zeros_like(alpha))
             x2 = x + alpha * p
             r2 = r - alpha * ap
             z2 = precond(r2)
             rz2 = r2 @ z2
             beta = rz2 / jnp.where(rz == 0, jnp.ones_like(rz), rz)
-            return (x2, r2, z2, z2 + beta * p, rz2, k + 1)
+            p2 = jnp.where(active, z2 + beta * p, p)
+            rz2 = jnp.where(active, rz2, rz)
+            z2 = jnp.where(active, z2, z)
+            return (x2, r2, z2, p2, rz2, k + jnp.int32(active))
 
-        xr, *_ = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0))
-        )
+        init = (x0, r0, z0, z0, rz0, jnp.int32(0))
+        if self.fixed_iters is not None:
+            xr, *_ = jax.lax.fori_loop(
+                0, self.fixed_iters, lambda i, st: body(st), init
+            )
+        else:
+
+            def cond(st):
+                _, r, _, _, _, k = st
+                return (r @ r > tol2) & (k < self.max_iters)
+
+            xr, *_ = jax.lax.while_loop(cond, body, init)
         xl = jnp.einsum(
             "lde,le->ld", h_inv, g_l - self._wt_apply(wparts, xr)
         )
@@ -461,6 +479,7 @@ class SchurInfo:
             segment_impl = os.environ.get("NLLSTPU_SEGMENT_IMPL", "scatter")
             if segment_impl == "pallas" and jax.default_backend() != "tpu":
                 segment_impl = "scatter"
+            fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
             return SchurCGOps(
                 self.dim_reduced,
                 self.num_elim,
@@ -469,6 +488,7 @@ class SchurInfo:
                 fam_offsets=self.fam_offsets,
                 wpart_fam=self.wpart_fam,
                 segment_impl=segment_impl,
+                fixed_iters=int(fixed) if fixed else None,
             )
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 

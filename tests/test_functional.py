@@ -62,6 +62,27 @@ def test_callback_and_maxtime_termination():
     np.testing.assert_allclose(nt.cost(p), result.best_cost)
 
 
+def test_jit_driver_maxtime_termination():
+    """``jit_max_time=True`` enforces the wall clock INSIDE the jitted loop
+    (host-clock io_callback per outer iteration); every other termination
+    test is disabled so the time bit is the only exit."""
+    p, _, _ = make_problem()
+    result = nt.optimize(
+        p,
+        nt.Options(
+            max_iters=1 << 30,
+            rel_dcost=0.0,
+            abs_dcost=0.0,
+            dstep=0.0,
+            max_fails=1 << 30,
+            max_time=0.2,
+            jit_max_time=True,
+        ),
+    )
+    assert result.termination & (1 << 9)
+    assert result.num_iterations >= 1
+
+
 @pytest.mark.parametrize(
     "iterator,x0,y0,rtol",
     [

@@ -162,6 +162,41 @@ def test_implicit_schur_full_optimize():
     assert result.best_cost < 1e-15
 
 
+def test_implicit_schur_fixed_trip_cg():
+    """The fixed-trip-count (fori_loop) CG with frozen-on-convergence
+    updates must reproduce the dynamic while_loop solve and still drive a
+    full optimization to the reference target (the nested-while TPU-fault
+    mitigation, docs/ROUND1.md)."""
+    import dataclasses
+
+    p, cams, lmks = make_affine_ba(5, 12, 0.7)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    implicit = compile_problem(p, solver="schur_cg", schur_family=LMK)
+    variables = p.stacked_variables()
+    _, sys_i = jax.jit(implicit.assemble)(variables)
+    dyn = implicit.schur_info.ops()
+    fixed = dataclasses.replace(dyn, fixed_iters=200)
+    for lam in [1e-3, 1.0]:
+        xd = dyn.solve(sys_i, jnp.asarray(lam))
+        xf = fixed.solve(sys_i, jnp.asarray(lam))
+        np.testing.assert_allclose(xd, xf, rtol=1e-8, atol=1e-10)
+
+    # Env-selected fixed-trip mode end to end.
+    import os
+
+    p2, cams2, lmks2 = make_affine_ba(10, 50, 0.3)
+    perturb_ba(p2, lmks2, 0.001, seed=3)
+    perturb_ba(p2, cams2, 0.001, seed=4)
+    os.environ["NLLSTPU_CG_FIXED_ITERS"] = "150"
+    try:
+        result = nt.optimize(
+            p2, nt.Options(solver="schur_cg", schur_family=LMK)
+        )
+    finally:
+        del os.environ["NLLSTPU_CG_FIXED_ITERS"]
+    assert result.best_cost < 1e-15
+
+
 @pytest.mark.parametrize("iterator", [nt.NEWTON, nt.GRADIENT_DESCENT])
 def test_more_iterators_on_schur(iterator):
     """Newton and gradient descent also run on the Schur backend (protocol
