@@ -179,6 +179,25 @@ class SchurCGOps:
             return self.tol
         return 1e-5 if jnp.dtype(dtype).itemsize <= 4 else 1e-12
 
+    # -- distribution hooks -------------------------------------------------
+    # The landmark-sharded multi-device variant
+    # (nllstpu.parallel.schur_shard.ShardedSchurCGOps) overrides these: the
+    # W-coupling terms and preconditioner corrections become psums over the
+    # mesh, eliminated-block damping gains pad-slot regularization, and the
+    # final landmark step is gathered.  Single-device defaults are no-ops.
+
+    def _reduce(self, x):
+        """Cross-device sum of a landmark-reduced coupling term."""
+        return x
+
+    def _h_damp_extra(self, dtype):
+        """Extra [*, dl, dl] damping added to H_ll before inversion."""
+        return jnp.zeros((), dtype=dtype)
+
+    def _finalize(self, xr, xl):
+        """Assemble the full step from reduced + (local) eliminated parts."""
+        return jnp.concatenate([xr, xl.reshape(-1)])
+
     @property
     def dim(self):
         return self.dim_reduced + self.num_elim * self.dof_elim
@@ -322,6 +341,7 @@ class SchurCGOps:
                     ).astype(dtype)  # dustbin (fixed/masked) rows are all-zero
                     parts.append(jnp.einsum("bv,bk->vk", oh, mf))
                 corr = jnp.concatenate(parts, axis=0)
+            corr = self._reduce(corr)  # sum per-device partials when sharded
             fam_blocks[fi] = fam_blocks[fi] - corr.reshape(n_r, dof, dof)
             corrected[fi] = True
         return fam_blocks, corrected
@@ -359,15 +379,17 @@ class SchurCGOps:
         a_rr, b_r, h_ll, g_l, wparts = sys
         dtype = b_r.dtype
         dl = self.dof_elim
-        h_inv = batched_inv_spd(h_ll + lam * jnp.eye(dl, dtype=dtype))
+        h_inv = batched_inv_spd(
+            h_ll + lam * jnp.eye(dl, dtype=dtype) + self._h_damp_extra(dtype)
+        )
 
         def s_matvec(v):
             u = self._wt_apply(wparts, v)  # Wᵀ v
             u = jnp.einsum("lde,le->ld", h_inv, u)  # H_ll⁻¹ Wᵀ v
-            return a_rr @ v + lam * v - self._w_apply(wparts, u)
+            return a_rr @ v + lam * v - self._reduce(self._w_apply(wparts, u))
 
-        rhs = b_r - self._w_apply(
-            wparts, jnp.einsum("lde,le->ld", h_inv, g_l)
+        rhs = b_r - self._reduce(
+            self._w_apply(wparts, jnp.einsum("lde,le->ld", h_inv, g_l))
         )
 
         inv_blocks = self.precond_inverses(sys, lam, h_inv)
@@ -421,7 +443,7 @@ class SchurCGOps:
         xl = jnp.einsum(
             "lde,le->ld", h_inv, g_l - self._wt_apply(wparts, xr)
         )
-        return jnp.concatenate([xr, xl.reshape(-1)])
+        return self._finalize(xr, xl)
 
 
 @dataclasses.dataclass

@@ -33,6 +33,7 @@ mesh (tests/test_parallel.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any
 
@@ -49,6 +50,36 @@ from ..core.problem import family_name
 from ..core.structs import CostTrajectory, Options, Result
 from ..ops import schur
 from .mesh import DATA_AXIS
+
+
+def _pad_eye_local(axis, lc, num_real, dl, dtype):
+    """[Lc, dl, dl] identity on pad slots (global id ≥ ``num_real``), zero
+    elsewhere — regularizes the zero blocks of landmark slots that exist
+    only for even sharding, so λ=0 inversions stay finite (their gradient
+    and coupling are zero, so their step is exactly zero)."""
+    s = jax.lax.axis_index(axis)
+    gid = s * lc + jnp.arange(lc, dtype=jnp.int32)
+    pad = (gid >= num_real).astype(dtype)
+    return pad[:, None, None] * jnp.eye(dl, dtype=dtype)
+
+
+def _local_slice_elim(axis, lc, dl, x_elim):
+    """Local [Lc, dl] chunk of the global [Lp·dl] eliminated-step vector."""
+    s = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(
+        x_elim.reshape(-1, dl), s * lc, lc, axis=0
+    )
+
+
+def _gather_elim_chunks(axis, lc, n_devices, dl, v_local):
+    """Concatenate per-device landmark chunks into the replicated global
+    [Lp, dl] array.  Written as place-into-zeros + psum rather than
+    ``all_gather`` because the latter has no replication rule in shard_map's
+    output checker (same bytes over the ICI)."""
+    full = jnp.zeros((n_devices * lc, dl), dtype=v_local.dtype)
+    s = jax.lax.axis_index(axis)
+    full = jax.lax.dynamic_update_slice_in_dim(full, v_local, s * lc, 0)
+    return jax.lax.psum(full, axis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,31 +111,20 @@ class ShardedSchurOps:
         )
 
     def _pad_eye(self, dtype):
-        """[Lc, dl, dl] identity on pad slots (global id ≥ L), zero else."""
-        lc, dl = self.num_elim_local, self.dof_elim
-        s = jax.lax.axis_index(self.axis)
-        gid = s * lc + jnp.arange(lc, dtype=jnp.int32)
-        pad = (gid >= self.num_elim).astype(dtype)
-        return pad[:, None, None] * jnp.eye(dl, dtype=dtype)
+        return _pad_eye_local(
+            self.axis, self.num_elim_local, self.num_elim, self.dof_elim, dtype
+        )
 
     def _local_xl(self, x):
-        lc, dl = self.num_elim_local, self.dof_elim
-        xl_full = x[self.dim_reduced :].reshape(-1, dl)
-        s = jax.lax.axis_index(self.axis)
-        return jax.lax.dynamic_slice_in_dim(xl_full, s * lc, lc, axis=0)
+        return _local_slice_elim(
+            self.axis, self.num_elim_local, self.dof_elim, x[self.dim_reduced :]
+        )
 
     def _gather_elim(self, v_local):
-        """Concatenate the per-device landmark chunks into the global
-        [Lp, dl] array, replicated.  Written as place-into-zeros + psum
-        rather than ``all_gather`` because the latter has no replication
-        rule in shard_map's output checker (same bytes over the ICI)."""
-        lc = self.num_elim_local
-        full = jnp.zeros(
-            (self.n_devices * lc, self.dof_elim), dtype=v_local.dtype
+        return _gather_elim_chunks(
+            self.axis, self.num_elim_local, self.n_devices, self.dof_elim,
+            v_local,
         )
-        s = jax.lax.axis_index(self.axis)
-        full = jax.lax.dynamic_update_slice_in_dim(full, v_local, s * lc, 0)
-        return jax.lax.psum(full, self.axis)
 
     def grad(self, sys):
         _, b_r, _, g_l, _ = sys
@@ -152,6 +172,74 @@ class ShardedSchurOps:
             "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
         )
         return jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)])
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSchurCGOps(schur.SchurCGOps):
+    """Landmark-sharded implicit (matrix-free) Schur: the reduced-system
+    PCG runs replicated, but every W-coupling term inside its matvec, rhs
+    and Schur-Jacobi preconditioner streams through the LOCAL per-cost
+    coupling blocks and is psum-reduced — so per-device memory and matvec
+    FLOPs for the coupling scale 1/n while the CG itself stays a small
+    replicated [Dr] iteration.  ``num_elim`` is the LOCAL chunk size Lc;
+    ``num_elim_global`` the real landmark count L.
+
+    This is the multi-chip composition of Ceres' ITERATIVE_SCHUR: combined
+    with the implicit backend's O(obs) memory it removes both the dense-W
+    and the single-chip HBM bounds."""
+
+    num_elim_global: int = 0
+    n_devices: int = 1
+    axis: str = DATA_AXIS
+
+    @property
+    def dim(self):
+        return (
+            self.dim_reduced
+            + self.n_devices * self.num_elim * self.dof_elim
+        )
+
+    # -- distribution hooks (see SchurCGOps) -------------------------------
+
+    def _reduce(self, x):
+        return jax.lax.psum(x, self.axis)
+
+    def _h_damp_extra(self, dtype):
+        return _pad_eye_local(
+            self.axis, self.num_elim, self.num_elim_global, self.dof_elim,
+            dtype,
+        )
+
+    def _finalize(self, xr, xl):
+        g = _gather_elim_chunks(
+            self.axis, self.num_elim, self.n_devices, self.dof_elim, xl
+        )
+        return jnp.concatenate([xr, g.reshape(-1)])
+
+    # -- replicated-protocol overrides -------------------------------------
+
+    def grad(self, sys):
+        _, b_r, _, g_l, _ = sys
+        g = _gather_elim_chunks(
+            self.axis, self.num_elim, self.n_devices, self.dof_elim, g_l
+        )
+        return jnp.concatenate([b_r, g.reshape(-1)])
+
+    def diag_max(self, sys):
+        a_rr, _, h_ll, _, _ = sys
+        m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
+
+    def quad(self, sys, x):
+        a_rr, _, h_ll, _, wparts = sys
+        xr = x[: self.dim_reduced]
+        xl = _local_slice_elim(
+            self.axis, self.num_elim, self.dof_elim, x[self.dim_reduced :]
+        )
+        cross = xr @ self._w_apply(wparts, xl)
+        local = 2.0 * cross + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
 
 
 def _balanced_fill(counts, n, total_extra):
@@ -222,6 +310,19 @@ class ShardedSchurCompiled:
 
     def ops(self):
         i = self.info
+        if i.implicit:
+            fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
+            return ShardedSchurCGOps(
+                i.dim_reduced,
+                self.num_elim_local,  # local chunk size Lc
+                i.dof_elim,
+                pad=i.pad,
+                fam_offsets=i.fam_offsets,
+                wpart_fam=i.wpart_fam,
+                fixed_iters=int(fixed) if fixed else None,
+                num_elim_global=self.num_elim,
+                n_devices=self.n_devices,
+            )
         return ShardedSchurOps(
             dim_reduced=i.dim_reduced,
             num_elim=self.num_elim,
@@ -252,13 +353,14 @@ class ShardedSchurCompiled:
             if meta is None or fa is None:
                 fast.append(None)
             else:
-                obs_table, rvid = fa
+                obs_table, rvid = fa[0], fa[1]
+                cam = fa[2][0] if len(fa) > 2 and fa[2] is not None else None
                 fast.append(
                     dataclasses.replace(
                         meta,
                         obs_table=obs_table[0],
                         rvid=rvid[0],
-                        cam_table=None,
+                        cam_table=cam,
                     )
                 )
         return dataclasses.replace(
@@ -266,8 +368,8 @@ class ShardedSchurCompiled:
             num_elim=self.num_elim_local,
             elim_ids={i.elim_family: elim_ids[0]},
             fast=tuple(fast),
-            elim_sort=(),
-            wpart_fam=(),
+            elim_sort=(),  # pallas sorted runs don't apply to shard repads
+            wpart_fam=i.wpart_fam,  # static per-batch structure is unchanged
         )
 
     def _local_assemble(self, variables, batch_args, elim_ids, fast_args):
@@ -298,7 +400,14 @@ class ShardedSchurCompiled:
     def assemble(self, variables):
         """(cost, sys) with the landmark-sharded layout: ``h_ll``/``g_l``
         are [Lp, ...] arrays sharded on the landmark axis, ``w`` is
-        [dl, Lp, Dr] sharded on axis 1."""
+        [dl, Lp, Dr] sharded on axis 1.  Direct backend only — the implicit
+        system's per-cost coupling pytree is shard-local by construction
+        (use :meth:`solve_once` / :meth:`run`)."""
+        if self.info.implicit:
+            raise ValueError(
+                "assemble() is not exposed for the implicit sharded system; "
+                "use solve_once()/run()"
+            )
         f = jax.shard_map(
             self._local_assemble,
             mesh=self.mesh,
@@ -309,6 +418,27 @@ class ShardedSchurCompiled:
             ),
         )
         return f(variables, self.batch_args, self.elim_ids, self.fast_args)
+
+    def solve_once(self, variables, lam):
+        """Assemble and solve the damped system once, returning
+        ``(cost, x)`` with the full (replicated) step vector — the
+        sharded analogue of ``ops().solve(assemble(v)[1], lam)``."""
+
+        def _one(variables, lam, batch_args, elim_ids, fast_args):
+            c, sys = self._local_assemble(
+                variables, batch_args, elim_ids, fast_args
+            )
+            return c, self.ops().solve(sys, lam)
+
+        f = jax.shard_map(
+            _one,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+        )
+        return f(
+            variables, lam, self.batch_args, self.elim_ids, self.fast_args
+        )
 
     def run(self, vars0, opts: Options):
         """The full jitted optimization under one ``shard_map`` — the
@@ -365,10 +495,11 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
     """Partition a direct-Schur compiled problem across ``mesh`` by
     landmark ownership (see module docstring)."""
     info = compiled.schur_info
-    if info is None or info.implicit:
+    if info is None:
         raise ValueError(
-            "parallelize_schur requires a direct-Schur compiled problem "
-            "(solver='schur'); use parallel.mesh.parallelize otherwise"
+            "parallelize_schur requires a Schur compiled problem "
+            "(solver='schur' or 'schur_cg'); use parallel.mesh.parallelize "
+            "otherwise"
         )
     n = int(np.prod(mesh.devices.shape))
     L = info.num_elim
@@ -461,7 +592,24 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
                 )
                 rvids = np.stack([f.rvid for f in shard_fast])
                 meta = shard_fast[0]
-                fargs = (tables, rvids)
+                cams = None
+                if info.implicit and all(
+                    f.cam_table is not None for f in shard_fast
+                ):
+                    # Camera tables hold shard-LOCAL row ids; pad K to the
+                    # max over shards so one program serves all devices.
+                    kc_max = max(f.cam_table.shape[1] for f in shard_fast)
+                    cams = np.stack(
+                        [
+                            np.pad(
+                                f.cam_table,
+                                ((0, 0), (0, kc_max - f.cam_table.shape[1])),
+                                constant_values=target,
+                            )
+                            for f in shard_fast
+                        ]
+                    )
+                fargs = (tables, rvids, cams)
         fast_meta.append(meta)
         fast_args_host.append(fargs)
 
@@ -479,7 +627,9 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         for idx, params, mask in batch_args_host
     ]
     fast_args = [
-        None if fa is None else tuple(put(x) for x in fa)
+        None
+        if fa is None
+        else tuple(None if x is None else put(x) for x in fa)
         for fa in fast_args_host
     ]
     return ShardedSchurCompiled(
@@ -507,9 +657,10 @@ def optimize_sharded(
     options = options or Options()
     if options.schur_family is None:
         raise ValueError("optimize_sharded requires Options(schur_family=...)")
+    solver = options.solver if options.solver in ("schur", "schur_cg") else "schur"
     t0 = time.perf_counter()
     compiled = compile_problem(
-        problem, unfixed, solver="schur", schur_family=options.schur_family
+        problem, unfixed, solver=solver, schur_family=options.schur_family
     )
     par = parallelize_schur(compiled, mesh)
     vars0 = problem.stacked_variables()

@@ -136,3 +136,32 @@ def test_landmark_sharded_requires_direct_schur():
     compiled = compile_problem(p, solver="dense")
     with pytest.raises(ValueError):
         parallelize_schur(compiled, make_mesh(2))
+
+
+def test_landmark_sharded_implicit_solve_matches():
+    """The sharded implicit (matrix-free CG) solve must reproduce the
+    single-device schur_cg solve: psum-reduced W couplings in the matvec,
+    rhs and Schur-Jacobi preconditioner."""
+    p = _pinhole_problem()
+    imp = compile_problem(p, solver="schur_cg", schur_family=LMK)
+    assert imp.schur_info.implicit
+    variables = p.stacked_variables()
+    _, sys_ref = jax.jit(imp.assemble)(variables)
+    x_ref = np.asarray(imp.schur_info.ops().solve(sys_ref, jnp.float64(0.1)))
+    par = parallelize_schur(imp, make_mesh(8))
+    _, x_sh = par.solve_once(variables, jnp.float64(0.1))
+    x_sh = np.asarray(x_sh)
+    dr = imp.schur_info.dim_reduced
+    L = imp.schur_info.num_elim
+    np.testing.assert_allclose(x_sh[: dr + 3 * L], x_ref, atol=1e-12)
+    assert not x_sh[dr + 3 * L :].any()
+
+
+def test_landmark_sharded_implicit_full_optimize():
+    opts = nt.Options(solver="schur_cg", schur_family=LMK, max_iters=30)
+    p_ref = _pinhole_problem()
+    res_ref = optimize(p_ref, opts)
+    p_sh = _pinhole_problem()
+    res_sh = optimize_sharded(p_sh, make_mesh(8), opts)
+    assert res_sh.best_cost < 1e-25
+    assert res_sh.num_iterations == res_ref.num_iterations
