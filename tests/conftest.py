@@ -22,6 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the 8-device shard_map programs in
+# tests/test_parallel.py take ~30s each to compile cold; cached reruns
+# roughly halve that file's runtime (tracing is not cached).  Same
+# directory bench.py uses (gitignored).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import nllstpu  # noqa: E402,F401  (enables x64)
 
 assert jax.default_backend() == "cpu"
