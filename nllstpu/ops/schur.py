@@ -17,13 +17,18 @@ Block structure, with r = reduced tangent dims and l = eliminated dims:
     [Wᵀ  H_ll] [x_l] = [g_l]   →      S = A_rr − W H_ll⁻¹ Wᵀ
                                        x_l = H_ll⁻¹ (g_l − Wᵀ x_r)
 
-H_ll is block diagonal ([L, dl, dl]); W is stored densely in
-components-major layout ``[dl, L, Dr]`` (the tiny dl axis must NOT be a
-trailing dimension — TPU tiles pad trailing dims to (8,128), a 42x memory
-inflation for dl=3).  The S contraction is a single [Dr, dl·L] × [dl·L, Dr]
-matmul that XLA maps straight onto the MXU.  Requirement inherited from the
-reference (src/problem.jl:185): each cost touches at most one eliminated
-variable.
+H_ll is block diagonal, stored components-major ``[dl, dl, L]``; the
+gradient ``g_l`` is ``[dl, L]``; W is dense components-major ``[dl, L, Dr]``.
+The tiny dl axes must NOT be trailing dimensions — TPU tiles pad the last
+two dims to (8,128), a ~390x memory inflation for an [L,3,3] block array
+(profiled at ~74MB of HBM traffic for the one fused inverse kernel at bench
+scale; the cm layout pads ~2.7x only).  The S contraction is a single
+[Dr, dl·L] × [dl·L, Dr] matmul that XLA maps straight onto the MXU.  The
+flat step vector ``x`` keeps the reference's variable-major order
+(landmark-major, dof-minor) so ``apply_step`` and the iterators are
+layout-agnostic; the solve transposes its [dl, L] eliminated step once at
+the boundary.  Requirement inherited from the reference
+(src/problem.jl:185): each cost touches at most one eliminated variable.
 """
 
 from __future__ import annotations
@@ -36,7 +41,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core import engine
-from ..core.linearsolver import batched_inv_spd, cholesky_solve
+from ..core.linearsolver import (
+    batched_inv_spd,
+    batched_inv_spd_cm,
+    cholesky_solve,
+)
 from ..core.problem import family_name
 
 
@@ -55,14 +64,14 @@ class SchurOps:
 
     def grad(self, sys):
         _, b_r, _, g_l, _ = sys
-        return jnp.concatenate([b_r, g_l.reshape(-1)])
+        return jnp.concatenate([b_r, g_l.T.reshape(-1)])
 
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
         # initial= handles an empty reduced block (every reduced variable
         # fixed — e.g. landmark-only polish with solver="schur").
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
         return jnp.maximum(m_r, m_l)
 
     def quad(self, sys, x):
@@ -73,7 +82,7 @@ class SchurOps:
         return (
             xr @ (a_rr @ xr)
             + 2.0 * cross
-            + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+            + jnp.einsum("ld,del,le->", xl, h_ll, xl)
         )
 
     def solve(self, sys, lam):
@@ -81,25 +90,25 @@ class SchurOps:
         dl = self.dof_elim
         eye_l = jnp.eye(dl, dtype=h_ll.dtype)
         eye_r = jnp.eye(self.dim_reduced, dtype=a_rr.dtype)
-        h_damped = h_ll + lam * eye_l
+        h_damped = h_ll + lam * eye_l[:, :, None]
         a_damped = a_rr + lam * eye_r
         # Batched landmark-block inverses (closed-form for d<=3).
-        h_inv = batched_inv_spd(h_damped)
-        # y = W·H⁻¹ in components-major [dl, L, Dr] layout.
-        y = jnp.einsum("dlr,lde->elr", w, h_inv)
+        h_inv = batched_inv_spd_cm(h_damped)
+        # y = W·H⁻¹ in components-major [dl, L, Dr] layout (h_inv symmetric).
+        y = jnp.einsum("dlr,del->elr", w, h_inv)
         # Reduced (Schur) system — one MXU contraction over dl·L.  For f32
         # problems run it at HIGH (bf16x3) precision: ~1e-6 relative error —
         # far below LM's f32 convergence floor — for a 2-3x faster matmul.
         # f64 problems keep full precision for the reference's 1e-15 targets.
         prec = "highest" if a_rr.dtype == jnp.float64 else "high"
         s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
-        rhs = b_r - jnp.einsum("elr,le->r", y, g_l)
+        rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
         xr = cholesky_solve(s, rhs)
-        # Back-substitution.
+        # Back-substitution; transpose to landmark-major at the boundary.
         xl = jnp.einsum(
-            "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
+            "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
         )
-        return jnp.concatenate([xr, xl.reshape(-1)])
+        return jnp.concatenate([xr, xl.T.reshape(-1)])
 
 
 class WPart(NamedTuple):
@@ -195,8 +204,10 @@ class SchurCGOps:
         return jnp.zeros((), dtype=dtype)
 
     def _finalize(self, xr, xl):
-        """Assemble the full step from reduced + (local) eliminated parts."""
-        return jnp.concatenate([xr, xl.reshape(-1)])
+        """Assemble the full step from reduced + (local) eliminated parts;
+        ``xl`` arrives components-major [dl, L] and is transposed to the
+        flat landmark-major order once, at this boundary."""
+        return jnp.concatenate([xr, xl.T.reshape(-1)])
 
     @property
     def dim(self):
@@ -204,27 +215,27 @@ class SchurCGOps:
 
     def grad(self, sys):
         _, b_r, _, g_l, _ = sys
-        return jnp.concatenate([b_r, g_l.reshape(-1)])
+        return jnp.concatenate([b_r, g_l.T.reshape(-1)])
 
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
         return jnp.maximum(m_r, m_l)
 
     def _wt_apply(self, wparts, v):
-        """u[l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  [L, dl].
+        """u[:, l] = Σ_{costs i of l} w_iᵀ v[rows_i]  →  cm [dl, L].
 
         Landmark reduction preference: pallas sorted-run kernel (opt-in) >
         observation-table gather + dense sum > scatter-add fallback."""
-        u = jnp.zeros((self.num_elim + 1, self.dof_elim), dtype=v.dtype)
+        u = jnp.zeros((self.dof_elim, self.num_elim + 1), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
         for wp in wparts:
             vg = vp[wp.rows_r]  # [B, Sr]
-            q = jnp.einsum("bsd,bs->bd", wp.w_blk, vg)  # [B, dl]
             if wp.starts is not None and self.segment_impl.startswith("pallas"):
                 from .pallas.segment_sum import CHUNK, segment_block_sum
 
+                q = jnp.einsum("bsd,bs->bd", wp.w_blk, vg)  # [B, dl]
                 q_pad = jnp.concatenate(
                     [q, jnp.zeros((CHUNK, self.dof_elim), dtype=q.dtype)]
                 )
@@ -233,30 +244,33 @@ class SchurCGOps:
                     wp.starts,
                     interpret=(self.segment_impl == "pallas_interpret"),
                 )
-                u = u.at[: self.num_elim].add(u_part)
-            elif wp.obs is not None:
+                u = u.at[:, : self.num_elim].add(u_part.T)
+                continue
+            q = jnp.einsum("bsd,bs->db", wp.w_blk, vg)  # cm [dl, B]
+            if wp.obs is not None:
                 L, k = wp.obs.shape
                 flat = jnp.take(
-                    q, wp.obs.reshape(-1), axis=0, mode="fill", fill_value=0
+                    q, wp.obs.reshape(-1), axis=-1, mode="fill", fill_value=0
                 )
-                u = u.at[:L].add(flat.reshape(L, k, -1).sum(axis=1))
+                u = u.at[:, :L].add(flat.reshape(-1, L, k).sum(axis=-1))
             else:
-                u = u.at[wp.lid].add(q)
-        return u[: self.num_elim]
+                u = u.at[:, wp.lid].add(q)
+        return u[:, : self.num_elim]
 
     def _w_apply(self, wparts, u):
-        """y = Σ_i w_i u[l_i] scattered at rows_i  →  [Dr].
+        """y = Σ_i w_i u[:, l_i] scattered at rows_i  →  [Dr]; ``u`` is
+        components-major [dl, L].
 
         With a camera table the per-cost contributions are gathered per
         reduced variable and land with a UNIQUE-row scatter; otherwise a
         duplicate-index scatter-add."""
         up = jnp.concatenate(
-            [u, jnp.zeros((1, self.dof_elim), dtype=u.dtype)], axis=0
+            [u, jnp.zeros((self.dof_elim, 1), dtype=u.dtype)], axis=-1
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
         for wp in wparts:
-            ug = up[wp.lid]  # [B, dl]
-            t = jnp.einsum("bsd,bd->bs", wp.w_blk, ug)  # [B, Sr]
+            ug = up[:, wp.lid]  # cm [dl, B]
+            t = jnp.einsum("bsd,db->bs", wp.w_blk, ug)  # [B, Sr]
             if wp.cam_obs is not None and wp.row_base is not None:
                 n_r, kc = wp.cam_obs.shape
                 sr = t.shape[1]
@@ -277,11 +291,11 @@ class SchurCGOps:
         a_rr, _, h_ll, _, wparts = sys
         xr = x[: self.dim_reduced]
         xl = x[self.dim_reduced :].reshape(self.num_elim, self.dof_elim)
-        cross = xr @ self._w_apply(wparts, xl)
+        cross = xr @ self._w_apply(wparts, xl.T)
         return (
             xr @ (a_rr @ xr)
             + 2.0 * cross
-            + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+            + jnp.einsum("ld,del,le->", xl, h_ll, xl)
         )
 
     def precond_blocks(self, sys, lam, h_inv):
@@ -308,9 +322,7 @@ class SchurCGOps:
                 a_pad[idx[:, :, None], idx[:, None, :]]
                 + lam * jnp.eye(dof, dtype=dtype)
             )
-        h_inv_p = jnp.concatenate(
-            [h_inv, jnp.zeros((1, dl, dl), dtype=dtype)], axis=0
-        )
+        h_inv_p = jnp.pad(h_inv, ((0, 0), (0, 0), (0, 1)))
         corrected = [False] * len(fam_blocks)
         for i, wp in enumerate(wparts):
             fi = self.wpart_fam[i] if i < len(self.wpart_fam) else None
@@ -319,8 +331,9 @@ class SchurCGOps:
             name, offs, dof = self.fam_offsets[fi]
             if wp.w_blk.shape[1] != dof or wp.rvid.shape[0] != wp.w_blk.shape[0]:
                 continue  # per-shard repads: shapes no longer line up
-            hi = h_inv_p[wp.lid]  # [B, dl, dl]; masked costs hit the zero pad
-            m = jnp.einsum("bpd,bde,bqe->bpq", wp.w_blk, hi, wp.w_blk)
+            # cm [dl, dl, B]; masked costs hit the zero pad column.
+            hi = h_inv_p[:, :, wp.lid]
+            m = jnp.einsum("bpd,deb,bqe->bpq", wp.w_blk, hi, wp.w_blk)
             n_r = offs.shape[0]
             mf = m.reshape(m.shape[0], dof * dof)
             if wp.cam_obs is not None:
@@ -374,22 +387,22 @@ class SchurCGOps:
         return inv_blocks
 
     def solve(self, sys, lam):
-        from ..core.linearsolver import batched_inv_spd
-
         a_rr, b_r, h_ll, g_l, wparts = sys
         dtype = b_r.dtype
         dl = self.dof_elim
-        h_inv = batched_inv_spd(
-            h_ll + lam * jnp.eye(dl, dtype=dtype) + self._h_damp_extra(dtype)
+        h_inv = batched_inv_spd_cm(
+            h_ll
+            + lam * jnp.eye(dl, dtype=dtype)[:, :, None]
+            + self._h_damp_extra(dtype)
         )
 
         def s_matvec(v):
-            u = self._wt_apply(wparts, v)  # Wᵀ v
-            u = jnp.einsum("lde,le->ld", h_inv, u)  # H_ll⁻¹ Wᵀ v
+            u = self._wt_apply(wparts, v)  # Wᵀ v, cm [dl, L]
+            u = jnp.einsum("del,el->dl", h_inv, u)  # H_ll⁻¹ Wᵀ v
             return a_rr @ v + lam * v - self._reduce(self._w_apply(wparts, u))
 
         rhs = b_r - self._reduce(
-            self._w_apply(wparts, jnp.einsum("lde,le->ld", h_inv, g_l))
+            self._w_apply(wparts, jnp.einsum("del,el->dl", h_inv, g_l))
         )
 
         inv_blocks = self.precond_inverses(sys, lam, h_inv)
@@ -441,7 +454,7 @@ class SchurCGOps:
 
             xr, *_ = jax.lax.while_loop(cond, body, init)
         xl = jnp.einsum(
-            "lde,le->ld", h_inv, g_l - self._wt_apply(wparts, xr)
+            "del,el->dl", h_inv, g_l - self._wt_apply(wparts, xr)
         )
         return self._finalize(xr, xl)
 
@@ -772,8 +785,11 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
     pad = layout.pad
     a_rr = jnp.zeros((dr + pad, dr + pad), dtype=dtype)
     b_r = jnp.zeros(dr + pad, dtype=dtype)
-    h_ll = jnp.zeros((L + 1, dl, dl), dtype=dtype)
-    g_l = jnp.zeros((L + 1, dl), dtype=dtype)
+    # Eliminated blocks accumulate components-major (see module docstring):
+    # the landmark axis must stay minor or TPU tiling pads (dl, dl) to
+    # (8, 128).
+    h_ll = jnp.zeros((dl, dl, L + 1), dtype=dtype)
+    g_l = jnp.zeros((dl, L + 1), dtype=dtype)
     w = (
         None
         if info.implicit
@@ -871,8 +887,18 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                 flat = jnp.take(x, tk, axis=0, mode="fill", fill_value=0)
                 return flat.reshape((L, k) + x.shape[1:])
 
-            h_ll = h_ll.at[:L].add(jnp.sum(table_gather(h_le), axis=1))
-            g_l = g_l.at[:L].add(jnp.sum(table_gather(g_e), axis=1))
+            def table_gather_cm(x):
+                # x [..., B] → [..., L, k]; gather along the minor axis so
+                # the whole reduction stays components-major.
+                flat = jnp.take(x, tk, axis=-1, mode="fill", fill_value=0)
+                return flat.reshape(x.shape[:-1] + (L, k))
+
+            h_ll = h_ll.at[:, :, :L].add(
+                jnp.sum(table_gather_cm(jnp.moveaxis(h_le, 0, -1)), axis=-1)
+            )
+            g_l = g_l.at[:, :L].add(
+                jnp.sum(table_gather_cm(g_e.T), axis=-1)
+            )
             if info.implicit:
                 wparts.append(
                     _make_wpart(info, bi, batch, w_blk, rows_r, lid, fast=fast)
@@ -906,8 +932,8 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
 
         a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(h_rr)
         b_r = b_r.at[rows_r].add(g_r)
-        h_ll = h_ll.at[lid].add(h_le)
-        g_l = g_l.at[lid].add(g_e)
+        h_ll = h_ll.at[:, :, lid].add(jnp.moveaxis(h_le, 0, -1))
+        g_l = g_l.at[:, lid].add(g_e.T)
         if info.implicit:
             # Keep the coupling blocks per cost; masked costs are neutralized
             # by zeroing (their lid points at the dustbin anyway).
@@ -927,7 +953,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
     return total, (
         a_rr[:dr, :dr],
         b_r[:dr],
-        h_ll[:L],
-        g_l[:L],
+        h_ll[:, :, :L],
+        g_l[:, :L],
         w_out,
     )

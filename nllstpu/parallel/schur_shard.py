@@ -44,7 +44,7 @@ import jax.tree_util as jtu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import engine, iterators, structs
-from ..core.linearsolver import batched_inv_spd, cholesky_solve
+from ..core.linearsolver import batched_inv_spd_cm, cholesky_solve
 from ..core.optimize import CompiledProblem, compile_problem, run_loop
 from ..core.problem import family_name
 from ..core.structs import CostTrajectory, Options, Result
@@ -53,14 +53,15 @@ from .mesh import DATA_AXIS
 
 
 def _pad_eye_local(axis, lc, num_real, dl, dtype):
-    """[Lc, dl, dl] identity on pad slots (global id ≥ ``num_real``), zero
-    elsewhere — regularizes the zero blocks of landmark slots that exist
-    only for even sharding, so λ=0 inversions stay finite (their gradient
-    and coupling are zero, so their step is exactly zero)."""
+    """Components-major [dl, dl, Lc] identity on pad slots (global id ≥
+    ``num_real``), zero elsewhere — regularizes the zero blocks of landmark
+    slots that exist only for even sharding, so λ=0 inversions stay finite
+    (their gradient and coupling are zero, so their step is exactly
+    zero)."""
     s = jax.lax.axis_index(axis)
     gid = s * lc + jnp.arange(lc, dtype=jnp.int32)
     pad = (gid >= num_real).astype(dtype)
-    return pad[:, None, None] * jnp.eye(dl, dtype=dtype)
+    return jnp.eye(dl, dtype=dtype)[:, :, None] * pad[None, None, :]
 
 
 def _local_slice_elim(axis, lc, dl, x_elim):
@@ -72,23 +73,25 @@ def _local_slice_elim(axis, lc, dl, x_elim):
 
 
 def _gather_elim_chunks(axis, lc, n_devices, dl, v_local):
-    """Concatenate per-device landmark chunks into the replicated global
-    [Lp, dl] array.  Written as place-into-zeros + psum rather than
-    ``all_gather`` because the latter has no replication rule in shard_map's
-    output checker (same bytes over the ICI)."""
-    full = jnp.zeros((n_devices * lc, dl), dtype=v_local.dtype)
+    """Concatenate per-device components-major [dl, Lc] landmark chunks
+    into the replicated global [Lp, dl] (landmark-major) array.  Written as
+    place-into-zeros + psum rather than ``all_gather`` because the latter
+    has no replication rule in shard_map's output checker (same bytes over
+    the ICI)."""
+    full = jnp.zeros((dl, n_devices * lc), dtype=v_local.dtype)
     s = jax.lax.axis_index(axis)
-    full = jax.lax.dynamic_update_slice_in_dim(full, v_local, s * lc, 0)
-    return jax.lax.psum(full, axis)
+    full = jax.lax.dynamic_update_slice_in_dim(full, v_local, s * lc, 1)
+    return jax.lax.psum(full, axis).T
 
 
 @dataclasses.dataclass(frozen=True)
 class ShardedSchurOps:
     """The :class:`nllstpu.ops.schur.SchurOps` protocol over a
     landmark-sharded system ``sys = (a_rr, b_r, h_ll, g_l, w)`` where
-    ``a_rr``/``b_r`` are replicated and ``h_ll [Lc, dl, dl]``,
-    ``g_l [Lc, dl]``, ``w [dl, Lc, Dr]`` hold only the local landmark chunk.
-    Must be used inside a ``shard_map`` over ``axis``.
+    ``a_rr``/``b_r`` are replicated and the components-major
+    ``h_ll [dl, dl, Lc]``, ``g_l [dl, Lc]``, ``w [dl, Lc, Dr]`` hold only
+    the local landmark chunk.  Must be used inside a ``shard_map`` over
+    ``axis``.
 
     Global landmark slots are padded to ``Lp = n · Lc``; pad slots (global
     id ≥ ``num_elim``) carry zero blocks and are regularized with an
@@ -135,7 +138,7 @@ class ShardedSchurOps:
         # initial= handles an empty reduced block (every reduced variable
         # fixed); pad-slot h_ll blocks are zero and cannot win the max.
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
         return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
 
     def quad(self, sys, x):
@@ -143,7 +146,7 @@ class ShardedSchurOps:
         xr = x[: self.dim_reduced]
         xl = self._local_xl(x)
         cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
-        local = 2.0 * cross + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        local = 2.0 * cross + jnp.einsum("ld,del,le->", xl, h_ll, xl)
         return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
 
     def solve(self, sys, lam):
@@ -152,16 +155,16 @@ class ShardedSchurOps:
         dtype = b_r.dtype
         eye_l = jnp.eye(dl, dtype=dtype)
         eye_r = jnp.eye(self.dim_reduced, dtype=dtype)
-        h_damped = h_ll + lam * eye_l + self._pad_eye(dtype)
-        h_inv = batched_inv_spd(h_damped)
-        y = jnp.einsum("dlr,lde->elr", w, h_inv)  # local W·H⁻¹
+        h_damped = h_ll + lam * eye_l[:, :, None] + self._pad_eye(dtype)
+        h_inv = batched_inv_spd_cm(h_damped)
+        y = jnp.einsum("dlr,del->elr", w, h_inv)  # local W·H⁻¹
         prec = "highest" if dtype == jnp.float64 else "high"
         # Only the [Dr, Dr] partial correction and [Dr] partial rhs cross
         # the ICI — W itself never moves.
         corr, wy = jax.lax.psum(
             (
                 jnp.einsum("elr,els->rs", y, w, precision=prec),
-                jnp.einsum("elr,le->r", y, g_l),
+                jnp.einsum("elr,el->r", y, g_l),
             ),
             self.axis,
         )
@@ -169,7 +172,7 @@ class ShardedSchurOps:
         rhs = b_r - wy
         xr = cholesky_solve(s_mat, rhs)  # replicated reduced solve
         xl = jnp.einsum(
-            "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
+            "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
         )
         return jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)])
 
@@ -228,7 +231,7 @@ class ShardedSchurCGOps(schur.SchurCGOps):
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
         return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
 
     def quad(self, sys, x):
@@ -237,8 +240,8 @@ class ShardedSchurCGOps(schur.SchurCGOps):
         xl = _local_slice_elim(
             self.axis, self.num_elim, self.dof_elim, x[self.dim_reduced :]
         )
-        cross = xr @ self._w_apply(wparts, xl)
-        local = 2.0 * cross + jnp.einsum("ld,lde,le->", xl, h_ll, xl)
+        cross = xr @ self._w_apply(wparts, xl.T)
+        local = 2.0 * cross + jnp.einsum("ld,del,le->", xl, h_ll, xl)
         return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
 
 
@@ -398,11 +401,12 @@ class ShardedSchurCompiled:
         return f(variables, self.batch_args)
 
     def assemble(self, variables):
-        """(cost, sys) with the landmark-sharded layout: ``h_ll``/``g_l``
-        are [Lp, ...] arrays sharded on the landmark axis, ``w`` is
-        [dl, Lp, Dr] sharded on axis 1.  Direct backend only — the implicit
-        system's per-cost coupling pytree is shard-local by construction
-        (use :meth:`solve_once` / :meth:`run`)."""
+        """(cost, sys) with the landmark-sharded components-major layout:
+        ``h_ll [dl, dl, Lp]``/``g_l [dl, Lp]`` sharded on the (minor)
+        landmark axis, ``w`` is [dl, Lp, Dr] sharded on axis 1.  Direct
+        backend only — the implicit system's per-cost coupling pytree is
+        shard-local by construction (use :meth:`solve_once` /
+        :meth:`run`)."""
         if self.info.implicit:
             raise ValueError(
                 "assemble() is not exposed for the implicit sharded system; "
@@ -414,7 +418,13 @@ class ShardedSchurCompiled:
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(
                 P(),
-                (P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(None, DATA_AXIS)),
+                (
+                    P(),
+                    P(),
+                    P(None, None, DATA_AXIS),
+                    P(None, DATA_AXIS),
+                    P(None, DATA_AXIS),
+                ),
             ),
         )
         return f(variables, self.batch_args, self.elim_ids, self.fast_args)

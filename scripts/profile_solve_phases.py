@@ -27,7 +27,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import nllstpu as nt
-from nllstpu.core.linearsolver import batched_inv_spd, cholesky_solve
+from nllstpu.core.linearsolver import batched_inv_spd_cm, cholesky_solve
 from nllstpu.core.optimize import compile_problem
 from nllstpu.models.ba import make_pinhole_ba, perturb_ba
 
@@ -55,10 +55,12 @@ def main():
         a_rr, b_r, h_ll, g_l, w = sys
         dl = ops.dof_elim
         acc = jnp.zeros((), jnp.float32)
-        h_inv = batched_inv_spd(h_ll + lam * jnp.eye(dl, dtype=h_ll.dtype))
+        h_inv = batched_inv_spd_cm(
+            h_ll + lam * jnp.eye(dl, dtype=h_ll.dtype)[:, :, None]
+        )
         acc += jnp.sum(h_inv).astype(jnp.float32)
         if upto >= 2:
-            y = jnp.einsum("dlr,lde->elr", w, h_inv)
+            y = jnp.einsum("dlr,del->elr", w, h_inv)
             acc += jnp.sum(y).astype(jnp.float32)
         if upto >= 3:
             prec = "highest" if a_rr.dtype == jnp.float64 else "high"
@@ -69,12 +71,12 @@ def main():
             )
             acc += jnp.sum(s).astype(jnp.float32)
         if upto >= 4:
-            rhs = b_r - jnp.einsum("elr,le->r", y, g_l)
+            rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
             xr = cholesky_solve(s, rhs)
             acc += jnp.sum(xr).astype(jnp.float32)
         if upto >= 5:
             xl = jnp.einsum(
-                "lde,le->ld", h_inv, g_l - jnp.einsum("dlr,r->ld", w, xr)
+                "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
             )
             acc += jnp.sum(xl).astype(jnp.float32)
         return acc

@@ -71,18 +71,18 @@ def test_landmark_sharded_assembly_matches():
     c1, (a1, b1, h1, g1, w1) = jax.jit(compiled.assemble)(variables)
     par = parallelize_schur(compiled, make_mesh(8))
     c2, (a2, b2, h2, g2, w2) = par.assemble(variables)
-    L = h1.shape[0]
+    L = h1.shape[-1]
     np.testing.assert_allclose(c1, c2, rtol=1e-12)
     np.testing.assert_allclose(a1, a2, atol=1e-12)
     np.testing.assert_allclose(b1, b2, atol=1e-13)
     # Local landmark blocks are exact (each landmark's costs live on exactly
     # one device — no cross-device reduction touches them).
-    np.testing.assert_array_equal(np.asarray(h2)[:L], np.asarray(h1))
-    np.testing.assert_array_equal(np.asarray(g2)[:L], np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(h2)[:, :, :L], np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(g2)[:, :L], np.asarray(g1))
     np.testing.assert_array_equal(np.asarray(w2)[:, :L, :], np.asarray(w1))
     # Pad slots beyond the real landmark count are all-zero.
-    assert not np.asarray(h2)[L:].any()
-    assert not np.asarray(g2)[L:].any()
+    assert not np.asarray(h2)[:, :, L:].any()
+    assert not np.asarray(g2)[:, L:].any()
     assert not np.asarray(w2)[:, L:, :].any()
 
 
@@ -97,7 +97,9 @@ def test_landmark_sharded_solve_matches():
     mesh = make_mesh(8)
     par = parallelize_schur(compiled, mesh)
     _, sys_sh = par.assemble(variables)
-    spec = (P(), P(), P("data"), P("data"), P(None, "data"))
+    spec = (
+        P(), P(), P(None, None, "data"), P(None, "data"), P(None, "data")
+    )
     x_sh = np.asarray(
         jax.shard_map(
             lambda sys: par.ops().solve(sys, jnp.float64(0.1)),
@@ -107,7 +109,7 @@ def test_landmark_sharded_solve_matches():
         )(sys_sh)
     )
     dr = compiled.schur_info.dim_reduced
-    L = np.asarray(sys_ref[2]).shape[0]
+    L = np.asarray(sys_ref[2]).shape[-1]
     np.testing.assert_allclose(x_sh[: dr + 3 * L], x_ref, atol=1e-12)
     assert not x_sh[dr + 3 * L :].any()  # pad-slot steps are exactly zero
 

@@ -230,8 +230,10 @@ def test_schur_jacobi_preconditioner_blocks_exact():
     a_rr, _, h_ll, _, w = sys_d
     lam = 1e-4
     dl = 3
-    h_inv = batched_inv_spd(h_ll + lam * jnp.eye(dl))
-    y = jnp.einsum("dlr,lde->elr", w, h_inv)
+    from nllstpu.core.linearsolver import batched_inv_spd_cm
+
+    h_inv = batched_inv_spd_cm(h_ll + lam * jnp.eye(dl)[:, :, None])
+    y = jnp.einsum("dlr,del->elr", w, h_inv)
     s = a_rr + lam * jnp.eye(a_rr.shape[0]) - jnp.einsum("elr,els->rs", y, w)
     ops = ci.schur_info.ops()
     assert ops.wpart_fam and any(f is not None for f in ops.wpart_fam)
