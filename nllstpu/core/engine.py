@@ -367,11 +367,18 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
         in_axes = (None if batch.params is None else 0,) + (0,) * len(vals)
         costs, g, h = jax.vmap(one, in_axes=in_axes)(batch.params, *vals)
 
-    # Row indices: per-slot tangent offsets gathered from the layout, with
-    # masked (padding) costs redirected wholesale to the dustbin.
+    rows = _batch_rows(batch, layout)
+    cost_sum = jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
+    return cost_sum, g, h, rows
+
+
+def _batch_rows(batch: CostBatch, layout: Layout):
+    """[B, S] global tangent row per block column: per-slot tangent offsets
+    gathered from the layout, with masked (padding) costs redirected
+    wholesale to the dustbin.  Slot order matches the g/H block layout from
+    ``_cost_grad_hess_one``: for adaptive costs the kernel is slot 0 and its
+    tangent dims come first."""
     dustbin = jnp.int32(layout.dof_total)
-    # Slot order matches the g/H block layout from _cost_grad_hess_one: for
-    # adaptive costs the kernel is slot 0 and its tangent dims come first.
     row_parts = []
     for slot in range(len(batch.manifolds)):
         man = batch.manifolds[slot]
@@ -380,10 +387,60 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
         off = jnp.asarray(layout.offsets[family_name(man)])[batch.idx[slot]]  # [B]
         off = jnp.where(batch.mask, off, dustbin)
         row_parts.append(off[:, None] + jnp.arange(man.dof, dtype=jnp.int32)[None, :])
-    rows = jnp.concatenate(row_parts, axis=1)  # [B, S]
+    return jnp.concatenate(row_parts, axis=1)  # [B, S]
 
+
+def batch_grad_hess_cm(batch: CostBatch, variables: dict, layout: Layout, dtype):
+    """Components-major variant of :func:`batch_grad_hess`:
+    (masked cost sum, g [S, B], H [S, S, B], rows [B, S]).
+
+    The [B, S, S] block layout pads its tiny trailing (S, S) dims to
+    (8, 128) TPU tiles — ~860MB of HBM traffic per assemble at 105k
+    observations — while [S, S, B] keeps the batch axis minor (<2x pad).
+    Profiled: this was the single largest cost of a full LM iteration,
+    hidden because the earlier assemble-only measurements dead-code
+    eliminated the unused Hessian.  Only ``batched='cm'`` batches compute
+    natively in this layout; others fall back to the batch-major math and
+    transpose once at the boundary (small batches by construction)."""
+    if batch.batched == "cm":
+        gath = _gather_vals_cm(batch, variables)
+        r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
+        sq = jnp.sum(r * r, axis=0)
+        g = jnp.einsum("nsb,nb->sb", jac, r)
+        h = jnp.einsum("nsb,ntb->stb", jac, jac, precision="highest")
+        rho, d1, d2 = batch.kernel.rho_dc(sq)
+        h = h * d1[None, None, :] + (2.0 * d2)[None, None, :] * (
+            g[:, None, :] * g[None, :, :]
+        )
+        g = g * d1[None, :]
+        costs = 0.5 * rho
+        cost_sum = jnp.sum(
+            jnp.where(batch.mask, costs, jnp.zeros_like(costs))
+        )
+        rows = _batch_rows(batch, layout)
+        return cost_sum, g, h, rows
+    cost_sum, g, h, rows = batch_grad_hess(batch, variables, layout, dtype)
+    return cost_sum, g.T, jnp.moveaxis(h, 0, -1), rows
+
+
+def batch_res_jac_cm(batch: CostBatch, variables: dict, dtype):
+    """Raw components-major residual data of a ``batched='cm'`` batch:
+    ``(cost_sum, r [n, B], jac [n, S, B], g0 [S, B], d1 [B], d2 [B])`` with
+    ``g0 = Jᵀr`` unweighted and (d1, d2) = (ρ′, ρ″).  Consumers compose the
+    robustified blocks themselves — per OUTPUT, fused into its reduction —
+    instead of materializing the shared [S, S, B] per-cost Hessian (60MB of
+    (8,128)-padded tiles at 105k observations; profiled as a dominant
+    assembly cost).  Returns None for non-cm batches."""
+    if batch.batched != "cm":
+        return None
+    gath = _gather_vals_cm(batch, variables)
+    r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
+    sq = jnp.sum(r * r, axis=0)
+    rho, d1, d2 = batch.kernel.rho_dc(sq)
+    g0 = jnp.einsum("nsb,nb->sb", jac, r)
+    costs = 0.5 * rho
     cost_sum = jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
-    return cost_sum, g, h, rows
+    return cost_sum, r, jac, g0, d1, d2
 
 
 def assemble_dense(batches, variables: dict, layout: Layout, dtype):

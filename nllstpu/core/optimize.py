@@ -184,6 +184,16 @@ def compile_problem(
             w_bytes = n_elim * (dr + layout.pad) * dl * np.dtype(problem.dtype).itemsize
             if w_bytes > DENSE_W_BYTE_LIMIT:
                 implicit = True
+        # Repack BA-shaped batches into obs-major (landmark-run) column
+        # order: landmark reductions become reshape + minor-axis sums with
+        # no gather (see ops.schur.obs_major_repack), the reference's
+        # reordercostsforschur! done at the batch-layout level.  The info is
+        # built twice: elim ids first, then the fast tables against the
+        # repacked batches.
+        pre = schur.build_schur_info(
+            problem, layout, schur_family, implicit=implicit
+        )
+        batches = schur.repack_batches_for_schur(batches, pre)
         info = schur.build_schur_info(
             problem, layout, schur_family, implicit=implicit,
             batches=batches,

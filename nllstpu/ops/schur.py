@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional, Any
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.tree_util as jtu
 
 from ..core import engine
 from ..core.linearsolver import (
@@ -477,6 +478,20 @@ class _FastBatch:
     rvid: np.ndarray  # [B] reduced var id (n_r = dustbin for fixed/masked)
     row_base: np.ndarray  # [n_r] global tangent offset per reduced var (dustbin→dr)
     cam_table: np.ndarray = None  # [n_r, Kc] batch-row ids keyed by rvid
+    # When the batch is obs-major packed (column l·K + j = j-th cost of
+    # landmark l; see ``obs_major_repack``), the run length K: landmark
+    # reductions become reshape + lane-axis sums with NO gather (TPU gathers
+    # along the minor axis dominated assembly).  None = use obs_table.
+    obs_k: int = None
+    # Dual-sorted direct assembly (obs_k batches only): a second repack of
+    # the SAME costs in camera-run order, so the a_rr/b_r reductions are
+    # also reshape + lane sums — at the price of evaluating the residual
+    # Jacobian twice (~1ms vs ~4ms of one-hot matmuls at bench scale).
+    cam_batch: Any = None
+    cam_k: int = None
+    # [K, L, dr_s] static reduced-column indices of obs-major column l·K+j
+    # (dustbin rows for masked/fixed), for the unique-index W scatters.
+    w_rows: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -533,6 +548,70 @@ class SchurInfo:
 _FAST_MAX_ONEHOT = 64 * 1024 * 1024  # elements
 _FAST_MAX_K = 512
 _FAST_MAX_CAM_K = 8192
+#: Obs-major repack guard: max padded-columns-to-real-costs compute ratio.
+_OBS_MAJOR_MAX_RATIO = 2.5
+
+
+def obs_major_repack(batch, info: "SchurInfo"):
+    """Host-side reorder + pad of a BA-shaped batch into landmark-run
+    ("obs-major") column order: column ``l·K + j`` holds the j-th cost of
+    landmark ``l`` (mask False beyond its count); real costs whose landmark
+    is fixed are appended after ``L·K``.  Landmark-keyed reductions over an
+    obs-major batch are a reshape + minor-axis sum — no gather at all.  TPU
+    gathers along the minor (lane) axis were profiled as the dominant
+    assembly cost, and batch-major gathers stream (8, 128)-padded tiles; the
+    batch *order* is the one free axis.  This is the TPU-native descendant
+    of the reference's ``reordercostsforschur!`` (src/problem.jl:177-199),
+    which likewise sorts costs by their single Schur variable.
+
+    Returns the repacked batch, or None when the batch shape doesn't
+    qualify (multi-slot costs, no landmarks, excessive padding)."""
+    elim_slots = [
+        i
+        for i, m in enumerate(batch.manifolds)
+        if family_name(m) == info.elim_family
+    ]
+    if len(elim_slots) != 1 or len(batch.manifolds) != 2 or info.num_elim == 0:
+        return None
+    e = elim_slots[0]
+    mask = np.asarray(batch.mask)
+    L = info.num_elim
+    lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
+    lid = np.where(mask, lid, L)
+    valid = np.nonzero(lid < L)[0]
+    extra = np.nonzero(mask & (lid == L))[0]  # real costs, fixed landmark
+    counts = np.bincount(lid[valid], minlength=L)
+    k = int(max(counts.max(initial=0), 1))
+    total = L * k + len(extra)
+    if k > _FAST_MAX_K or total > _OBS_MAJOR_MAX_RATIO * max(batch.n, 1):
+        return None
+    order = np.argsort(lid[valid], kind="stable")
+    rows_sorted = valid[order]
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
+    cols = lid[valid][order] * k + pos
+    b_new = -(-total // 8) * 8  # tile-friendly trailing pad
+    take = np.zeros(b_new, dtype=np.int64)
+    newmask = np.zeros(b_new, dtype=bool)
+    take[cols] = rows_sorted
+    newmask[cols] = True
+    if len(extra):
+        take[L * k : L * k + len(extra)] = extra
+        newmask[L * k : L * k + len(extra)] = True
+    return dataclasses.replace(
+        batch,
+        idx=tuple(np.asarray(i)[take] for i in batch.idx),
+        params=None
+        if batch.params is None
+        else jtu.tree_map(lambda l: np.asarray(l)[take], batch.params),
+        mask=newmask,
+    )
+
+
+def repack_batches_for_schur(batches, info: "SchurInfo"):
+    """Apply :func:`obs_major_repack` where it qualifies, passing the rest
+    through unchanged."""
+    return [obs_major_repack(b, info) or b for b in batches]
 
 
 def _onehot_chunks(n_r, rows_per_chunk_elems, b):
@@ -577,12 +656,32 @@ def _fast_batch_data(batch, layout, info):
     pos = np.arange(len(sorted_rows)) - np.repeat(starts, counts)
     obs_table[sorted_lid, pos] = sorted_rows
 
+    # Obs-major detection (see obs_major_repack): the table is exactly the
+    # contiguous pattern l·K + j ⇒ landmark reductions need no gather.
+    contiguous = np.where(
+        np.arange(k)[None, :] < counts[:, None],
+        np.arange(info.num_elim)[:, None] * k + np.arange(k)[None, :],
+        b_pad,
+    )
+    obs_k = k if (
+        info.num_elim * k <= b_pad and np.array_equal(obs_table, contiguous)
+    ) else None
+
     off_r = np.asarray(layout.offsets[rfam])
     rvid = np.asarray(batch.idx[r_slot]).astype(np.int32).copy()
     var_fixed = off_r[rvid] >= layout.dof_total
     rvid[(~mask) | var_fixed] = n_r  # dustbin id → all-zero one-hot row
     row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
     cam_table = _key_table(rvid, n_r, b_pad, _FAST_MAX_CAM_K)
+    cam_batch = cam_k = w_rows = None
+    if obs_k is not None:
+        cam_batch, cam_k = _cam_major_repack(batch, rvid, n_r)
+        dr_s = rman.dof
+        rb = np.append(row_base, np.int32(info.dim_reduced))
+        base = rb[np.minimum(rvid[: info.num_elim * k], n_r)]  # [L·K]
+        w_rows = (
+            base[:, None] + np.arange(dr_s, dtype=np.int32)[None, :]
+        ).reshape(info.num_elim, k, dr_s).transpose(1, 0, 2)  # [K, L, dr_s]
     return _FastBatch(
         r_slot=r_slot,
         n_r=n_r,
@@ -590,7 +689,45 @@ def _fast_batch_data(batch, layout, info):
         rvid=rvid,
         row_base=row_base,
         cam_table=cam_table,
+        obs_k=obs_k,
+        cam_batch=cam_batch,
+        cam_k=cam_k,
+        w_rows=w_rows,
     )
+
+
+def _cam_major_repack(batch, rvid, n_r):
+    """Camera-run repack of an (obs-major) batch: column ``c·Kc + j`` holds
+    the j-th cost touching unfixed reduced variable ``c``; costs with a
+    dustbin rvid (masked, or fixed camera — no a_rr contribution) are
+    dropped.  Returns (batch, Kc) or (None, None) on excessive skew."""
+    valid = np.nonzero(rvid < n_r)[0]
+    if n_r == 0:
+        return None, None
+    counts = np.bincount(rvid[valid], minlength=n_r)
+    kc = int(max(counts.max(initial=0), 1))
+    if kc > _FAST_MAX_CAM_K or n_r * kc > _OBS_MAJOR_MAX_RATIO * max(
+        len(valid), 1
+    ):
+        return None, None
+    order = np.argsort(rvid[valid], kind="stable")
+    rows_sorted = valid[order]
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
+    cols = rvid[valid][order] * kc + pos
+    b_new = -(-(n_r * kc) // 8) * 8
+    take = np.zeros(b_new, dtype=np.int64)
+    newmask = np.zeros(b_new, dtype=bool)
+    take[cols] = rows_sorted
+    newmask[cols] = True
+    return dataclasses.replace(
+        batch,
+        idx=tuple(np.asarray(i)[take] for i in batch.idx),
+        params=None
+        if batch.params is None
+        else jtu.tree_map(lambda l: np.asarray(l)[take], batch.params),
+        mask=newmask,
+    ), kc
 
 
 def _key_table(keys, n_keys, pad_value, max_k):
@@ -772,6 +909,119 @@ def build_schur_info(
     return info
 
 
+def _assemble_fast_dual(
+    batch, variables, layout, info, fast, e, dtype,
+    a_rr, b_r, h_ll, g_l, w,
+):
+    """Dual-sorted direct assembly of one BA-shaped cm batch (the
+    speed-of-light path): every reduction is either a contiguous
+    reshape + minor-axis sum or a unique-index scatter.
+
+    * The obs-major leg (landmark runs of length K) produces h_ll, g_l and
+      the W coupling: robustified blocks are composed per OUTPUT directly
+      from the Jacobian — the shared [S, S, B] per-cost Hessian is never
+      materialized — and W lands with K unique-index scatters through the
+      static ``w_rows`` table instead of a one-hot einsum.
+    * The camera-major leg (``fast.cam_batch``, runs of length Kc) re-
+      evaluates the Jacobian in camera order so a_rr/b_r are also pure
+      reshape-sums.  Twice the residual work (~1ms at bench scale) buys out
+      ~8ms of one-hot matmuls, minor-axis gathers and padded-tile traffic.
+
+    Returns ``(cost, sys)`` or None when the batch is not components-major
+    batched (caller falls back)."""
+    raw = engine.batch_res_jac_cm(batch, variables, dtype)
+    if raw is None:
+        return None
+    dr, L, dl = info.dim_reduced, info.num_elim, info.dof_elim
+    k = fast.obs_k
+    dofs = [m.dof for m in batch.manifolds]
+    start = sum(dofs[:e])
+    sel_e = np.arange(start, start + dl)
+    sel_r = np.array(
+        [i for i in range(sum(dofs)) if not (start <= i < start + dl)],
+        dtype=np.int64,
+    )
+    dr_s = len(sel_r)
+
+    def robust_block(jac, g0, d1m, d2m, sa, sb):
+        """[len(sa), len(sb), B] robustified Hessian sub-block, composed
+        fresh per output so it fuses into that output's reduction."""
+        ja = jac[:, sa, :]
+        jb = jac[:, sb, :]
+        jj = jnp.einsum("npb,nqb->pqb", ja, jb)
+        return jj * d1m + d2m * (g0[sa][:, None, :] * g0[sb][None, :, :])
+
+    # --- obs-major leg: cost, h_ll, g_l, W --------------------------------
+    cost_sum, r, jac, g0, d1, d2 = raw
+    mval = jnp.asarray(batch.mask).astype(dtype)
+    d1m = d1 * mval
+    d2m = 2.0 * d2 * mval
+
+    def runs(x):
+        return x[..., : L * k].reshape(x.shape[:-1] + (L, k))
+
+    he = robust_block(jac, g0, d1m, d2m, sel_e, sel_e)
+    h_ll = h_ll.at[:, :, :L].add(jnp.sum(runs(he), axis=-1))
+    g_l = g_l.at[:, :L].add(jnp.sum(runs(g0[sel_e] * d1m), axis=-1))
+
+    # W: one-hot MXU contraction over the K run slots (per-slot scatters and
+    # one combined scatter both measured 5x slower — TPU scatters rewrite
+    # the full 75MB W buffer), landing with a permutation scatter of unique
+    # rows — or a plain contiguous add when every camera is unfixed (the
+    # permutation is the identity).
+    we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))  # [Sr,dl,L,K]
+    vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
+    n_r = fast.n_r
+    w_parts = []
+    for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
+        oh_w = (
+            vc[:, :, None]
+            == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+        ).astype(dtype)  # [L, K, width]
+        w_parts.append(
+            jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
+        )
+    w_blocks = jnp.concatenate(w_parts, axis=2)
+    row_flat = (
+        np.asarray(fast.row_base)[:, None]
+        + np.arange(dr_s, dtype=np.int32)[None, :]
+    ).reshape(-1)
+    if np.array_equal(row_flat, np.arange(n_r * dr_s, dtype=np.int32)):
+        w = w.at[:, :L, : n_r * dr_s].add(
+            w_blocks.reshape(dl, L, n_r * dr_s)
+        )
+    else:
+        w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
+        w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
+            w_blocks.reshape(dl, L, n_r * dr_s)
+        )
+        w = w.at[:, :L].add(w_add)
+
+    # --- camera-major leg: a_rr, b_r (cost NOT re-counted) ----------------
+    raw2 = engine.batch_res_jac_cm(fast.cam_batch, variables, dtype)
+    _, _, jac2, g02, d1_2, d2_2 = raw2
+    m2 = jnp.asarray(fast.cam_batch.mask).astype(dtype)
+    d1m2 = d1_2 * m2
+    d2m2 = 2.0 * d2_2 * m2
+    n_r, kc = fast.n_r, fast.cam_k
+
+    def cam_runs(x):
+        return x[..., : n_r * kc].reshape(x.shape[:-1] + (n_r, kc))
+
+    ha = robust_block(jac2, g02, d1m2, d2m2, sel_r, sel_r)
+    a_blocks = jnp.sum(cam_runs(ha), axis=-1)  # [Sr, Sr, n_r]
+    b_blocks = jnp.sum(cam_runs(g02[sel_r] * d1m2), axis=-1)  # [Sr, n_r]
+    row_idx = (
+        jnp.asarray(fast.row_base)[:, None]
+        + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
+    )  # [n_r, dr_s]; fixed vars point at the pad row dr
+    a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(
+        jnp.transpose(a_blocks, (2, 0, 1))
+    )
+    b_r = b_r.at[row_idx].add(b_blocks.T)
+    return cost_sum, (a_rr, b_r, h_ll, g_l, w)
+
+
 def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):
     """Assemble ``(cost, (a_rr, b_r, h_ll, g_l, w))``.
 
@@ -803,15 +1053,40 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             i for i, m in enumerate(batch.manifolds)
             if family_name(m) == info.elim_family
         ]
-        c, g, h, rows = engine.batch_grad_hess(batch, variables, layout, dtype)
+        fast0 = info.fast[bi] if bi < len(info.fast) else None
+        if (
+            not info.implicit
+            and len(elim_slots) == 1
+            and fast0 is not None
+            and fast0.obs_k is not None
+            and fast0.cam_batch is not None
+            and fast0.w_rows is not None
+        ):
+            c = _assemble_fast_dual(
+                batch, variables, layout, info, fast0, elim_slots[0],
+                dtype, a_rr, b_r, h_ll, g_l, w,
+            )
+            if c is not None:
+                total, (a_rr, b_r, h_ll, g_l, w) = total + c[0], c[1]
+                continue
+        # Per-cost blocks arrive components-major ([S, B] / [S, S, B]): the
+        # batch-major layout pads its tiny trailing block dims to (8, 128)
+        # tiles — profiled at ~1.5GB of HBM traffic per assemble at 105k
+        # observations, the hottest single cost of an LM iteration.
+        c, g_cm, h_cm, rows = engine.batch_grad_hess_cm(
+            batch, variables, layout, dtype
+        )
         total = total + c
         if not elim_slots:
             # Pure-reduced batch: rows are already reduced offsets (< dr) or
             # dustbin; the dustbin (layout.dof_total = dr + L·dl) must be
-            # remapped into this system's pad region.
+            # remapped into this system's pad region.  Block scatters need
+            # batch-major operands; these batches are small by construction.
             rows = jnp.where(rows >= dr, dr, rows)
-            a_rr = a_rr.at[rows[:, :, None], rows[:, None, :]].add(h)
-            b_r = b_r.at[rows].add(g)
+            a_rr = a_rr.at[rows[:, :, None], rows[:, None, :]].add(
+                jnp.moveaxis(h_cm, -1, 0)
+            )
+            b_r = b_r.at[rows].add(g_cm.T)
             continue
         if len(elim_slots) > 1:
             raise ValueError(
@@ -835,11 +1110,11 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         rows_r = rows[:, sel_r]
         rows_r = jnp.where(rows_r >= dr, dr, rows_r)
 
-        h_rr = h[:, sel_r[:, None], sel_r[None, :]]
-        h_le = h[:, sel_e[:, None], sel_e[None, :]]
-        w_blk = h[:, sel_r[:, None], sel_e[None, :]]
-        g_r = g[:, sel_r]
-        g_e = g[:, sel_e]
+        h_rr_cm = h_cm[sel_r[:, None], sel_r[None, :], :]  # [Sr, Sr, B]
+        h_le_cm = h_cm[sel_e[:, None], sel_e[None, :], :]  # [dl, dl, B]
+        w_blk_cm = h_cm[sel_r[:, None], sel_e[None, :], :]  # [Sr, dl, B]
+        g_r_cm = g_cm[sel_r]  # [Sr, B]
+        g_e_cm = g_cm[sel_e]  # [dl, B]
         # If the eliminated variable of a cost is FIXED, its h_le/w/g_e parts
         # must be dropped (its rows were already dustbinned in `rows`, so
         # detect via the original row of the eliminated segment).
@@ -854,22 +1129,24 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             #    reduced-variable id, then land with a UNIQUE-index scatter;
             #  * landmark-keyed sums become gathers through the [L, K]
             #    observation table plus a dense axis-sum.
+            # All reductions contract over the minor [B] axis of the cm
+            # blocks — nothing batch-major is ever materialized.
             dr_s = len(sel_r)
             # One-hot matmuls chunked over the variable axis so transient
-            # [B, chunk] memory stays bounded at BAL scale.
+            # [chunk, B] memory stays bounded at BAL scale.
             rvid = jnp.asarray(fast.rvid)
             bsz = rvid.shape[0]
             a_parts, b_parts = [], []
             for start, width in _onehot_chunks(fast.n_r, _FAST_MAX_ONEHOT, bsz):
                 oh = (
-                    rvid[:, None]
-                    == (start + jnp.arange(width, dtype=jnp.int32))[None, :]
-                ).astype(dtype)  # [B, width]; dustbin rows are all-zero
+                    (start + jnp.arange(width, dtype=jnp.int32))[:, None]
+                    == rvid[None, :]
+                ).astype(dtype)  # [width, B]; dustbin columns are all-zero
                 a_parts.append(
-                    jnp.einsum("bv,bpq->vpq", oh, h_rr, precision="highest")
+                    jnp.einsum("vb,pqb->vpq", oh, h_rr_cm, precision="highest")
                 )
                 b_parts.append(
-                    jnp.einsum("bv,bp->vp", oh, g_r, precision="highest")
+                    jnp.einsum("vb,pb->vp", oh, g_r_cm, precision="highest")
                 )
             a_blocks = jnp.concatenate(a_parts, axis=0)
             b_blocks = jnp.concatenate(b_parts, axis=0)
@@ -880,34 +1157,59 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
             a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(a_blocks)
             b_r = b_r.at[row_idx].add(b_blocks)
 
-            tk = jnp.asarray(fast.obs_table.reshape(-1))
-            k = fast.obs_table.shape[1]
+            k = fast.obs_k or fast.obs_table.shape[1]
+            if fast.obs_k is not None:
+                # Obs-major batch: landmark l's costs occupy columns
+                # [l·k, (l+1)·k) — runs are a pure reshape, NO gather.
+                # Padding columns hold garbage (copied row-0 values) and
+                # must be zeroed via the mask; the camera one-hot needs no
+                # masking (masked rvid is the all-zero dustbin column).
+                mval = jnp.asarray(batch.mask).astype(dtype)
 
-            def table_gather(x):
-                flat = jnp.take(x, tk, axis=0, mode="fill", fill_value=0)
-                return flat.reshape((L, k) + x.shape[1:])
+                def landmark_runs(x, masked=True):
+                    if masked:
+                        x = x * mval
+                    return x[..., : L * k].reshape(x.shape[:-1] + (L, k))
 
-            def table_gather_cm(x):
-                # x [..., B] → [..., L, k]; gather along the minor axis so
-                # the whole reduction stays components-major.
-                flat = jnp.take(x, tk, axis=-1, mode="fill", fill_value=0)
-                return flat.reshape(x.shape[:-1] + (L, k))
-
-            h_ll = h_ll.at[:, :, :L].add(
-                jnp.sum(table_gather_cm(jnp.moveaxis(h_le, 0, -1)), axis=-1)
-            )
-            g_l = g_l.at[:, :L].add(
-                jnp.sum(table_gather_cm(g_e.T), axis=-1)
-            )
-            if info.implicit:
-                wparts.append(
-                    _make_wpart(info, bi, batch, w_blk, rows_r, lid, fast=fast)
+                h_ll = h_ll.at[:, :, :L].add(
+                    jnp.sum(landmark_runs(h_le_cm), axis=-1)
+                )
+                g_l = g_l.at[:, :L].add(
+                    jnp.sum(landmark_runs(g_e_cm), axis=-1)
                 )
             else:
-                wc = table_gather(w_blk)  # [L, K, dr_s, dl]
-                vc = jnp.take(
-                    jnp.asarray(fast.rvid), tk, mode="fill", fill_value=fast.n_r
-                ).reshape(L, k)
+                tk = jnp.asarray(fast.obs_table.reshape(-1))
+
+                def table_gather_cm(x):
+                    # x [..., B] → [..., L, k]; gather along the minor axis
+                    # so the whole reduction stays components-major.
+                    flat = jnp.take(x, tk, axis=-1, mode="fill", fill_value=0)
+                    return flat.reshape(x.shape[:-1] + (L, k))
+
+                h_ll = h_ll.at[:, :, :L].add(
+                    jnp.sum(table_gather_cm(h_le_cm), axis=-1)
+                )
+                g_l = g_l.at[:, :L].add(
+                    jnp.sum(table_gather_cm(g_e_cm), axis=-1)
+                )
+            if info.implicit:
+                wparts.append(
+                    _make_wpart(
+                        info, bi, batch,
+                        jnp.transpose(w_blk_cm, (2, 0, 1)),  # [B, Sr, dl]
+                        rows_r, lid, fast=fast,
+                    )
+                )
+            else:
+                if fast.obs_k is not None:
+                    wc = landmark_runs(w_blk_cm, masked=False)
+                    vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
+                else:
+                    wc = table_gather_cm(w_blk_cm)  # [Sr, dl, L, K]
+                    vc = jnp.take(
+                        jnp.asarray(fast.rvid), tk, mode="fill",
+                        fill_value=fast.n_r,
+                    ).reshape(L, k)
                 w_parts = []
                 for start, width in _onehot_chunks(
                     fast.n_r, _FAST_MAX_ONEHOT, L * k
@@ -918,7 +1220,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                     ).astype(dtype)  # [L, K, width]
                     w_parts.append(
                         jnp.einsum(
-                            "lkv,lkpd->dlvp", oh_w, wc, precision="highest"
+                            "pdlk,lkv->dlvp", wc, oh_w, precision="highest"
                         )
                     )  # [dl, L, width, dr_s]
                 w_blocks = jnp.concatenate(w_parts, axis=2)
@@ -930,23 +1232,28 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                 w = w.at[:, :L].add(w_add)
             continue
 
-        a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(h_rr)
-        b_r = b_r.at[rows_r].add(g_r)
-        h_ll = h_ll.at[:, :, lid].add(jnp.moveaxis(h_le, 0, -1))
-        g_l = g_l.at[:, lid].add(g_e.T)
+        # Generic fallback: block scatter-adds need batch-major operands.
+        a_rr = a_rr.at[rows_r[:, :, None], rows_r[:, None, :]].add(
+            jnp.moveaxis(h_rr_cm, -1, 0)
+        )
+        b_r = b_r.at[rows_r].add(g_r_cm.T)
+        h_ll = h_ll.at[:, :, lid].add(h_le_cm)
+        g_l = g_l.at[:, lid].add(g_e_cm)
         if info.implicit:
             # Keep the coupling blocks per cost; masked costs are neutralized
             # by zeroing (their lid points at the dustbin anyway).
             wparts.append(
                 _make_wpart(
-                    info, bi, batch, w_blk, rows_r, lid,
+                    info, bi, batch,
+                    jnp.transpose(w_blk_cm, (2, 0, 1)),  # [B, Sr, dl]
+                    rows_r, lid,
                     rvid=_generic_rvid(batch, layout, info),
                 )
             )
         else:
-            # [B, Sr, dl] → [dl, B, Sr] scatter into the components-major W.
+            # [Sr, dl, B] → [dl, B, Sr] scatter into the components-major W.
             w = w.at[:, lid[:, None], rows_r].add(
-                jnp.moveaxis(w_blk, -1, 0)
+                jnp.transpose(w_blk_cm, (1, 2, 0))
             )
 
     w_out = tuple(wparts) if info.implicit else w[:, :L, :dr]
