@@ -176,6 +176,11 @@ class SchurCGOps:
     tol: Optional[float] = None
     max_iters: int = 500
     segment_impl: str = "scatter"
+    # Per-wpart obs-major run length (see obs_major_repack): the CG
+    # matvec's landmark reductions become contiguous reshape + minor-axis
+    # sums and the ``W u`` expansion a broadcast — no gathers in the CG
+    # loop.  None entries use the obs-table / scatter paths.
+    wpart_obs_k: tuple = ()
     # Fixed-trip-count CG: run exactly this many iterations as a
     # ``lax.fori_loop`` with masked (frozen-on-convergence) updates instead
     # of a data-dependent ``while_loop``.  Removes one level of nested
@@ -231,8 +236,20 @@ class SchurCGOps:
         observation-table gather + dense sum > scatter-add fallback."""
         u = jnp.zeros((self.dof_elim, self.num_elim + 1), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
-        for wp in wparts:
+        for i, wp in enumerate(wparts):
             vg = vp[wp.rows_r]  # [B, Sr]
+            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
+            if ok is not None:
+                # Obs-major runs: landmark l owns columns [l·K, (l+1)·K).
+                # Masked/dustbin columns contribute zero because their
+                # rows_r point at the zero pad of ``vp``.  w_blk is stored
+                # components-major [Sr, dl, B] for obs-major wparts.
+                L = self.num_elim
+                q = jnp.einsum("sdb,bs->db", wp.w_blk, vg)  # cm [dl, B]
+                u = u.at[:, :L].add(
+                    q[:, : L * ok].reshape(-1, L, ok).sum(axis=-1)
+                )
+                continue
             if wp.starts is not None and self.segment_impl.startswith("pallas"):
                 from .pallas.segment_sum import CHUNK, segment_block_sum
 
@@ -269,9 +286,24 @@ class SchurCGOps:
             [u, jnp.zeros((self.dof_elim, 1), dtype=u.dtype)], axis=-1
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
-        for wp in wparts:
-            ug = up[:, wp.lid]  # cm [dl, B]
-            t = jnp.einsum("bsd,db->bs", wp.w_blk, ug)  # [B, Sr]
+        for i, wp in enumerate(wparts):
+            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
+            if ok is not None:
+                # Obs-major: the gather u[:, lid] is a broadcast over the K
+                # run slots; masked columns (and the extra region beyond
+                # L·K) are zeroed via the lid dustbin mask.  w_blk is
+                # components-major [Sr, dl, B] here.
+                L = self.num_elim
+                b_tot = wp.lid.shape[0]
+                ug = jnp.broadcast_to(
+                    u[:, :, None], (u.shape[0], L, ok)
+                ).reshape(u.shape[0], L * ok)
+                ug = jnp.pad(ug, ((0, 0), (0, b_tot - L * ok)))
+                ug = ug * (wp.lid < L)[None, :]
+                t = jnp.einsum("sdb,db->bs", wp.w_blk, ug)  # [B, Sr]
+            else:
+                ug = up[:, wp.lid]  # cm [dl, B]
+                t = jnp.einsum("bsd,db->bs", wp.w_blk, ug)  # [B, Sr]
             if wp.cam_obs is not None and wp.row_base is not None:
                 n_r, kc = wp.cam_obs.shape
                 sr = t.shape[1]
@@ -330,11 +362,21 @@ class SchurCGOps:
             if fi is None or wp.rvid is None:
                 continue
             name, offs, dof = self.fam_offsets[fi]
-            if wp.w_blk.shape[1] != dof or wp.rvid.shape[0] != wp.w_blk.shape[0]:
+            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
+            # w_blk layout: cm [Sr, dl, B] for obs-major wparts, batch-major
+            # [B, Sr, dl] otherwise.
+            b_axis, s_axis = (-1, 0) if ok is not None else (0, 1)
+            if (
+                wp.w_blk.shape[s_axis] != dof
+                or wp.rvid.shape[0] != wp.w_blk.shape[b_axis]
+            ):
                 continue  # per-shard repads: shapes no longer line up
             # cm [dl, dl, B]; masked costs hit the zero pad column.
             hi = h_inv_p[:, :, wp.lid]
-            m = jnp.einsum("bpd,deb,bqe->bpq", wp.w_blk, hi, wp.w_blk)
+            if ok is not None:
+                m = jnp.einsum("pdb,deb,qeb->bpq", wp.w_blk, hi, wp.w_blk)
+            else:
+                m = jnp.einsum("bpd,deb,bqe->bpq", wp.w_blk, hi, wp.w_blk)
             n_r = offs.shape[0]
             mf = m.reshape(m.shape[0], dof * dof)
             if wp.cam_obs is not None:
@@ -516,6 +558,9 @@ class SchurInfo:
     # Per-wpart fam_offsets index of the (single) reduced slot's family, for
     # the Schur-Jacobi preconditioner; None = correction unavailable.
     wpart_fam: tuple = ()
+    # Per-wpart obs-major run length (None = not obs-major); lets the CG
+    # matvec run gather-free (see SchurCGOps.wpart_obs_k).
+    wpart_obs_k: tuple = ()
 
     def ops(self):
         if self.implicit:
@@ -537,6 +582,7 @@ class SchurInfo:
                 pad=self.pad,
                 fam_offsets=self.fam_offsets,
                 wpart_fam=self.wpart_fam,
+                wpart_obs_k=self.wpart_obs_k,
                 segment_impl=segment_impl,
                 fixed_iters=int(fixed) if fixed else None,
             )
@@ -674,7 +720,9 @@ def _fast_batch_data(batch, layout, info):
     row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
     cam_table = _key_table(rvid, n_r, b_pad, _FAST_MAX_CAM_K)
     cam_batch = cam_k = w_rows = None
-    if obs_k is not None:
+    # The dual-sorted direct path (and the cm wpart layout keyed off
+    # cam_batch's presence) applies only to components-major batches.
+    if obs_k is not None and batch.batched == "cm":
         cam_batch, cam_k = _cam_major_repack(batch, rvid, n_r)
         dr_s = rman.dof
         rb = np.append(row_base, np.int32(info.dim_reduced))
@@ -883,8 +931,17 @@ def build_schur_info(
             _fast_batch_data(b, layout, info) for b in batches
         )
         if implicit:
+            # Obs-major batches must keep their column order (the CG path
+            # relies on it) — the pallas elim_sort permutation would break
+            # it, and it is redundant there anyway (obs-major IS sorted by
+            # landmark, with masked slots in place).
             info.elim_sort = tuple(
-                _elim_sort_data(b, layout, info) for b in batches
+                None
+                if (bi < len(info.fast)
+                    and info.fast[bi] is not None
+                    and info.fast[bi].obs_k is not None)
+                else _elim_sort_data(b, layout, info)
+                for bi, b in enumerate(batches)
             )
             # Mirror assemble_schur's wpart append order: one entry per
             # batch with exactly one eliminated slot; the entry is the
@@ -892,7 +949,8 @@ def build_schur_info(
             # Schur-Jacobi correction applies (two-slot cost), else None.
             fam_index = {name: i for i, (name, _, _) in enumerate(fam_offsets)}
             wpart_fam = []
-            for b in batches:
+            wpart_obs_k = []
+            for bi, b in enumerate(batches):
                 eslots = [
                     i
                     for i, m in enumerate(b.manifolds)
@@ -900,12 +958,21 @@ def build_schur_info(
                 ]
                 if len(eslots) != 1:
                     continue
+                # Must mirror the dual-path trigger in assemble_schur: the
+                # cm wpart layout exists only when the dual path built it.
+                f = info.fast[bi] if bi < len(info.fast) else None
+                wpart_obs_k.append(
+                    f.obs_k
+                    if (f is not None and f.cam_batch is not None)
+                    else None
+                )
                 if len(b.manifolds) == 2:
                     rfam = family_name(b.manifolds[1 - eslots[0]])
                     wpart_fam.append(fam_index.get(rfam))
                 else:
                     wpart_fam.append(None)
             info.wpart_fam = tuple(wpart_fam)
+            info.wpart_obs_k = tuple(wpart_obs_k)
     return info
 
 
@@ -964,38 +1031,61 @@ def _assemble_fast_dual(
     h_ll = h_ll.at[:, :, :L].add(jnp.sum(runs(he), axis=-1))
     g_l = g_l.at[:, :L].add(jnp.sum(runs(g0[sel_e] * d1m), axis=-1))
 
-    # W: one-hot MXU contraction over the K run slots (per-slot scatters and
-    # one combined scatter both measured 5x slower — TPU scatters rewrite
-    # the full 75MB W buffer), landing with a permutation scatter of unique
-    # rows — or a plain contiguous add when every camera is unfixed (the
-    # permutation is the identity).
-    we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))  # [Sr,dl,L,K]
-    vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
-    n_r = fast.n_r
-    w_parts = []
-    for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
-        oh_w = (
-            vc[:, :, None]
-            == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
-        ).astype(dtype)  # [L, K, width]
-        w_parts.append(
-            jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
-        )
-    w_blocks = jnp.concatenate(w_parts, axis=2)
-    row_flat = (
-        np.asarray(fast.row_base)[:, None]
-        + np.arange(dr_s, dtype=np.int32)[None, :]
-    ).reshape(-1)
-    if np.array_equal(row_flat, np.arange(n_r * dr_s, dtype=np.int32)):
-        w = w.at[:, :L, : n_r * dr_s].add(
-            w_blocks.reshape(dl, L, n_r * dr_s)
+    wpart = None
+    if info.implicit:
+        # Implicit: keep the per-cost coupling blocks components-major
+        # [Sr, dl, B] (masked columns are exactly zero via the masked
+        # d1/d2) — the CG matvecs consume this layout directly
+        # (SchurCGOps.wpart_obs_k), no batch-major transpose materialized.
+        w_cm = robust_block(jac, g0, d1m, d2m, sel_r, sel_e)
+        rows = engine._batch_rows(batch, layout)
+        rows_r = jnp.where(rows[:, sel_r] >= dr, dr, rows[:, sel_r])
+        lid = jnp.asarray(info.elim_ids[info.elim_family])[batch.idx[e]]
+        lid = jnp.where(batch.mask, lid, jnp.int32(L))
+        lid = jnp.where(rows[:, sel_e[0]] >= layout.dof_total, jnp.int32(L), lid)
+        wpart = WPart(
+            w_blk=w_cm,
+            rows_r=rows_r,
+            lid=lid,
+            starts=None,
+            rvid=jnp.asarray(fast.rvid),
+            obs=None,
+            cam_obs=None if fast.cam_table is None else jnp.asarray(fast.cam_table),
+            row_base=jnp.asarray(fast.row_base),
         )
     else:
-        w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
-        w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
-            w_blocks.reshape(dl, L, n_r * dr_s)
-        )
-        w = w.at[:, :L].add(w_add)
+        # W: one-hot MXU contraction over the K run slots (per-slot scatters
+        # and one combined scatter both measured 5x slower — TPU scatters
+        # rewrite the full 75MB W buffer), landing with a permutation
+        # scatter of unique rows — or a plain contiguous add when every
+        # camera is unfixed (the permutation is the identity).
+        we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))  # [Sr,dl,L,K]
+        vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
+        n_r = fast.n_r
+        w_parts = []
+        for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
+            oh_w = (
+                vc[:, :, None]
+                == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+            ).astype(dtype)  # [L, K, width]
+            w_parts.append(
+                jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
+            )
+        w_blocks = jnp.concatenate(w_parts, axis=2)
+        row_flat = (
+            np.asarray(fast.row_base)[:, None]
+            + np.arange(dr_s, dtype=np.int32)[None, :]
+        ).reshape(-1)
+        if np.array_equal(row_flat, np.arange(n_r * dr_s, dtype=np.int32)):
+            w = w.at[:, :L, : n_r * dr_s].add(
+                w_blocks.reshape(dl, L, n_r * dr_s)
+            )
+        else:
+            w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
+            w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
+                w_blocks.reshape(dl, L, n_r * dr_s)
+            )
+            w = w.at[:, :L].add(w_add)
 
     # --- camera-major leg: a_rr, b_r (cost NOT re-counted) ----------------
     raw2 = engine.batch_res_jac_cm(fast.cam_batch, variables, dtype)
@@ -1019,7 +1109,7 @@ def _assemble_fast_dual(
         jnp.transpose(a_blocks, (2, 0, 1))
     )
     b_r = b_r.at[row_idx].add(b_blocks.T)
-    return cost_sum, (a_rr, b_r, h_ll, g_l, w)
+    return cost_sum, (a_rr, b_r, h_ll, g_l, w), wpart
 
 
 def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):
@@ -1055,19 +1145,20 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
         ]
         fast0 = info.fast[bi] if bi < len(info.fast) else None
         if (
-            not info.implicit
-            and len(elim_slots) == 1
+            len(elim_slots) == 1
             and fast0 is not None
             and fast0.obs_k is not None
             and fast0.cam_batch is not None
-            and fast0.w_rows is not None
         ):
             c = _assemble_fast_dual(
                 batch, variables, layout, info, fast0, elim_slots[0],
                 dtype, a_rr, b_r, h_ll, g_l, w,
             )
             if c is not None:
-                total, (a_rr, b_r, h_ll, g_l, w) = total + c[0], c[1]
+                total = total + c[0]
+                a_rr, b_r, h_ll, g_l, w = c[1]
+                if c[2] is not None:
+                    wparts.append(c[2])
                 continue
         # Per-cost blocks arrive components-major ([S, B] / [S, S, B]): the
         # batch-major layout pads its tiny trailing block dims to (8, 128)

@@ -121,6 +121,11 @@ class ParallelCompiled:
                             # other shards; the sharded path never runs the
                             # implicit solve, so drop it rather than ship it.
                             cam_table=None,
+                            # Dual/obs-major fields are shard-0 host data.
+                            obs_k=None,
+                            cam_batch=None,
+                            cam_k=None,
+                            w_rows=None,
                         )
                     )
             local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))

@@ -364,6 +364,12 @@ class ShardedSchurCompiled:
                         obs_table=obs_table[0],
                         rvid=rvid[0],
                         cam_table=cam,
+                        # Dual/obs-major fields are shard-0 host data and do
+                        # not apply to the other shards' repadded batches.
+                        obs_k=None,
+                        cam_batch=None,
+                        cam_k=None,
+                        w_rows=None,
                     )
                 )
         return dataclasses.replace(
