@@ -78,9 +78,12 @@ class CompiledProblem:
     def apply(self, variables, x):
         return engine.apply_step(self.manifolds, self.layout, variables, x)
 
-    def ctx(self) -> iterators.IterCtx:
+    def ctx(self, options=None) -> iterators.IterCtx:
         if self.schur_info is not None:
             linops = self.schur_info.ops()
+            fixed = getattr(options, "cg_fixed_iters", None)
+            if fixed is not None and hasattr(linops, "fixed_iters"):
+                linops = dataclasses.replace(linops, fixed_iters=int(fixed))
         elif self.cg_ops is not None:
             linops = self.cg_ops
         else:
@@ -353,7 +356,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
 
 def _make_jit_runner(compiled: CompiledProblem, opts: Options):
-    ctx = compiled.ctx()
+    ctx = compiled.ctx(opts)
 
     def run(vars0):
         final = run_loop(compiled.assemble, compiled.cost, ctx, opts, vars0)
@@ -474,7 +477,7 @@ class CallbackContext:
 
 def _run_stepped(problem, compiled, opts, callback) -> Result:
     t0 = time.perf_counter()
-    ctx = compiled.ctx()
+    ctx = compiled.ctx(opts)
     cost_j = jax.jit(compiled.cost)
     assemble_j = jax.jit(compiled.assemble)
 

@@ -73,6 +73,13 @@ class Options:
     init_lm_lambda: float = 0.0
     init_trust_radius: float = 0.0
     init_gd_step: float = 1.0
+    # Implicit (schur_cg) only: run the reduced PCG for exactly this many
+    # iterations as a ``fori_loop`` with frozen-on-convergence updates
+    # instead of a data-dependent ``while_loop``.  Removes one level of
+    # nested dynamic control flow — REQUIRED for giant (~1M obs) fully
+    # jitted implicit programs, whose innermost while_loop faults the TPU
+    # worker (docs/ROUND1.md); also settable via NLLSTPU_CG_FIXED_ITERS.
+    cg_fixed_iters: Any = None
 
     def __post_init__(self):
         if self.iterator not in ITERATORS:

@@ -311,10 +311,12 @@ class ShardedSchurCompiled:
         i = self.info
         return i.dim_reduced + self.n_devices * self.num_elim_local * i.dof_elim
 
-    def ops(self):
+    def ops(self, options=None):
         i = self.info
         if i.implicit:
-            fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
+            fixed = getattr(options, "cg_fixed_iters", None)
+            if fixed is None:
+                fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
             return ShardedSchurCGOps(
                 i.dim_reduced,
                 self.num_elim_local,  # local chunk size Lc
@@ -480,7 +482,7 @@ class ShardedSchurCompiled:
                 apply=self.base.apply,
                 dtype=jnp.dtype(self.dtype),
                 dim=self._dim(),
-                linops=self.ops(),
+                linops=self.ops(opts),
             )
             final = run_loop(assemble_fn, cost_fn, ctx, opts, vars0)
             packed = jnp.stack(

@@ -306,3 +306,19 @@ def test_implicit_schur_stepped_driver():
         callback=nt.null_callback,  # forces the stepped driver
     )
     assert result.best_cost < 1e-15
+
+
+def test_cg_fixed_iters_option():
+    """``Options(cg_fixed_iters=N)`` runs the implicit reduced PCG as a
+    fixed-trip fori_loop (the giant-program full-jit recipe, docs/ROUND1.md)
+    and still reaches the reference cost target."""
+    p, cams, lmks = make_affine_ba(6, 20, 0.5)
+    perturb_ba(p, lmks, 0.01, seed=3)
+    result = nt.optimize(
+        p,
+        nt.Options(
+            solver="schur_cg", schur_family=LMK, cg_fixed_iters=80,
+            iterator=nt.LEVENBERG_MARQUARDT,
+        ),
+    )
+    assert result.best_cost < 1e-15
