@@ -153,8 +153,12 @@ def _levmar(ctx, sys, variables, bestcost, data, opts):
     )
     lam_f, _, x, nv, c, _, ns, nc = jax.lax.while_loop(cond, body, init)
 
-    # Step quality against the undamped quadratic model.
-    quality = (c - bestcost) / (0.5 * ops.quad(sys, x) + g @ x)
+    # Step quality against the undamped quadratic model.  For the damped
+    # solve x = −(H+λI)⁻¹g, the model decrease 0.5·xᵀHx + gᵀx collapses to
+    # 0.5·(gᵀx − λ|x|²): xᵀ(H+λI)x = −gᵀx.  Identical to evaluating
+    # ``ops.quad`` (up to solve accuracy) but streams nothing — the direct
+    # Schur backend's quad re-reads the dense W coupling every iteration.
+    quality = (c - bestcost) / (0.5 * (g @ x - lam_f * (x @ x)))
     lam_new = lam_f * jnp.where(
         quality < 0.983, 1 - (2 * quality - 1) ** 3, jnp.asarray(0.1, dtype)
     )

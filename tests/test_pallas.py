@@ -35,9 +35,13 @@ def test_segment_block_sum_matches_reference(seed, nseg):
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
 
 
-def test_implicit_schur_pallas_segment_matches_scatter():
+def test_implicit_schur_pallas_segment_matches_scatter(monkeypatch):
     """The implicit-Schur solve with the pallas sorted-run reduction
-    (interpret mode on CPU) must match the scatter implementation."""
+    (interpret mode on CPU) must match the scatter implementation.
+
+    The obs-major repack supersedes the sorted-run path (it needs no
+    gather at all), so disable it here to keep the pallas machinery
+    covered for batches that don't qualify for repacking."""
     import dataclasses
 
     import jax
@@ -46,7 +50,9 @@ def test_implicit_schur_pallas_segment_matches_scatter():
     import nllstpu as nt
     from nllstpu.core.optimize import compile_problem
     from nllstpu.models.ba import make_affine_ba, perturb_ba
+    from nllstpu.ops import schur as schur_mod
 
+    monkeypatch.setattr(schur_mod, "_OBS_MAJOR_MAX_RATIO", 0.0)
     p, cams, lmks = make_affine_ba(5, 12, 0.7)
     perturb_ba(p, lmks, 0.05, seed=3)
     compiled = compile_problem(p, solver="schur_cg", schur_family=nt.Euclidean(3))
