@@ -355,7 +355,28 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
     return dict(final, variables=out_vars, startcost=c0)
 
 
+#: Fully-jitted implicit programs above this many (padded) observations get
+#: the fixed-trip reduced PCG by default: the innermost data-dependent
+#: while_loop of 3-deep-nested giant programs faults the TPU worker
+#: (docs/ROUND1.md; reproduced at 838k obs, clean at 105k).  Conservative —
+#: the fixed-trip CG is correctness-preserving, merely burning its budget.
+GIANT_IMPLICIT_OBS_LIMIT = 200_000
+_GIANT_IMPLICIT_CG_ITERS = 150
+
+
 def _make_jit_runner(compiled: CompiledProblem, opts: Options):
+    import os
+
+    if (
+        compiled.schur_info is not None
+        and compiled.schur_info.implicit
+        and getattr(opts, "cg_fixed_iters", None) is None
+        and os.environ.get("NLLSTPU_CG_FIXED_ITERS") is None
+        and sum(b.n_padded for b in compiled.batches) > GIANT_IMPLICIT_OBS_LIMIT
+    ):
+        opts = dataclasses.replace(
+            opts, cg_fixed_iters=_GIANT_IMPLICIT_CG_ITERS
+        )
     ctx = compiled.ctx(opts)
 
     def run(vars0):

@@ -322,3 +322,18 @@ def test_cg_fixed_iters_option():
         ),
     )
     assert result.best_cost < 1e-15
+
+
+def test_giant_implicit_auto_fixed_cg(monkeypatch):
+    """Fully-jitted implicit programs above the giant-observation limit get
+    the fixed-trip CG automatically (the TPU-worker-fault guard,
+    docs/ROUND1.md); the option still converges to the reference target."""
+    from nllstpu.core import optimize as opt
+
+    monkeypatch.setattr(opt, "GIANT_IMPLICIT_OBS_LIMIT", 1)
+    p, cams, lmks = make_affine_ba(6, 20, 0.5)
+    perturb_ba(p, lmks, 0.01, seed=3)
+    result = nt.optimize(
+        p, nt.Options(solver="schur_cg", schur_family=LMK)
+    )
+    assert result.best_cost < 1e-15
