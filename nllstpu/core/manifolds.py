@@ -163,22 +163,27 @@ def so3_exp(w):
 def so3_log(r):
     """Axis-angle vector of a rotation matrix (inverse of :func:`so3_exp`),
     smooth near the identity.  Accurate for rotation angles below ~π−1e-3
-    (pose-graph residuals live near the identity)."""
+    (pose-graph residuals live near the identity).
+
+    θ comes from ``atan2(|vee|/2, (tr−1)/2)`` rather than ``arccos``:
+    arccos has an infinite derivative at its clipped endpoint c = 1, so
+    ``jacfwd`` of an arccos-based log NaNs for exact-identity rotations —
+    which TPU's default-bf16 matmuls in user residuals produce routinely
+    (trace rounds to exactly 3).  atan2 is smooth there, and the
+    θ/(2 sin θ) factor is expressed via |vee| = 2 sin θ with a Taylor
+    guard so the whole map differentiates cleanly at the identity."""
     trace = r[0, 0] + r[1, 1] + r[2, 2]
-    c = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(c)
-    t2 = theta * theta
-    small = t2 < 1e-12
-    sin_t = jnp.sin(theta)
-    # theta / (2 sin theta), Taylor-guarded at 0.
-    factor = jnp.where(
-        small,
-        0.5 + t2 / 12.0,
-        theta / jnp.where(small, jnp.ones_like(sin_t), 2.0 * sin_t),
-    )
     vee = jnp.stack(
         [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
     )
+    s2 = jnp.dot(vee, vee)  # (2 sin θ)²
+    small = s2 < 1e-12
+    s = jnp.sqrt(jnp.where(small, jnp.ones_like(s2), s2))  # 2 sin θ
+    theta = jnp.arctan2(
+        jnp.where(small, jnp.zeros_like(s), s), trace - 1.0
+    )
+    # θ / (2 sin θ), Taylor-guarded at 0 (θ² ≈ s²/4 to leading order).
+    factor = jnp.where(small, 0.5 + s2 / 48.0, theta / s)
     return factor * vee
 
 

@@ -10,6 +10,7 @@ the showcase for the matrix-free PCG backend (``solver="cg"``).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.manifolds import SE3, so3_log
@@ -20,12 +21,20 @@ POSE = SE3()
 
 def relative_pose_residual(measurement, pose_i, pose_j):
     """6-vector residual of a relative SE(3) measurement Z = (R_z | t_z):
-    [log(R_zᵀ R_iᵀ R_j), R_iᵀ(t_j − t_i) − t_z]."""
+    [log(R_zᵀ R_iᵀ R_j), R_iᵀ(t_j − t_i) − t_z].
+
+    The rotation products run at full precision: TPU's default-bf16
+    matmuls put ~1e-2 of rounding into the error rotation, which both
+    floors the achievable cost and lands the log on its identity
+    singularity."""
+    hp = jax.lax.Precision.HIGHEST
     r_z, t_z = measurement[:, :3], measurement[:, 3]
     r_i, t_i = pose_i[:, :3], pose_i[:, 3]
     r_j, t_j = pose_j[:, :3], pose_j[:, 3]
-    e_rot = so3_log(r_z.T @ (r_i.T @ r_j))
-    e_t = r_i.T @ (t_j - t_i) - t_z
+    e_rot = so3_log(
+        jnp.matmul(r_z.T, jnp.matmul(r_i.T, r_j, precision=hp), precision=hp)
+    )
+    e_t = jnp.matmul(r_i.T, t_j - t_i, precision=hp) - t_z
     return jnp.concatenate([e_rot, e_t])
 
 

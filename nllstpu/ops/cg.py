@@ -64,7 +64,11 @@ class CGOps:
         y = jnp.zeros(self.dim + self.pad, dtype=x.dtype)
         for h, r in zip(hs, rows):
             xg = xp[r]  # [B, S]
-            y = y.at[r].add(jnp.einsum("bst,bt->bs", h, xg))
+            # full f32/f64 precision: TPU's default bf16 matmul makes the
+            # matvec effectively nonsymmetric and CG diverges to NaN.
+            y = y.at[r].add(
+                jnp.einsum("bst,bt->bs", h, xg, precision="highest")
+            )
         return y[: self.dim] + lam * x
 
     def quad(self, sys, x):
@@ -77,7 +81,9 @@ class CGOps:
         for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
             idx = offs[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
             rg = rp[idx]  # [n, dof]
-            z = z.at[idx].add(jnp.einsum("nst,nt->ns", inv, rg))
+            z = z.at[idx].add(
+                jnp.einsum("nst,nt->ns", inv, rg, precision="highest")
+            )
         return z[: self.dim]
 
     def solve(self, sys, lam):

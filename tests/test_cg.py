@@ -98,3 +98,31 @@ def test_auto_solver_selection():
     p_ba, cams, lmks = make_affine_ba(6, 10, 1.0)
     c_ba = compile_problem(p_ba, solver="auto")
     assert c_ba.cg_ops is None and c_ba.schur_info is None
+
+
+def test_pose_graph_f32_converges():
+    """f32 pose graphs must reach a deep cost floor: the arccos-based
+    so3_log had an infinite derivative at the (clipped) identity, which
+    NaN'd jacfwd under TPU bf16 matmul rounding and floored the f32 cost at
+    ~1e-2 even on CPU; the atan2 form + full-precision residual matmuls fix
+    both (see core/manifolds.so3_log)."""
+    import jax.numpy as jnp
+
+    p, poses, truth = make_pose_graph(
+        n_poses=64, n_loops=8, perturb=0.05, dtype=jnp.float32
+    )
+    result = nt.optimize(p, nt.Options(solver="cg", max_iters=30))
+    assert result.best_cost < 1e-6, result.best_cost
+
+
+def test_so3_log_differentiable_at_identity():
+    """jacfwd of log∘exp at the zero tangent is the identity — no NaN from
+    the arccos endpoint (its derivative is infinite at c = 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nllstpu.core.manifolds import so3_exp, so3_log
+
+    j = jax.jacfwd(lambda t: so3_log(so3_exp(t)))(jnp.zeros(3, jnp.float64))
+    assert np.all(np.isfinite(np.asarray(j)))
+    np.testing.assert_allclose(np.asarray(j), np.eye(3), atol=1e-9)
