@@ -217,7 +217,7 @@ def compile_problem(
             layout=layout,
             batches=batches,
             dtype=problem.dtype,
-            cg_ops=cg.build_cg_ops(problem, layout),
+            cg_ops=cg.build_cg_ops(problem, layout, batches=batches),
         )
     if solver != "dense":
         raise ValueError(f"unknown solver {solver!r}")

@@ -4,11 +4,15 @@ Third linear-system backend (after dense and Schur): for problems whose
 variable-cost graph is sparse but not bipartite — pose graphs, deformable
 meshes — a materialized Hessian wastes memory and a landmark elimination does
 not apply.  Here H is never formed: ``H @ x`` is computed batch-wise
-(gather rows of x per cost → per-cost block multiply → scatter-add), which on
-TPU is a stream of small batched matmuls + one scatter per cost type.  The
-preconditioner is block-Jacobi over variable blocks (batched small-block
-inverses), and the CG iteration is a ``lax.while_loop`` so the whole damped
-solve stays inside jit.
+(gather rows of x per cost → per-cost block multiply → per-variable
+reduction), which on TPU is a stream of small batched matmuls.  The
+per-variable reduction inside the CG loop uses host-precomputed key tables
+(gather + dense sum + unique-row scatter) because XLA scatter-adds with
+duplicate indices SERIALIZE on TPU — the same finding that shaped the Schur
+assembly.  The preconditioner is block-Jacobi over variable blocks (batched
+small-block inverses) with a contiguous fast path when a family's tangent
+rows are a dense range, and the CG iteration is a ``lax.while_loop`` so the
+whole damped solve stays inside jit.
 
 Replaces the reference's sparse LDLᵀ for general sparsity
 (src/linearsolver.jl:29; SURVEY.md §2 native table recommends
@@ -27,6 +31,10 @@ from ..core import engine
 from ..core.linearsolver import batched_inv_spd
 from ..core.problem import family_name
 
+#: Per-variable key-table skew cap (max costs per variable for the dense
+#: table); beyond it the slot falls back to the scatter-add path.
+_CG_MAX_K = 4096
+
 
 @dataclasses.dataclass(frozen=True)
 class CGOps:
@@ -40,8 +48,14 @@ class CGOps:
     dim: int
     pad: int
     # Static per-family layout for the block-Jacobi preconditioner:
-    # tuples of (family name, offsets [n] (dustbin=dim), dof).
+    # tuples of (family name, offsets [n] (dustbin=dim), dof, contig_base)
+    # where contig_base is the start of a dense offset range (or None).
     fam_offsets: tuple
+    # Per-batch tuple of per-slot (table [n,K], row_base [n], dof, sel)
+    # key tables turning the matvec's per-variable reduction into
+    # gather + sum + unique-row scatter; None entries fall back to a
+    # duplicate-index scatter-add (serializes on TPU).
+    slot_tables: tuple = ()
     # None = dtype default: 1e-14 for f64, 1e-5 for f32 (an f64 tolerance is
     # unreachable in f32 and forces every solve to burn max_iters).
     tol: object = None
@@ -62,13 +76,31 @@ class CGOps:
         _, hs, rows, _, _ = sys
         xp = jnp.concatenate([x, jnp.zeros(self.pad, dtype=x.dtype)])
         y = jnp.zeros(self.dim + self.pad, dtype=x.dtype)
-        for h, r in zip(hs, rows):
+        for bi, (h, r) in enumerate(zip(hs, rows)):
             xg = xp[r]  # [B, S]
             # full f32/f64 precision: TPU's default bf16 matmul makes the
             # matvec effectively nonsymmetric and CG diverges to NaN.
-            y = y.at[r].add(
-                jnp.einsum("bst,bt->bs", h, xg, precision="highest")
+            t = jnp.einsum("bst,bt->bs", h, xg, precision="highest")
+            st = (
+                self.slot_tables[bi]
+                if bi < len(self.slot_tables)
+                else None
             )
+            if st is None:
+                y = y.at[r].add(t)
+                continue
+            for table, row_base, dof, sel in st:
+                ts = t[:, sel]  # [B, dof]
+                n, k = table.shape
+                g = jnp.take(
+                    ts, jnp.asarray(table).reshape(-1), axis=0,
+                    mode="fill", fill_value=0,
+                ).reshape(n, k, dof).sum(axis=1)
+                idx = (
+                    jnp.asarray(row_base)[:, None]
+                    + jnp.arange(dof, dtype=jnp.int32)[None, :]
+                )
+                y = y.at[idx].add(g)  # unique rows per variable
         return y[: self.dim] + lam * x
 
     def quad(self, sys, x):
@@ -78,7 +110,24 @@ class CGOps:
     def _precond_apply(self, inv_blocks, r):
         rp = jnp.concatenate([r, jnp.zeros(self.pad, dtype=r.dtype)])
         z = jnp.zeros(self.dim + self.pad, dtype=r.dtype)
-        for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
+        for (name, offs, dof, contig), inv in zip(self.fam_offsets, inv_blocks):
+            n = inv.shape[0]
+            if contig is not None and n:
+                # Dense offset range (no fixed variables in the family):
+                # the gather/scatter degenerates to contiguous reshapes.
+                rg = jax.lax.dynamic_slice_in_dim(
+                    rp, contig, n * dof
+                ).reshape(n, dof)
+                out = jnp.einsum(
+                    "nst,nt->ns", inv, rg, precision="highest"
+                ).reshape(-1)
+                z = jax.lax.dynamic_update_slice_in_dim(
+                    z,
+                    jax.lax.dynamic_slice_in_dim(z, contig, n * dof) + out,
+                    contig,
+                    0,
+                )
+                continue
             idx = offs[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
             rg = rp[idx]  # [n, dof]
             z = z.at[idx].add(
@@ -90,7 +139,7 @@ class CGOps:
         b, hs, rows, pre_blocks, diag = sys
         dtype = b.dtype
         inv_blocks = []
-        for name, offs, dof in self.fam_offsets:
+        for name, offs, dof, contig in self.fam_offsets:
             blocks = pre_blocks[name]
             damped = blocks + lam * jnp.eye(dof, dtype=dtype)
             inv_blocks.append(batched_inv_spd(damped))
@@ -127,15 +176,63 @@ class CGOps:
         return x
 
 
-def build_cg_ops(problem, layout: engine.Layout, tol=None, max_iters=2000) -> CGOps:
+def _slot_key_table(batch, layout, slot, start):
+    """Per-variable key table for one dependency slot: batch rows grouped
+    by (unfixed) variable id, plus the variable's global row base (fixed
+    variables map to the dustbin row ``dof_total``).  None on excessive
+    skew."""
+    man = batch.manifolds[slot]
+    name = family_name(man)
+    offs = np.asarray(layout.offsets[name])
+    n = offs.shape[0]
+    idx = np.asarray(batch.idx[slot])
+    mask = np.asarray(batch.mask)
+    unfixed = offs[idx] < layout.dof_total
+    keys = np.where(mask & unfixed, idx, n)
+    valid = np.nonzero(keys < n)[0]
+    counts = np.bincount(keys[valid], minlength=n)
+    k = int(max(counts.max(initial=0), 1))
+    if k > _CG_MAX_K or n * k > 8 * max(len(valid), 1):
+        return None
+    order = np.argsort(keys[valid], kind="stable")
+    rows_sorted = valid[order]
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
+    table = np.full((n, k), batch.n_padded, dtype=np.int32)
+    table[keys[valid][order], pos] = rows_sorted
+    row_base = np.minimum(offs, layout.dof_total).astype(np.int32)
+    sel = np.arange(start, start + man.dof)
+    return table, row_base, man.dof, sel
+
+
+def build_cg_ops(
+    problem, layout: engine.Layout, tol=None, max_iters=2000, batches=None
+) -> CGOps:
     fam_offsets = []
     for name in problem.family_names():
         man = problem.manifold_of(name)
-        fam_offsets.append((name, layout.offsets[name], man.dof))
+        offs = np.asarray(layout.offsets[name])
+        contig = None
+        if offs.size and np.array_equal(
+            offs, offs[0] + np.arange(offs.size) * man.dof
+        ) and offs[-1] + man.dof <= layout.dof_total:
+            contig = int(offs[0])
+        fam_offsets.append((name, layout.offsets[name], man.dof, contig))
+    slot_tables = []
+    for b in batches or ():
+        start = 0
+        tables = []
+        for slot, man in enumerate(b.manifolds):
+            tables.append(_slot_key_table(b, layout, slot, start))
+            start += man.dof
+        slot_tables.append(
+            tuple(tables) if all(t is not None for t in tables) else None
+        )
     return CGOps(
         dim=layout.dof_total,
         pad=layout.pad,
         fam_offsets=tuple(fam_offsets),
+        slot_tables=tuple(slot_tables),
         tol=tol,
         max_iters=max_iters,
     )
