@@ -88,6 +88,9 @@ class CompiledProblem:
             linops = self.cg_ops
         else:
             linops = None
+        ltol = getattr(options, "linear_tol", None)
+        if ltol is not None and hasattr(linops, "tol"):
+            linops = dataclasses.replace(linops, tol=float(ltol))
         return iterators.IterCtx(
             cost=self.cost,
             apply=self.apply,

@@ -80,6 +80,12 @@ class Options:
     # jitted implicit programs, whose innermost while_loop faults the TPU
     # worker (docs/ROUND1.md); also settable via NLLSTPU_CG_FIXED_ITERS.
     cg_fixed_iters: Any = None
+    # Iterative backends (cg / schur_cg) only: relative residual tolerance
+    # of the inner linear solve (the Ceres ``eta`` analogue).  None = the
+    # backend's dtype default (exact-ish).  LM tolerates inexact steps, so
+    # a loose tolerance (e.g. 1e-2) trades inner iterations for outer ones
+    # — usually a large net win at scale.
+    linear_tol: Any = None
 
     def __post_init__(self):
         if self.iterator not in ITERATORS:

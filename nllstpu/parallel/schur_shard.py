@@ -317,6 +317,7 @@ class ShardedSchurCompiled:
             fixed = getattr(options, "cg_fixed_iters", None)
             if fixed is None:
                 fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
+            ltol = getattr(options, "linear_tol", None)
             return ShardedSchurCGOps(
                 i.dim_reduced,
                 self.num_elim_local,  # local chunk size Lc
@@ -325,6 +326,7 @@ class ShardedSchurCompiled:
                 fam_offsets=i.fam_offsets,
                 wpart_fam=i.wpart_fam,
                 fixed_iters=int(fixed) if fixed else None,
+                tol=None if ltol is None else float(ltol),
                 num_elim_global=self.num_elim,
                 n_devices=self.n_devices,
             )
