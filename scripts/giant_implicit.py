@@ -65,6 +65,7 @@ def main():
         dstep=1e-12,
         max_fails=1 << 30,
         max_time=1800.0,
+        linear_tol=float(os.environ.get("GIANT_LTOL", "0")) or None,
     )
     t0 = time.perf_counter()
     if MODE == "stepped":
@@ -80,6 +81,7 @@ def main():
                 "nlmk": NLMK,
                 "nobs": int(nobs),
                 "cg_fixed": os.environ.get("NLLSTPU_CG_FIXED_ITERS"),
+                "linear_tol": os.environ.get("GIANT_LTOL"),
                 "iters": res.num_iterations,
                 "wall_s": wall,
                 "iters_per_sec": res.num_iterations / wall,
