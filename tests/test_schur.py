@@ -337,3 +337,37 @@ def test_giant_implicit_auto_fixed_cg(monkeypatch):
         p, nt.Options(solver="schur_cg", schur_family=LMK)
     )
     assert result.best_cost < 1e-15
+
+
+def test_dual_assembly_matches_dense_mixed_fixing():
+    """The dual-sorted direct assembly (obs-major + camera-major repacks,
+    blocks composed from the Jacobian) must reproduce the dense-backend
+    normal equations through the damped solve, including robust kernels and
+    dustbin routing for fixed cameras AND fixed landmarks."""
+    from nllstpu.models.ba import make_pinhole_ba
+
+    p, cams, lmks = make_pinhole_ba(
+        6, 41, 0.6, dtype=jnp.float64, batched="cm", robust_width=0.001
+    )
+    perturb_ba(p, lmks, 0.05, seed=7)
+    unfixed = cams[1:] + lmks[2:]  # one camera and two landmarks fixed
+    cd = compile_problem(
+        p, unfixed, solver="schur", schur_family=nt.Euclidean(3)
+    )
+    fast = cd.schur_info.fast[0]
+    assert fast is not None and fast.obs_k is not None
+    assert fast.cam_batch is not None  # the dual path is actually active
+    pd = compile_problem(p, unfixed, solver="dense")
+    v = p.stacked_variables()
+    c_s, sys_s = jax.jit(cd.assemble)(v)
+    c_d, (a, g) = jax.jit(pd.assemble)(v)
+    np.testing.assert_allclose(float(c_s), float(c_d), rtol=1e-14)
+    lam = 0.1
+    x_s = np.asarray(cd.schur_info.ops().solve(sys_s, jnp.float64(lam)))
+    x_d = np.linalg.solve(
+        np.asarray(a) + lam * np.eye(a.shape[0]), np.asarray(g)
+    )
+    # Schur's layout orders landmarks last (order_last), same as dense here.
+    np.testing.assert_allclose(
+        np.linalg.norm(x_s), np.linalg.norm(x_d), rtol=1e-9
+    )
