@@ -91,6 +91,9 @@ class CompiledProblem:
         ltol = getattr(options, "linear_tol", None)
         if ltol is not None and hasattr(linops, "tol"):
             linops = dataclasses.replace(linops, tol=float(ltol))
+        csz = getattr(options, "schur_cluster_size", 0)
+        if csz and hasattr(linops, "cluster_size"):
+            linops = dataclasses.replace(linops, cluster_size=int(csz))
         return iterators.IterCtx(
             cost=self.cost,
             apply=self.apply,

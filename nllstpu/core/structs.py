@@ -86,6 +86,11 @@ class Options:
     # a loose tolerance (e.g. 1e-2) trades inner iterations for outer ones
     # — usually a large net win at scale.
     linear_tol: Any = None
+    # Implicit (schur_cg) only: cluster-Jacobi preconditioning (Ceres
+    # CLUSTER_JACOBI analogue) with this many consecutive cameras per
+    # cluster — the exact diagonal CLUSTER blocks of S, capturing
+    # intra-cluster camera coupling.  0 = per-camera Schur-Jacobi.
+    schur_cluster_size: int = 0
 
     def __post_init__(self):
         if self.iterator not in ITERATORS:

@@ -181,6 +181,15 @@ class SchurCGOps:
     # sums and the ``W u`` expansion a broadcast — no gathers in the CG
     # loop.  None entries use the obs-table / scatter paths.
     wpart_obs_k: tuple = ()
+    # Cluster-Jacobi preconditioner (Ceres CLUSTER_JACOBI analogue): group
+    # this many consecutive reduced variables per cluster and precondition
+    # with the exact [cdim, cdim] diagonal CLUSTER blocks of S — capturing
+    # the camera-camera coupling that per-camera Schur-Jacobi ignores, at
+    # the price of one W-sized contraction per cluster per solve.  0 = off
+    # (per-variable Schur-Jacobi).  Requires a single reduced family with
+    # contiguous offsets and an obs-major coupling batch; silently falls
+    # back otherwise.
+    cluster_size: int = 0
     # Fixed-trip-count CG: run exactly this many iterations as a
     # ``lax.fori_loop`` with masked (frozen-on-convergence) updates instead
     # of a data-dependent ``while_loop``.  Removes one level of nested
@@ -402,6 +411,81 @@ class SchurCGOps:
             corrected[fi] = True
         return fam_blocks, corrected
 
+    def _cluster_layout(self):
+        """Static qualification for the cluster-Jacobi preconditioner:
+        (n_clusters, m, dof, cdim, n_r) or None."""
+        if self.cluster_size <= 0 or len(self.fam_offsets) != 1:
+            return None
+        if len(self.wpart_obs_k) != 1 or self.wpart_obs_k[0] is None:
+            return None
+        name, offs, dof = self.fam_offsets[0]
+        offs = np.asarray(offs)
+        n_r = offs.shape[0]
+        if n_r == 0 or not np.array_equal(
+            offs, np.arange(n_r, dtype=offs.dtype) * dof
+        ):
+            return None  # fixed/reordered cameras: fall back
+        m = int(self.cluster_size)
+        n_cl = -(-n_r // m)
+        if n_cl > 64:
+            return None  # unrolled build would bloat the program
+        return n_cl, m, dof, m * dof, n_r
+
+    def cluster_inverses(self, sys, lam, h_inv, layout):
+        """Inverted [n_cl, cdim, cdim] diagonal cluster blocks of the damped
+        reduced matrix S(λ) — exact, including the cross-camera coupling
+        within each cluster: S_CC = (A_rr + λI)_CC − Σ_l U_lC H_l⁻¹ U_lCᵀ
+        where U_lC stacks landmark l's couplings into cluster C's columns.
+        Built per cluster from the obs-major runs with one one-hot
+        contraction (a W-sized pass per cluster).  Ill-conditioned clusters
+        fall back to their A-only block inverse."""
+        n_cl, m, dof, cdim, n_r = layout
+        a_rr, _, _, _, wparts = sys
+        dtype = a_rr.dtype
+        wp = wparts[0]
+        ok = self.wpart_obs_k[0]
+        L = self.num_elim
+        # Padded A with identity on the pad rows (partial last cluster).
+        total = n_cl * cdim
+        ap = jnp.pad(a_rr, ((0, total - self.dim_reduced),) * 2)
+        if total > self.dim_reduced:
+            pad_ix = jnp.arange(self.dim_reduced, total)
+            ap = ap.at[pad_ix, pad_ix].set(1.0)
+        a_blocks = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(
+                ap, (i * cdim, i * cdim), (cdim, cdim)
+            )
+        )(jnp.arange(n_cl))
+        vc = wp.rvid[: L * ok].reshape(L, ok)  # camera id per obs slot
+        w_runs = wp.w_blk[..., : L * ok].reshape(
+            wp.w_blk.shape[0], wp.w_blk.shape[1], L, ok
+        )  # cm [Sr, dl, L, K]
+        corrs = []
+        for ci in range(n_cl):
+            loc = vc - ci * m  # [L, K]
+            oh = (
+                (loc[:, :, None] == jnp.arange(m, dtype=vc.dtype)[None, None, :])
+            ).astype(dtype)  # [L, K, m]; out-of-cluster/dustbin → all-zero
+            # U [dl, L, cdim]: local column = loc·dof + p (m-major, p-minor
+            # = the contiguous-offsets order).
+            u = jnp.einsum(
+                "pdlk,lkm->dlmp", w_runs, oh, precision="highest"
+            ).reshape(w_runs.shape[1], L, cdim)
+            hu = jnp.einsum("del,elx->dlx", h_inv, u)
+            corrs.append(
+                jnp.einsum("dlx,dly->xy", hu, u, precision="highest")
+            )
+        corr = self._reduce(jnp.stack(corrs))
+        blocks = (
+            a_blocks + lam * jnp.eye(cdim, dtype=dtype)[None] - corr
+        )
+        inv = batched_inv_spd(blocks)
+        plain = batched_inv_spd(
+            a_blocks + lam * jnp.eye(cdim, dtype=dtype)[None]
+        )
+        bad = ~jnp.all(jnp.isfinite(inv), axis=(-2, -1), keepdims=True)
+        return jnp.where(bad, plain, inv)
+
     def precond_inverses(self, sys, lam, h_inv):
         """Inverted preconditioner blocks, with a per-block fallback to the
         A_rr-only inverse when a corrected block loses definiteness (λ=0 on
@@ -448,17 +532,31 @@ class SchurCGOps:
             self._w_apply(wparts, jnp.einsum("del,el->dl", h_inv, g_l))
         )
 
-        inv_blocks = self.precond_inverses(sys, lam, h_inv)
+        cluster = self._cluster_layout()
+        if cluster is not None:
+            n_cl, _, _, cdim, _ = cluster
+            cinv = self.cluster_inverses(sys, lam, h_inv, cluster)
 
-        def precond(r):
-            rp = jnp.concatenate([r, jnp.zeros(self.pad + 1, dtype=dtype)])
-            z = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=dtype)
-            for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
-                idx = jnp.asarray(offs)[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
-                idx = jnp.minimum(idx, self.dim_reduced + self.pad)
-                rg = rp[idx]
-                z = z.at[idx].add(jnp.einsum("nst,nt->ns", inv, rg))
-            return z[: self.dim_reduced]
+            def precond(r):
+                # Contiguous offsets: the block apply is a pure reshape.
+                rp = jnp.pad(r, (0, n_cl * cdim - self.dim_reduced))
+                z = jnp.einsum(
+                    "nxy,ny->nx", cinv, rp.reshape(n_cl, cdim),
+                    precision="highest",
+                )
+                return z.reshape(-1)[: self.dim_reduced]
+        else:
+            inv_blocks = self.precond_inverses(sys, lam, h_inv)
+
+            def precond(r):
+                rp = jnp.concatenate([r, jnp.zeros(self.pad + 1, dtype=dtype)])
+                z = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=dtype)
+                for (name, offs, dof), inv in zip(self.fam_offsets, inv_blocks):
+                    idx = jnp.asarray(offs)[:, None] + jnp.arange(dof, dtype=jnp.int32)[None, :]
+                    idx = jnp.minimum(idx, self.dim_reduced + self.pad)
+                    rg = rp[idx]
+                    z = z.at[idx].add(jnp.einsum("nst,nt->ns", inv, rg))
+                return z[: self.dim_reduced]
 
         x0 = jnp.zeros(self.dim_reduced, dtype=dtype)
         r0 = rhs
