@@ -66,6 +66,7 @@ def main():
         max_fails=1 << 30,
         max_time=1800.0,
         linear_tol=float(os.environ.get("GIANT_LTOL", "0")) or None,
+        schur_cluster_size=int(os.environ.get("GIANT_CLUSTER", "0")),
     )
     t0 = time.perf_counter()
     if MODE == "stepped":
@@ -82,6 +83,7 @@ def main():
                 "nobs": int(nobs),
                 "cg_fixed": os.environ.get("NLLSTPU_CG_FIXED_ITERS"),
                 "linear_tol": os.environ.get("GIANT_LTOL"),
+                "cluster": os.environ.get("GIANT_CLUSTER"),
                 "iters": res.num_iterations,
                 "wall_s": wall,
                 "iters_per_sec": res.num_iterations / wall,
