@@ -81,8 +81,10 @@ class CompiledProblem:
     def ctx(self, options=None) -> iterators.IterCtx:
         if self.schur_info is not None:
             linops = self.schur_info.ops()
+            # 0 means "disabled", matching the NLLSTPU_CG_FIXED_ITERS env
+            # var and the sharded runner.
             fixed = getattr(options, "cg_fixed_iters", None)
-            if fixed is not None and hasattr(linops, "fixed_iters"):
+            if fixed and hasattr(linops, "fixed_iters"):
                 linops = dataclasses.replace(linops, fixed_iters=int(fixed))
         elif self.cg_ops is not None:
             linops = self.cg_ops

@@ -181,6 +181,8 @@ def _slot_key_table(batch, layout, slot, start):
     by (unfixed) variable id, plus the variable's global row base (fixed
     variables map to the dustbin row ``dof_total``).  None on excessive
     skew."""
+    from .schur import _key_table
+
     man = batch.manifolds[slot]
     name = family_name(man)
     offs = np.asarray(layout.offsets[name])
@@ -189,17 +191,9 @@ def _slot_key_table(batch, layout, slot, start):
     mask = np.asarray(batch.mask)
     unfixed = offs[idx] < layout.dof_total
     keys = np.where(mask & unfixed, idx, n)
-    valid = np.nonzero(keys < n)[0]
-    counts = np.bincount(keys[valid], minlength=n)
-    k = int(max(counts.max(initial=0), 1))
-    if k > _CG_MAX_K or n * k > 8 * max(len(valid), 1):
+    table = _key_table(keys, n, batch.n_padded, _CG_MAX_K)
+    if table is None:
         return None
-    order = np.argsort(keys[valid], kind="stable")
-    rows_sorted = valid[order]
-    starts = np.cumsum(counts) - counts
-    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
-    table = np.full((n, k), batch.n_padded, dtype=np.int32)
-    table[keys[valid][order], pos] = rows_sorted
     row_base = np.minimum(offs, layout.dof_total).astype(np.int32)
     sel = np.arange(start, start + man.dof)
     return table, row_base, man.dof, sel

@@ -463,8 +463,12 @@ class SchurCGOps:
         corrs = []
         for ci in range(n_cl):
             loc = vc - ci * m  # [L, K]
+            # Dustbin ids (≥ n_r: masked costs, fixed cameras) can land
+            # inside the LAST cluster's id range, so exclude them
+            # explicitly rather than relying on their w_blk being zero.
             oh = (
                 (loc[:, :, None] == jnp.arange(m, dtype=vc.dtype)[None, None, :])
+                & (vc[:, :, None] < n_r)
             ).astype(dtype)  # [L, K, m]; out-of-cluster/dustbin → all-zero
             # U [dl, L, cdim]: local column = loc·dof + p (m-major, p-minor
             # = the contiguous-offsets order).
@@ -629,9 +633,6 @@ class _FastBatch:
     # Jacobian twice (~1ms vs ~4ms of one-hot matmuls at bench scale).
     cam_batch: Any = None
     cam_k: int = None
-    # [K, L, dr_s] static reduced-column indices of obs-major column l·K+j
-    # (dustbin rows for masked/fixed), for the unique-index W scatters.
-    w_rows: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -722,18 +723,12 @@ def obs_major_repack(batch, info: "SchurInfo"):
     L = info.num_elim
     lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
     lid = np.where(mask, lid, L)
-    valid = np.nonzero(lid < L)[0]
     extra = np.nonzero(mask & (lid == L))[0]  # real costs, fixed landmark
-    counts = np.bincount(lid[valid], minlength=L)
-    k = int(max(counts.max(initial=0), 1))
+    rows_sorted, skey, counts, pos, k = _group_rows(lid, L)
     total = L * k + len(extra)
     if k > _FAST_MAX_K or total > _OBS_MAJOR_MAX_RATIO * max(batch.n, 1):
         return None
-    order = np.argsort(lid[valid], kind="stable")
-    rows_sorted = valid[order]
-    starts = np.cumsum(counts) - counts
-    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
-    cols = lid[valid][order] * k + pos
+    cols = skey * k + pos
     b_new = -(-total // 8) * 8  # tile-friendly trailing pad
     take = np.zeros(b_new, dtype=np.int64)
     newmask = np.zeros(b_new, dtype=bool)
@@ -785,19 +780,12 @@ def _fast_batch_data(batch, layout, info):
     lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
     lid = lid.copy()
     lid[~mask] = info.num_elim
-    valid = np.nonzero(lid < info.num_elim)[0]
     if info.num_elim == 0:
         return None
-    sorted_order = np.argsort(lid[valid], kind="stable")
-    sorted_rows = valid[sorted_order]
-    sorted_lid = lid[valid][sorted_order]
-    counts = np.bincount(sorted_lid, minlength=info.num_elim)
-    k = int(max(counts.max(initial=0), 1))
-    if k > _FAST_MAX_K or info.num_elim * k > 8 * max(len(valid), 1):
+    sorted_rows, sorted_lid, counts, pos, k = _group_rows(lid, info.num_elim)
+    if k > _FAST_MAX_K or info.num_elim * k > 8 * max(len(sorted_rows), 1):
         return None
     obs_table = np.full((info.num_elim, k), b_pad, dtype=np.int32)
-    starts = np.cumsum(counts) - counts
-    pos = np.arange(len(sorted_rows)) - np.repeat(starts, counts)
     obs_table[sorted_lid, pos] = sorted_rows
 
     # Obs-major detection (see obs_major_repack): the table is exactly the
@@ -817,17 +805,11 @@ def _fast_batch_data(batch, layout, info):
     rvid[(~mask) | var_fixed] = n_r  # dustbin id → all-zero one-hot row
     row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
     cam_table = _key_table(rvid, n_r, b_pad, _FAST_MAX_CAM_K)
-    cam_batch = cam_k = w_rows = None
+    cam_batch = cam_k = None
     # The dual-sorted direct path (and the cm wpart layout keyed off
     # cam_batch's presence) applies only to components-major batches.
     if obs_k is not None and batch.batched == "cm":
         cam_batch, cam_k = _cam_major_repack(batch, rvid, n_r)
-        dr_s = rman.dof
-        rb = np.append(row_base, np.int32(info.dim_reduced))
-        base = rb[np.minimum(rvid[: info.num_elim * k], n_r)]  # [L·K]
-        w_rows = (
-            base[:, None] + np.arange(dr_s, dtype=np.int32)[None, :]
-        ).reshape(info.num_elim, k, dr_s).transpose(1, 0, 2)  # [K, L, dr_s]
     return _FastBatch(
         r_slot=r_slot,
         n_r=n_r,
@@ -838,7 +820,6 @@ def _fast_batch_data(batch, layout, info):
         obs_k=obs_k,
         cam_batch=cam_batch,
         cam_k=cam_k,
-        w_rows=w_rows,
     )
 
 
@@ -847,20 +828,14 @@ def _cam_major_repack(batch, rvid, n_r):
     the j-th cost touching unfixed reduced variable ``c``; costs with a
     dustbin rvid (masked, or fixed camera — no a_rr contribution) are
     dropped.  Returns (batch, Kc) or (None, None) on excessive skew."""
-    valid = np.nonzero(rvid < n_r)[0]
     if n_r == 0:
         return None, None
-    counts = np.bincount(rvid[valid], minlength=n_r)
-    kc = int(max(counts.max(initial=0), 1))
+    rows_sorted, skey, counts, pos, kc = _group_rows(rvid, n_r)
     if kc > _FAST_MAX_CAM_K or n_r * kc > _OBS_MAJOR_MAX_RATIO * max(
-        len(valid), 1
+        len(rows_sorted), 1
     ):
         return None, None
-    order = np.argsort(rvid[valid], kind="stable")
-    rows_sorted = valid[order]
-    starts = np.cumsum(counts) - counts
-    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
-    cols = rvid[valid][order] * kc + pos
+    cols = skey * kc + pos
     b_new = -(-(n_r * kc) // 8) * 8
     take = np.zeros(b_new, dtype=np.int64)
     newmask = np.zeros(b_new, dtype=bool)
@@ -876,22 +851,32 @@ def _cam_major_repack(batch, rvid, n_r):
     ), kc
 
 
-def _key_table(keys, n_keys, pad_value, max_k):
-    """[n_keys, K] table of row ids grouped by key (pad = ``pad_value``);
-    None when the per-key count is too skewed for a dense table."""
+def _group_rows(keys, n_keys):
+    """Host-side stable grouping of row indices by key (keys ≥ ``n_keys``
+    are dropped): returns ``(rows_sorted, sorted_keys, counts, pos, k)``
+    where ``pos`` is each row's rank within its key's run and ``k`` the
+    maximum run length — the single primitive behind every dense key table
+    and run repack in this module and ops/cg.py."""
     valid = np.nonzero(keys < n_keys)[0]
-    if n_keys == 0:
-        return None
+    counts = np.bincount(keys[valid], minlength=n_keys)
+    k = int(max(counts.max(initial=0), 1))
     order = np.argsort(keys[valid], kind="stable")
     rows = valid[order]
     skey = keys[valid][order]
-    counts = np.bincount(skey, minlength=n_keys)
-    k = int(max(counts.max(initial=0), 1))
-    if k > max_k or n_keys * k > 8 * max(len(valid), 1):
-        return None
-    table = np.full((n_keys, k), pad_value, dtype=np.int32)
     starts = np.cumsum(counts) - counts
     pos = np.arange(len(rows)) - np.repeat(starts, counts)
+    return rows, skey, counts, pos, k
+
+
+def _key_table(keys, n_keys, pad_value, max_k):
+    """[n_keys, K] table of row ids grouped by key (pad = ``pad_value``);
+    None when the per-key count is too skewed for a dense table."""
+    if n_keys == 0:
+        return None
+    rows, skey, counts, pos, k = _group_rows(keys, n_keys)
+    if k > max_k or n_keys * k > 8 * max(len(rows), 1):
+        return None
+    table = np.full((n_keys, k), pad_value, dtype=np.int32)
     table[skey, pos] = rows
     return table
 
@@ -1085,8 +1070,10 @@ def _assemble_fast_dual(
     * The obs-major leg (landmark runs of length K) produces h_ll, g_l and
       the W coupling: robustified blocks are composed per OUTPUT directly
       from the Jacobian — the shared [S, S, B] per-cost Hessian is never
-      materialized — and W lands with K unique-index scatters through the
-      static ``w_rows`` table instead of a one-hot einsum.
+      materialized — and W lands via a one-hot contraction over the run
+      slots plus a unique-row permutation scatter (per-slot and combined
+      scatters both measured 5x slower: TPU scatters rewrite the full W
+      buffer).
     * The camera-major leg (``fast.cam_batch``, runs of length Kc) re-
       evaluates the Jacobian in camera order so a_rr/b_r are also pure
       reshape-sums.  Twice the residual work (~1ms at bench scale) buys out

@@ -125,7 +125,6 @@ class ParallelCompiled:
                             obs_k=None,
                             cam_batch=None,
                             cam_k=None,
-                            w_rows=None,
                         )
                     )
             local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))
@@ -158,8 +157,8 @@ class ParallelCompiled:
     def apply(self, variables, x):
         return self.base.apply(variables, x)
 
-    def ctx(self) -> iterators.IterCtx:
-        base_ctx = self.base.ctx()
+    def ctx(self, options=None) -> iterators.IterCtx:
+        base_ctx = self.base.ctx(options)
         return dataclasses.replace(base_ctx, cost=self.cost)
 
 
@@ -212,6 +211,15 @@ def _per_shard_fast(compiled, batches, n):
 
 def parallelize(compiled: CompiledProblem, mesh: Mesh) -> ParallelCompiled:
     """Shard a compiled problem's cost batches across ``mesh``."""
+    if compiled.schur_info is not None and compiled.schur_info.implicit:
+        # The psum-everything strategy would sum the implicit system's
+        # per-cost coupling pytree (w_blk / index arrays) across shards —
+        # silently wrong.  The landmark-sharded path handles implicit.
+        raise ValueError(
+            "parallelize() does not support the implicit (schur_cg) "
+            "backend; use parallel.schur_shard.parallelize_schur / "
+            "optimize_sharded"
+        )
     n = int(np.prod(mesh.devices.shape))
     batches = [_repad_batch(b, n) for b in compiled.batches]
     sharding = NamedSharding(mesh, P(DATA_AXIS))

@@ -367,10 +367,10 @@ def test_dual_assembly_matches_dense_mixed_fixing():
     x_d = np.linalg.solve(
         np.asarray(a) + lam * np.eye(a.shape[0]), np.asarray(g)
     )
-    # Schur's layout orders landmarks last (order_last), same as dense here.
-    np.testing.assert_allclose(
-        np.linalg.norm(x_s), np.linalg.norm(x_d), rtol=1e-9
-    )
+    # Schur's layout orders landmarks last (order_last), which matches the
+    # dense layout's family order here — compare elementwise so sign /
+    # permutation errors cannot cancel in a norm.
+    np.testing.assert_allclose(x_s, x_d, atol=1e-12)
 
 
 def test_cluster_jacobi_blocks_exact():
