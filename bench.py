@@ -130,10 +130,14 @@ def worker(platform: str, iters: int):
     )
 
 
-def run_leg(platform: str, iters: int, attempts: int = 2, timeout: int = 900):
+def run_leg(platform: str, iters: int, attempts: int = 3, timeout: int = 1500):
     # Long single attempts: killing a wedged TPU worker leaves the remote
     # lease wedged for the NEXT process too, so patience beats retries.
+    # A backend-init failure ("Unable to initialize backend") can also be a
+    # transient tunnel outage — wait before the next attempt.
     for attempt in range(attempts):
+        if attempt:
+            time.sleep(120)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", platform, str(iters)],
