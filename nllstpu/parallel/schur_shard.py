@@ -373,7 +373,6 @@ class ShardedSchurCompiled:
                         obs_k=None,
                         cam_batch=None,
                         cam_k=None,
-                        w_rows=None,
                     )
                 )
         return dataclasses.replace(
