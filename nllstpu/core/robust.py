@@ -288,8 +288,9 @@ def _barron_core(x2, alpha, eps=1e-5):
 
 def _barron_log_partition_table(n_alpha=129, x_max=60.0, n_x=16001):
     """log Z(α) = log ∫ exp(−ρ(x², α)) dx over α ∈ [0, 2], tabulated once at
-    import with vectorized numpy Simpson integration (Barron uses a spline of
-    the same quantity)."""
+    import with vectorized numpy trapezoid integration at n_x=16001 nodes
+    (accuracy depends on the node count — use a higher-order rule if n_x is
+    ever reduced; Barron uses a spline of the same quantity)."""
     import numpy as np
 
     alphas = np.linspace(0.0, 2.0, n_alpha)

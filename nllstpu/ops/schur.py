@@ -72,7 +72,7 @@ class SchurOps:
         # initial= handles an empty reduced block (every reduced variable
         # fixed — e.g. landmark-only polish with solver="schur").
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)), initial=0.0)
         return jnp.maximum(m_r, m_l)
 
     def quad(self, sys, x):
@@ -235,7 +235,7 @@ class SchurCGOps:
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)), initial=0.0)
         return jnp.maximum(m_r, m_l)
 
     def _wt_apply(self, wparts, v):

@@ -138,7 +138,7 @@ class ShardedSchurOps:
         # initial= handles an empty reduced block (every reduced variable
         # fixed); pad-slot h_ll blocks are zero and cannot win the max.
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)), initial=0.0)
         return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
 
     def quad(self, sys, x):
@@ -231,7 +231,7 @@ class ShardedSchurCGOps(schur.SchurCGOps):
     def diag_max(self, sys):
         a_rr, _, h_ll, _, _ = sys
         m_r = jnp.max(jnp.abs(jnp.diagonal(a_rr)), initial=0.0)
-        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)))
+        m_l = jnp.max(jnp.abs(jnp.diagonal(h_ll, axis1=0, axis2=1)), initial=0.0)
         return jnp.maximum(m_r, jax.lax.pmax(m_l, self.axis))
 
     def quad(self, sys, x):

@@ -1,7 +1,8 @@
 """ctypes bindings for the native C++ components (see /root/repo/native/).
 
 Currently: the BAL data-loader (``libbal_loader.so``).  The library is
-auto-built with g++ on first use if missing; every caller has a pure-numpy
+auto-built with g++ on first use if missing or older than its source (a
+stale binary must never shadow a fresh build); every caller has a pure-numpy
 fallback, so the framework works without a toolchain too.
 """
 
@@ -30,7 +31,12 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH) and os.path.exists(_SRC):
+    stale = (
+        os.path.exists(_SO_PATH)
+        and os.path.exists(_SRC)
+        and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)
+    )
+    if (not os.path.exists(_SO_PATH) or stale) and os.path.exists(_SRC):
         try:
             os.makedirs(_PKG_DIR, exist_ok=True)
             subprocess.run(
