@@ -34,6 +34,7 @@ from .core.robust import (
     NoRobust,
     Robustifier,
     Scaled,
+    ScaledAdaptive,
     Tukey,
     Welsch,
     em_fit,
@@ -68,6 +69,7 @@ __all__ = [
     "Robustifier",
     "NoRobust",
     "Scaled",
+    "ScaledAdaptive",
     "Huber",
     "Huber2o",
     "GemanMcclure",

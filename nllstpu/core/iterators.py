@@ -176,12 +176,20 @@ def _dogleg(ctx, sys, variables, bestcost, data, opts):
     tiny = jnp.finfo(dtype).tiny
     tr = data["tr"]
     gnorm2 = b @ b
-    coef = gnorm2 / (ops.quad(sys, b) + tiny)  # the reference's `a`
+    # Newton leg + Cauchy curvature gᵀHg: backends that can fuse the two
+    # (direct Schur shares the dense-W stream) expose solve0_quad_grad;
+    # others pay a separate quad pass.
+    if hasattr(ops, "solve0_quad_grad"):
+        xsol, ghg = ops.solve0_quad_grad(sys)
+    else:
+        xsol = ops.solve(sys, jnp.zeros((), dtype=dtype))
+        ghg = ops.quad(sys, b)
+    coef = gnorm2 / (ghg + tiny)  # the reference's `a`
     cauchy = -coef * b
     alpha2 = coef * coef * gnorm2
     alpha = jnp.sqrt(alpha2)
     tr = jnp.where(tr == 0, alpha, tr)  # first step: Cauchy point
-    xn = -ops.solve(sys, jnp.zeros((), dtype=dtype))  # Newton leg
+    xn = -xsol  # Newton leg
     beta = jnp.sqrt(xn @ xn)
 
     def body(st):

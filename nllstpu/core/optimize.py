@@ -423,22 +423,29 @@ def _unfixed_cache_key(unfixed):
     return tuple((h.family, h.index) for h in unfixed)
 
 
-_runner_cache: dict = {}
+#: LRU capacity of the compiled-runner cache: alternation workflows swap
+#: between a handful of (problem, options, unfixed) configurations — e.g.
+#: EM alternation over two subproblems — and must not recompile per call.
+_RUNNER_CACHE_SIZE = 8
+_runner_cache: dict = {}  # insertion-ordered → LRU via move-to-end semantics
 
 
 def _cached_runner(problem, opts, unfixed):
     """Reuse the compiled jit runner across optimize() calls as long as the
     problem *structure* is unchanged (value edits via set_value don't
-    invalidate — variable values are runtime arguments, not constants)."""
+    invalidate — variable values are runtime arguments, not constants).
+    A small LRU (``_RUNNER_CACHE_SIZE`` entries) so alternating optimize()
+    across several problems/options doesn't recompile every call."""
     key = (
         id(problem),
         problem.structure_version,
         opts,
         _unfixed_cache_key(unfixed),
     )
-    hit = _runner_cache.get(key)
+    hit = _runner_cache.pop(key, None)
     # id() can alias a garbage-collected problem: verify identity via weakref.
     if hit is not None and hit[2]() is problem:
+        _runner_cache[key] = hit  # re-insert = most recently used
         return hit[0], hit[1]
     compiled = compile_problem(
         problem, unfixed, solver=opts.solver, schur_family=opts.schur_family
@@ -446,7 +453,8 @@ def _cached_runner(problem, opts, unfixed):
     if compiled.layout.dof_total == 0:
         raise ValueError("no unfixed variables to optimize")
     runner = _make_jit_runner(compiled, opts)
-    _runner_cache.clear()  # keep at most one entry per process to bound memory
+    while len(_runner_cache) >= _RUNNER_CACHE_SIZE:
+        _runner_cache.pop(next(iter(_runner_cache)))
     _runner_cache[key] = (compiled, runner, weakref.ref(problem))
     return compiled, runner
 

@@ -64,10 +64,19 @@ class NoRobust(Robustifier):
 
 @dataclasses.dataclass(frozen=True)
 class Scaled(Robustifier):
-    """Constant multiple of an inner kernel (src/robust.jl:22-31)."""
+    """Constant multiple of an inner kernel (src/robust.jl:22-31).  The
+    reference's ``Scaled{T,R}`` wraps *any* robustifier including adaptive
+    ones; constructing ``Scaled(adaptive_kernel, h)`` here returns a
+    :class:`ScaledAdaptive` so the result keeps behaving as an adaptive
+    kernel (parameters stay a jointly-optimized variable)."""
 
     robust: Robustifier
     height: float
+
+    def __new__(cls, robust=None, height=None):
+        if cls is Scaled and isinstance(robust, AdaptiveRobustifier):
+            return ScaledAdaptive(robust, height)
+        return super().__new__(cls)
 
     def rho(self, s):
         return self.robust.rho(s) * self.height
@@ -217,6 +226,33 @@ class AdaptiveRobustifier:
         grad = jax.grad(f)(z0)
         hess = jax.jacfwd(jax.grad(f))(z0)
         return val, grad, hess
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaledAdaptive(AdaptiveRobustifier):
+    """Constant multiple of an adaptive kernel — what ``Scaled(adaptive, h)``
+    constructs (reference ``Scaled{T,R}`` over an
+    ``AbstractAdaptiveRobustifier``, src/robust.jl:22-31).  ρ and all its
+    derivatives (w.r.t. both s and the kernel tangent) scale linearly by
+    ``height``."""
+
+    robust: AdaptiveRobustifier
+    height: float
+
+    @property
+    def manifold(self):
+        return self.robust.manifold
+
+    def rho(self, kparams, s):
+        return self.robust.rho(kparams, s) * self.height
+
+    def rho_dc(self, kparams, s):
+        c, d1, d2 = self.robust.rho_dc(kparams, s)
+        return c * self.height, d1 * self.height, d2 * self.height
+
+    def rho_dkernel(self, kparams, s):
+        v, g, h = self.robust.rho_dkernel(kparams, s)
+        return v * self.height, g * self.height, h * self.height
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,6 +87,19 @@ class SchurOps:
         )
 
     def solve(self, sys, lam):
+        return self._solve(sys, lam, want_gquad=False)[0]
+
+    def solve0_quad_grad(self, sys):
+        """Undamped Newton solve H·x = g fused with the gradient curvature
+        gᵀHg — dogleg needs both every outer iteration (the reference does
+        them as separate solve!/fast_bAb passes, src/iterators.jl:47-57).
+        Fusing lets the quad's cross term Wᵀb_r ride the back-substitution's
+        W pass as a second stacked column instead of streaming the dense W
+        coupling a second time."""
+        zero = jnp.zeros((), dtype=sys[0].dtype)
+        return self._solve(sys, zero, want_gquad=True)
+
+    def _solve(self, sys, lam, want_gquad):
         a_rr, b_r, h_ll, g_l, w = sys
         dl = self.dof_elim
         eye_l = jnp.eye(dl, dtype=h_ll.dtype)
@@ -105,11 +118,22 @@ class SchurOps:
         s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
         rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
         xr = cholesky_solve(s, rhs)
-        # Back-substitution; transpose to landmark-major at the boundary.
-        xl = jnp.einsum(
-            "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
+        if not want_gquad:
+            # Back-substitution; transpose to landmark-major at the boundary.
+            xl = jnp.einsum(
+                "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
+            )
+            return jnp.concatenate([xr, xl.T.reshape(-1)]), None
+        # Wᵀ·[x_r | b_r] in ONE W pass: column 0 feeds the back-substitution,
+        # column 1 is the quad cross term.
+        wt = jnp.einsum("dlr,rk->kdl", w, jnp.stack([xr, b_r], axis=1))
+        xl = jnp.einsum("del,el->dl", h_inv, g_l - wt[0])
+        ghg = (
+            b_r @ (a_rr @ b_r)
+            + 2.0 * jnp.sum(wt[1] * g_l)
+            + jnp.einsum("dl,del,el->", g_l, h_ll, g_l)
         )
-        return jnp.concatenate([xr, xl.T.reshape(-1)])
+        return jnp.concatenate([xr, xl.T.reshape(-1)]), ghg
 
 
 class WPart(NamedTuple):

@@ -176,6 +176,35 @@ class ShardedSchurOps:
         )
         return jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)])
 
+    def solve0_quad_grad(self, sys):
+        """Fused undamped solve + gᵀHg for dogleg (see SchurOps): the quad
+        cross term rides the back-substitution's local W pass as a stacked
+        column; only one extra scalar psum crosses the ICI."""
+        a_rr, b_r, h_ll, g_l, w = sys
+        dtype = b_r.dtype
+        h_damped = h_ll + self._pad_eye(dtype)
+        h_inv = batched_inv_spd_cm(h_damped)
+        y = jnp.einsum("dlr,del->elr", w, h_inv)
+        prec = "highest" if dtype == jnp.float64 else "high"
+        corr, wy = jax.lax.psum(
+            (
+                jnp.einsum("elr,els->rs", y, w, precision=prec),
+                jnp.einsum("elr,el->r", y, g_l),
+            ),
+            self.axis,
+        )
+        xr = cholesky_solve(a_rr - corr, b_r - wy)
+        wt = jnp.einsum("dlr,rk->kdl", w, jnp.stack([xr, b_r], axis=1))
+        xl = jnp.einsum("del,el->dl", h_inv, g_l - wt[0])
+        local = 2.0 * jnp.sum(wt[1] * g_l) + jnp.einsum(
+            "dl,del,el->", g_l, h_ll, g_l
+        )
+        ghg = b_r @ (a_rr @ b_r) + jax.lax.psum(local, self.axis)
+        return (
+            jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)]),
+            ghg,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class ShardedSchurCGOps(schur.SchurCGOps):

@@ -75,3 +75,31 @@ def test_em_alternation():
         callback=em_callback,
     )
     check(p, kvar, m1, m2)
+
+
+def test_scaled_adaptive_kernel():
+    """Scaled over an ADAPTIVE kernel (reference Scaled{T,R} wraps any
+    robustifier, src/robust.jl:22-31): joint optimization with
+    Scaled(ContaminatedGaussian, h) recovers the same mixture parameters,
+    and the kernel keeps behaving as an adaptive variable."""
+    scaled = nt.Scaled(KERNEL, 2.0)
+    assert isinstance(scaled, nt.AdaptiveRobustifier)
+    assert scaled.manifold == KERNEL.manifold
+
+    rng = np.random.default_rng(1)
+    points = np.concatenate([rng.normal(0, 1, 800), rng.normal(0, 10, 200)])
+    p = nt.Problem()
+    kvar = p.add_variable(
+        scaled.manifold, nt.ContaminatedGaussian.make_params(0.5, 5.0, 0.6)
+    )
+    m1 = p.add_variable(SCALAR, 0.0)
+    for pt in points:
+        p.add_cost(mean_residual, (kvar, m1), params=pt - 1.0, kernel=scaled)
+    nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    sw = np.asarray(
+        nt.ContaminatedGaussian.sigmas_weight(jnp.asarray(p.get_value(kvar)))
+    )
+    # The ×2 height doubles every term of the robustified NLL uniformly, so
+    # the optimum is unchanged (weight slightly less tight than unscaled).
+    np.testing.assert_allclose(sw, [1.0, 10.0, 0.8], rtol=0.15)
+    np.testing.assert_allclose(float(p.get_value(m1)), -1.0, rtol=0.1)

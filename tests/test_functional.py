@@ -191,3 +191,33 @@ def test_measurement_residual_helper():
     assert nt.cost(p) > 0
     nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT), unfixed=pt)
     assert nt.cost(p) < 1e-20
+
+
+def test_runner_cache_holds_multiple_entries():
+    """Alternating optimize() across problems/options must not recompile
+    every call: the runner cache is an LRU of several entries."""
+    from nllstpu.core import optimize as opt_mod
+
+    opt_mod._runner_cache.clear()
+    problems = []
+    for seed in (1, 2, 3):
+        p = nt.Problem()
+        x = p.add_variable(nt.Scalar(), 5.0 + seed)
+        p.add_cost(lambda t, x: x - t, (x,), params=2.0)
+        problems.append(p)
+    for p in problems:
+        nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
+    assert len(opt_mod._runner_cache) == 3
+    runners = {k: v[1] for k, v in opt_mod._runner_cache.items()}
+    # Re-running reuses the same runner objects (cache hits, no eviction).
+    for p in problems:
+        nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
+    assert {k: v[1] for k, v in opt_mod._runner_cache.items()} == runners
+    # Overflow evicts the least recently used entry only.
+    for seed in range(opt_mod._RUNNER_CACHE_SIZE):
+        p = nt.Problem()
+        x = p.add_variable(nt.Scalar(), 1.0 * seed)
+        p.add_cost(lambda t, x: x - t, (x,), params=1.0)
+        problems.append(p)
+        nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
+    assert len(opt_mod._runner_cache) == opt_mod._RUNNER_CACHE_SIZE

@@ -59,6 +59,22 @@ def test_schur_matches_dense_system():
         np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-9)
 
 
+def test_schur_solve0_quad_grad_fused():
+    """Dogleg's fused Newton-solve + Cauchy-curvature path must equal the
+    separate solve(λ=0) and quad(grad) calls it replaces."""
+    p, cams, lmks = make_affine_ba(4, 9, 1.0)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    _, schur, _, sys_s, _, _ = _both_systems(p, unfixed=cams + lmks[3:])
+    sops = schur.schur_info.ops()
+    x_fused, ghg_fused = jax.jit(sops.solve0_quad_grad)(sys_s)
+    g = sops.grad(sys_s)
+    x_ref = sops.solve(sys_s, jnp.zeros((), dtype=g.dtype))
+    ghg_ref = sops.quad(sys_s, g)
+    np.testing.assert_allclose(x_fused, x_ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ghg_fused, ghg_ref, rtol=1e-10)
+
+
 def test_schur_matches_dense_damped_sparse():
     # Sparse visibility leaves H singular at λ=0 (some landmarks are barely
     # observed), so compare the damped solves only.
