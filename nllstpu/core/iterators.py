@@ -18,8 +18,10 @@ optimizer loop state has one static pytree structure.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -267,3 +269,202 @@ def _gradient_descent(ctx, sys, variables, bestcost, data, opts):
     ss_f, x, nv, c, nc = jax.lax.while_loop(cond, body, (ss, x, nv, c, jnp.int32(1)))
     data = dict(data, gd_step=ss_f * 2)
     return nv, c, x, data, jnp.int32(0), nc
+
+
+# ---------------------------------------------------------------------------
+# Host-stepped iterators (per-phase timing for the stepped driver)
+# ---------------------------------------------------------------------------
+
+
+def make_stepped(name: str, ctx: IterCtx, opts):
+    """Host-stepped variant of :func:`iterate` for the stepped driver: the
+    accept/reject retry loop runs in Python with separately jitted solve and
+    apply+cost kernels, so wall time is attributable to the reference's
+    ``timesolver``/``timecost`` phases (src/structs.jl:44-46; the reference
+    times exactly these two blocks inside ``iterate!``,
+    src/iterators.jl:19,24,149-157).  The jitted driver keeps the fused
+    :func:`iterate` while-loop machines instead — one XLA program, but no
+    per-phase attribution.
+
+    Returns a callable ``(sys, variables, bestcost, itdata) ->
+    (new_vars, cost, step, itdata, n_solves, n_cost_evals, t_solve, t_cost)``.
+    Timing fences are device READBACKS (``np.asarray``/``float``), not
+    ``block_until_ready`` — the only true sync on tunneled TPU backends (see
+    CLAUDE.md).  Small host-side vector math (leg selection, step quality)
+    runs in numpy; its cost is negligible next to a solve and keeps the
+    dispatch count per trial at two.
+    """
+    ops = ctx.ops()
+    dtype = ctx.dtype
+
+    solve_j = jax.jit(lambda sys, lam: -ops.solve(sys, lam))
+    grad_j = jax.jit(ops.grad)
+    diag_max_j = jax.jit(ops.diag_max)
+
+    def _apply_cost(variables, x):
+        nv = ctx.apply(variables, jnp.asarray(x, dtype=dtype))
+        return nv, ctx.cost(nv)
+
+    apply_cost_j = jax.jit(_apply_cost)
+
+    if name == structs.NEWTON:
+
+        def newton(sys, variables, bestcost, itdata):
+            t0 = time.perf_counter()
+            x = np.asarray(solve_j(sys, jnp.zeros((), dtype=dtype)))
+            t_solve = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            nv, c = apply_cost_j(variables, x)
+            c = float(c)
+            t_cost = time.perf_counter() - t0
+            return nv, c, x, itdata, 1, 1, t_solve, t_cost
+
+        return newton
+
+    if name == structs.LEVENBERG_MARQUARDT:
+
+        def levmar(sys, variables, bestcost, itdata):
+            t_solve = t_cost = 0.0
+            bestf = float(bestcost)
+            t0 = time.perf_counter()
+            g = np.asarray(grad_j(sys))
+            lam = float(itdata["lm_lambda"])
+            if lam == 0.0:
+                lam = float(diag_max_j(sys)) * 1e-6
+            t_solve += time.perf_counter() - t0
+            mu = 2.0
+            ns = nc = 0
+            while True:
+                t0 = time.perf_counter()
+                x = np.asarray(solve_j(sys, jnp.asarray(lam, dtype=dtype)))
+                t_solve += time.perf_counter() - t0
+                ns += 1
+                t0 = time.perf_counter()
+                nv, c = apply_cost_j(variables, x)
+                c = float(c)
+                t_cost += time.perf_counter() - t0
+                nc += 1
+                if (not (c > bestf)) or float(np.max(np.abs(x))) < opts.dstep:
+                    break
+                lam *= mu
+                mu *= 2.0
+            # Step quality via the damped-solve identity (see _levmar).
+            quality = (c - bestf) / (
+                0.5 * (float(g @ x) - lam * float(x @ x))
+            )
+            lam_new = lam * (
+                (1 - (2 * quality - 1) ** 3) if quality < 0.983 else 0.1
+            )
+            itdata = dict(itdata, lm_lambda=jnp.asarray(lam_new, dtype=dtype))
+            return nv, c, x, itdata, ns, nc, t_solve, t_cost
+
+        return levmar
+
+    if name == structs.DOGLEG:
+        # Jit the Newton-leg kernels ONCE: a bound method is a fresh object
+        # per attribute access, so jitting inside the loop would retrace
+        # every iteration.
+        if hasattr(ops, "solve0_quad_grad"):
+            newton_leg_j = jax.jit(ops.solve0_quad_grad)
+        else:
+            quad_j = jax.jit(ops.quad)
+            newton_leg_j = None
+
+        def dogleg(sys, variables, bestcost, itdata):
+            t_cost = 0.0
+            bestf = float(bestcost)
+            tiny = float(jnp.finfo(dtype).tiny)
+            t0 = time.perf_counter()
+            b = np.asarray(grad_j(sys))
+            if newton_leg_j is not None:
+                xsol, ghg = newton_leg_j(sys)
+                xn = -np.asarray(xsol)
+                ghg = float(ghg)
+            else:
+                xn = np.asarray(solve_j(sys, jnp.zeros((), dtype=dtype)))
+                ghg = float(quad_j(sys, jnp.asarray(b)))
+            t_solve = time.perf_counter() - t0
+            gnorm2 = float(b @ b)
+            coef = gnorm2 / (ghg + tiny)
+            cauchy = -coef * b
+            alpha2 = coef * coef * gnorm2
+            alpha = float(np.sqrt(alpha2))
+            tr = float(itdata["tr"])
+            if tr == 0.0:
+                tr = alpha  # first step: Cauchy point
+            beta = float(np.sqrt(xn @ xn))
+            c_prev = bestf
+            nc = 0
+            while True:
+                if not (alpha < tr):
+                    x = (tr / alpha) * cauchy
+                    lin = tr * (2 * alpha - tr) / (2 * coef)
+                elif beta <= tr:
+                    x = xn
+                    lin = c_prev
+                else:
+                    d = xn - cauchy
+                    sq_leg = float(d @ d)
+                    cdot = float(cauchy @ d)
+                    trsq = tr * tr - alpha2
+                    root = float(
+                        np.sqrt(max(cdot * cdot + sq_leg * trsq, 0.0))
+                    )
+                    stp = (
+                        (-cdot + root) / (sq_leg + tiny)
+                        if cdot <= 0
+                        else trsq / (cdot + root + tiny)
+                    )
+                    x = d * stp + cauchy
+                    lin = 0.5 * (
+                        coef * (1 - stp) ** 2 * gnorm2
+                    ) + stp * (2 - stp) * c_prev
+                t0 = time.perf_counter()
+                nv, c = apply_cost_j(variables, x)
+                c = float(c)
+                t_cost += time.perf_counter() - t0
+                nc += 1
+                mu = (bestf - c) / lin if lin else 0.0
+                xnorm = float(np.sqrt(x @ x))
+                if mu > 0.375:
+                    tr = max(tr, 3 * xnorm)
+                elif mu < 0.125:
+                    tr = tr * 0.5
+                if (not (c > bestf)) or float(np.max(np.abs(x))) < opts.dstep:
+                    break
+                c_prev = c
+            itdata = dict(itdata, tr=jnp.asarray(tr, dtype=dtype))
+            return nv, c, x, itdata, 1, nc, t_solve, t_cost
+
+        return dogleg
+
+    if name == structs.GRADIENT_DESCENT:
+
+        def gradient_descent(sys, variables, bestcost, itdata):
+            bestf = float(bestcost)
+            t0 = time.perf_counter()
+            b = np.asarray(grad_j(sys))
+            t_solve = time.perf_counter() - t0
+            ss = float(itdata["gd_step"])
+            x = -b * ss
+            t0 = time.perf_counter()
+            nv, c = apply_cost_j(variables, x)
+            c = float(c)
+            t_cost = time.perf_counter() - t0
+            nc = 1
+            while c > bestf:
+                coststep = float(x @ b)
+                costdiff = bestf + coststep - c
+                ss = ss * 0.5 * coststep / costdiff
+                x = -b * ss
+                t0 = time.perf_counter()
+                nv, c = apply_cost_j(variables, x)
+                c = float(c)
+                t_cost += time.perf_counter() - t0
+                nc += 1
+            itdata = dict(itdata, gd_step=jnp.asarray(ss * 2, dtype=dtype))
+            return nv, c, x, itdata, 0, nc, t_solve, t_cost
+
+        return gradient_descent
+
+    raise ValueError(f"unknown iterator {name!r}")

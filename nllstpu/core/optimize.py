@@ -478,9 +478,13 @@ def _run_jit(problem, compiled_runner, opts) -> Result:
         best_cost=float(stats[1]),
         time_total=t2 - t0,
         time_init=t1 - t0,
-        time_cost=0.0,
-        time_gradient=0.0,
-        time_solver=0.0,
+        # The whole optimization is ONE fused XLA program here: per-phase
+        # wall times are not separable, and zeros would masquerade as
+        # measurements.  NaN = "not measured" (documented on Result); use a
+        # callback / the stepped driver for real per-phase attribution.
+        time_cost=float("nan"),
+        time_gradient=float("nan"),
+        time_solver=float("nan"),
         termination=int(stats[2]),
         num_iterations=n_iter,
         cost_computations=int(stats[4]),
@@ -517,23 +521,23 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
     ctx = compiled.ctx(opts)
     cost_j = jax.jit(compiled.cost)
     assemble_j = jax.jit(compiled.assemble)
-
-    def _iter_fn(sys, variables, bestcost, itdata):
-        return iterators.iterate(
-            opts.iterator, ctx, sys, variables, bestcost, itdata, opts
-        )
-
-    iterate_j = jax.jit(_iter_fn)
+    # Host-stepped iterator: the retry loop runs in Python with separately
+    # jitted solve and apply+cost kernels so time_solver/time_cost are real
+    # measurements (reference per-phase semantics, src/iterators.jl:19,24,
+    # 149-157) rather than one fused iterate time.
+    stepped = iterators.make_stepped(opts.iterator, ctx, opts)
 
     variables = problem.stacked_variables()
+    tc = time.perf_counter()
     c0 = float(cost_j(variables))
+    time_cost = time.perf_counter() - tc
     bestcost = c0
     varbest = variables
     itdata = iterators.init_data(ctx.dtype, opts)
     fails = 0
     iternum = 0
     ncost, ngrad, nsolve = 1, 0, 0
-    time_cost = time_grad = time_solve = 0.0
+    time_grad = time_solve = 0.0
     trajectory = CostTrajectory() if opts.store_trajectory else None
     t_init = time.perf_counter() - t0
     termination = 0
@@ -542,14 +546,18 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
     while True:
         tg = time.perf_counter()
         _, sys = jax.block_until_ready(assemble_j(variables))
+        # NOTE: on tunneled TPU backends block_until_ready returns early
+        # (CLAUDE.md), so part of the assemble time lands in the next
+        # readback-fenced phase there; a full-readback fence of `sys` would
+        # stream the dense W to the host every iteration, which is worse.
         ngrad += 1
         time_grad += time.perf_counter() - tg
 
-        ts = time.perf_counter()
-        nv, c, x, itdata, ns, nc = jax.block_until_ready(
-            iterate_j(sys, variables, bestcost, itdata)
+        nv, c, x, itdata, ns, nc, t_sol, t_cst = stepped(
+            sys, variables, bestcost, itdata
         )
-        time_solve += time.perf_counter() - ts
+        time_solve += t_sol
+        time_cost += t_cst
         nsolve += int(ns)
         ncost += int(nc)
         iternum += 1

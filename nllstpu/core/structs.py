@@ -101,10 +101,14 @@ class Options:
 class Result:
     """Optimization result (reference ``NLLSResult``, src/structs.jl:37-50).
 
-    Timing caveat: in the fully-jitted driver the whole optimization is one
-    XLA computation, so only ``time_total`` and ``time_init`` are meaningful;
-    the per-phase times are populated by the stepped driver (``time_solver``
-    there covers the iterate call = solve + trial cost evaluations).
+    Timing semantics: in the fully-jitted driver the whole optimization is
+    one XLA computation, so only ``time_total`` and ``time_init`` are
+    measurable — ``time_cost``/``time_gradient``/``time_solver`` are **NaN**
+    there ("not measured", never zero masquerading as a measurement).  The
+    stepped driver (any callback, or ``store_trajectory``) measures all
+    three for real: ``time_gradient`` covers assembly, ``time_solver`` the
+    linear solves, ``time_cost`` the cost evaluations (reference
+    ``timecost``/``timegradient``/``timesolver``, src/structs.jl:44-46).
     """
 
     start_cost: float
@@ -131,14 +135,18 @@ class Result:
         return reasons
 
     def __str__(self):
+        def t(v):
+            # NaN = "not measured" (fully-jitted driver), see class docstring.
+            return f"{v:f} seconds" if v == v else "unmeasured time (jitted)"
+
         lines = [
             f"nllstpu optimization took {self.time_total:f} seconds and "
             f"{self.num_iterations} iterations to reduce the cost from "
             f"{self.start_cost:e} to {self.best_cost:e} "
             f"(a {100.0 * (1.0 - self.best_cost / self.start_cost) if self.start_cost else 0.0:.2f}% reduction), using:",
-            f"   {self.cost_computations} cost computations in {self.time_cost:f} seconds,",
-            f"   {self.gradient_computations} gradient computations in {self.time_gradient:f} seconds,",
-            f"   {self.linear_solves} linear solver computations in {self.time_solver:f} seconds,",
+            f"   {self.cost_computations} cost computations in {t(self.time_cost)},",
+            f"   {self.gradient_computations} gradient computations in {t(self.time_gradient)},",
+            f"   {self.linear_solves} linear solver computations in {t(self.time_solver)},",
             f"   {self.time_init:f} seconds for initialization.",
         ]
         reasons = self.termination_reasons()

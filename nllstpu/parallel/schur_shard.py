@@ -727,9 +727,10 @@ def optimize_sharded(
         best_cost=float(stats[1]),
         time_total=t2 - t0,
         time_init=t1 - t0,
-        time_cost=0.0,
-        time_gradient=0.0,
-        time_solver=0.0,
+        # NaN = not measured (one fused XLA program; see Result docstring).
+        time_cost=float("nan"),
+        time_gradient=float("nan"),
+        time_solver=float("nan"),
         termination=int(stats[2]),
         num_iterations=n_iter,
         cost_computations=int(stats[4]),

@@ -221,3 +221,24 @@ def test_runner_cache_holds_multiple_entries():
         problems.append(p)
         nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
     assert len(opt_mod._runner_cache) == opt_mod._RUNNER_CACHE_SIZE
+
+
+def test_result_timing_fields_semantics():
+    """Reference NLLSResult reports per-phase times (src/structs.jl:44-46).
+    The stepped driver measures all three for real; the jitted driver
+    reports NaN ("not measured"), never zeros masquerading as timings."""
+    from nllstpu.models.rosenbrock import make_rosenbrock
+
+    p, x, y = make_rosenbrock()
+    r = nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT,
+                                  store_trajectory=True))
+    assert r.time_cost > 0 and r.time_gradient > 0 and r.time_solver > 0
+    assert r.time_total >= r.time_cost + r.time_gradient + r.time_solver - 1e-9
+    assert "unmeasured" not in str(r)
+
+    p2, x2, y2 = make_rosenbrock()
+    r2 = nt.optimize(p2, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    assert np.isnan(r2.time_cost) and np.isnan(r2.time_gradient)
+    assert np.isnan(r2.time_solver)
+    assert r2.time_total > 0
+    assert "unmeasured time (jitted)" in str(r2)
