@@ -289,6 +289,51 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
     else:
         t0 = jnp.float32(0)
 
+    # Opt-in per-iteration printout from INSIDE the jitted loop — reference
+    # ``printoutcallback`` parity (src/callbacks.jl:39-60) without forcing
+    # the stepped driver.  All row scalars ride ONE packed f32 array per
+    # iteration; ordered=True keeps rows sequenced through the while_loop.
+    use_print = bool(getattr(opts, "jit_printout", False))
+    if use_print:
+        from jax.experimental import io_callback
+
+        def _print_row(vals):
+            vals = np.asarray(vals, dtype=np.float64)
+            it = int(vals[0])
+            if it == 0:
+                print(
+                    f"{'iter':>6} {'cost':>16} {'cost change':>16}"
+                    f" {'|step|':>12} {'trust':>12}"
+                )
+                print(f"{0:>6} {vals[1]:>16.8e}")
+                return
+            c, prev_best, step, lam, tr, gd = vals[1:7]
+            trust = (1.0 / lam) if lam > 0 else (tr if tr > 0 else gd)
+            print(
+                f"{it:>6} {c:>16.8e} {prev_best - c:>16.8e}"
+                f" {step:>12.4e} {trust:>12.4e}"
+            )
+
+        def _emit_row(it, c, prev_best, step, itdata):
+            io_callback(
+                _print_row,
+                None,
+                jnp.stack(
+                    [
+                        jnp.asarray(it, jnp.float32),
+                        jnp.asarray(c, jnp.float32),
+                        jnp.asarray(prev_best, jnp.float32),
+                        jnp.asarray(step, jnp.float32),
+                        jnp.asarray(itdata["lm_lambda"], jnp.float32),
+                        jnp.asarray(itdata["tr"], jnp.float32),
+                        jnp.asarray(itdata["gd_step"], jnp.float32),
+                    ]
+                ),
+                ordered=True,
+            )
+
+        _emit_row(0, c0, c0, 0.0, iterators.init_data(dtype, opts))
+
     state = dict(
         variables=vars0,
         varbest=vars0,
@@ -334,6 +379,10 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
             now = io_callback(_now, _t_sds, ordered=True)
             bits |= jnp.int32(now - st["t0"] > opts.max_time) << 9
+        if use_print:
+            _emit_row(
+                iternum, c, st["bestcost"], jnp.linalg.norm(x), itdata
+            )
         trace = st["trace"]
         if opts.store_trajectory:
             trace = trace.at[iternum - 1].set(c)

@@ -414,41 +414,55 @@ class Problem:
             for name, fam in self._families.items()
         }
 
+    def _group_stacked(self, g, want_params=True):
+        """Stacked ``(indices [n, nslots], params pytree of [n, ...] or
+        None)`` for one cost group: per-cost list entries followed by bulk
+        chunks — the exact order ``batches()`` emits costs."""
+        ind_parts = []
+        if g.indices:
+            ind_parts.append(np.array(g.indices, dtype=np.int32))
+        ind_parts.extend(ci for _, ci in g.chunks)
+        ind = (
+            np.concatenate(ind_parts)
+            if ind_parts
+            else np.zeros((0, len(g.families)), np.int32)
+        )  # [n, nslots]
+        if not want_params:
+            return ind, None
+        param_parts = []
+        if g.params and g.params[0] is not None:
+            param_parts.append(
+                jtu.tree_map(
+                    lambda *ls: np.stack([np.asarray(l) for l in ls]),
+                    *g.params,
+                )
+            )
+        param_parts.extend(cp for cp, _ in g.chunks if cp is not None)
+        params = (
+            jtu.tree_map(
+                lambda *ls: np.concatenate([np.asarray(l) for l in ls]),
+                *param_parts,
+            )
+            if param_parts
+            else None
+        )
+        return ind, params
+
     def batches(self) -> list:
         """Finalize cost groups into padded CostBatch objects."""
         out = []
         for key in self._group_order:
             g = self._groups[key]
-            n = g.count()
+            ind, raw_params = self._group_stacked(g)
+            n = ind.shape[0]
             n_pad = -(-n // BATCH_ALIGN) * BATCH_ALIGN
-            # Indices: per-cost list entries followed by bulk chunks.
-            ind_parts = []
-            if g.indices:
-                ind_parts.append(np.array(g.indices, dtype=np.int32))
-            ind_parts.extend(ci for _, ci in g.chunks)
-            ind = (
-                np.concatenate(ind_parts)
-                if ind_parts
-                else np.zeros((0, len(g.families)), np.int32)
-            )  # [n, nslots]
             idx_arr = np.zeros((len(g.families), n_pad), dtype=np.int32)
             idx_arr[:, :n] = ind.T
             mask = np.zeros(n_pad, dtype=bool)
             mask[:n] = True
 
-            # Params: stack the per-cost list, concatenate with chunks, pad.
-            param_parts = []
-            if g.params and g.params[0] is not None:
-                param_parts.append(
-                    jtu.tree_map(
-                        lambda *ls: np.stack([np.asarray(l) for l in ls]),
-                        *g.params,
-                    )
-                )
-            param_parts.extend(cp for cp, _ in g.chunks if cp is not None)
-
-            def pad_leaf(*leaves):
-                arr = np.concatenate([np.asarray(l) for l in leaves])
+            def pad_leaf(arr):
+                arr = np.asarray(arr)
                 if np.issubdtype(arr.dtype, np.floating):
                     # Keep all float params in the problem dtype so f32
                     # problems stay f32 end to end.
@@ -460,7 +474,9 @@ class Problem:
                 return padded
 
             params = (
-                jtu.tree_map(pad_leaf, *param_parts) if param_parts else None
+                jtu.tree_map(pad_leaf, raw_params)
+                if raw_params is not None
+                else None
             )
             out.append(
                 CostBatch(
@@ -485,46 +501,112 @@ class Problem:
         src/problem.jl:47-83).  ``predicate`` is either a callable
         ``(slot_handles) -> bool``, a single :class:`VarHandle` (keep costs
         touching it — the reference's integer form), or an iterable of
-        handles."""
-        if not callable(predicate):
-            if isinstance(predicate, VarHandle):
-                targets = {(predicate.family, predicate.index)}
-            else:
-                targets = {(h.family, h.index) for h in predicate}
+        handles.
 
-            def predicate(handles, _t=targets):  # noqa: F811
-                return any((h.family, h.index) in _t for h in handles)
+        Handle/iterable predicates select via numpy masks over the stacked
+        index arrays — O(total incidence) with no per-cost Python, so a
+        BAL-scale (millions of observations) subproblem builds in well under
+        a second.  A callable predicate is evaluated per cost.  Selected
+        costs keep their group's hand ``jacobian`` and ``batched`` layout."""
+        targets = None
+        if not callable(predicate):
+            handles = (
+                [predicate] if isinstance(predicate, VarHandle) else list(predicate)
+            )
+            targets = {}
+            for h in handles:
+                targets.setdefault(h.family, []).append(h.index)
+            targets = {
+                f: np.unique(np.asarray(ix, dtype=np.int64))
+                for f, ix in targets.items()
+            }
 
         sub = Problem(dtype=self.dtype)
         sub._families = self._families  # shared, as in the reference
         for key in self._group_order:
             g = self._groups[key]
-            all_costs = list(zip(g.params, g.indices))
-            for cp, ci in g.chunks:
-                for r in range(ci.shape[0]):
-                    p = None if cp is None else jtu.tree_map(lambda l: l[r], cp)
-                    all_costs.append((p, tuple(ci[r])))
-            for params, indices in all_costs:
-                handles = tuple(
-                    VarHandle(man, i) for man, i in zip(g.families, indices)
+            ind, params = self._group_stacked(g)
+            n = ind.shape[0]
+            if n == 0:
+                continue
+            if targets is not None:
+                sel = np.zeros(n, dtype=bool)
+                for s, man in enumerate(g.families):
+                    t = targets.get(family_name(man))
+                    if t is not None:
+                        sel |= np.isin(ind[:, s], t)
+            else:
+                sel = np.fromiter(
+                    (
+                        bool(
+                            predicate(
+                                tuple(
+                                    VarHandle(man, int(i))
+                                    for man, i in zip(g.families, row)
+                                )
+                            )
+                        )
+                        for row in ind
+                    ),
+                    dtype=bool,
+                    count=n,
                 )
-                if predicate(handles):
-                    sub.add_cost(g.fn, handles, params=params, kernel=g.kernel, kind=g.kind)
+            if not sel.any():
+                continue
+            ind_sel = ind[sel]
+            params_sel = (
+                None
+                if params is None
+                else jtu.tree_map(lambda l: l[sel], params)
+            )
+            sub.add_cost_batch(
+                g.fn,
+                [(man, ind_sel[:, s]) for s, man in enumerate(g.families)],
+                params=params_sel,
+                kernel=g.kernel,
+                kind=g.kind,
+                jacobian=g.jacobian,
+                batched=g.batched,
+            )
         return sub
+
+    def varcostmap(self) -> dict:
+        """Full variable-cost incidence (reference ``updatevarcostmap!`` /
+        ``getvarcostmap``, src/problem.jl:124-175) in COO form: per family, a
+        ``(var_idx, cost_id)`` pair of int64 arrays, with cost ids global
+        across the problem in the exact order ``batches()`` emits costs
+        (group order; singly-added costs before bulk chunks within a group).
+        Built with vectorized numpy — O(total incidence), no per-cost
+        Python.  The transposed view (costs touching each variable) is a
+        ``bincount``/argsort away, which is how ``var_cost_counts`` and the
+        per-variable subsets of ``optimize_singles`` use it."""
+        rows = {name: [] for name in self._families}
+        cols = {name: [] for name in self._families}
+        base = 0
+        for key in self._group_order:
+            g = self._groups[key]
+            ind, _ = self._group_stacked(g, want_params=False)
+            n = ind.shape[0]
+            cost_ids = base + np.arange(n, dtype=np.int64)
+            for s, man in enumerate(g.families):
+                name = family_name(man)
+                rows[name].append(ind[:, s].astype(np.int64))
+                cols[name].append(cost_ids)
+            base += n
+        out = {}
+        for name in self._families:
+            out[name] = (
+                np.concatenate(rows[name]) if rows[name] else np.zeros(0, np.int64),
+                np.concatenate(cols[name]) if cols[name] else np.zeros(0, np.int64),
+            )
+        return out
 
     def var_cost_counts(self) -> dict:
         """Per-family array counting how many costs touch each variable — the
         row sums of the reference's ``varcostmap`` incidence matrix
         (src/problem.jl:124-168)."""
-        counts = {
-            name: np.zeros(fam.n, dtype=np.int64)
+        coo = self.varcostmap()
+        return {
+            name: np.bincount(coo[name][0], minlength=fam.n).astype(np.int64)
             for name, fam in self._families.items()
         }
-        for g in self._groups.values():
-            for indices in g.indices:
-                for man, i in zip(g.families, indices):
-                    counts[family_name(man)][i] += 1
-            for _, ci in g.chunks:
-                for s, man in enumerate(g.families):
-                    np.add.at(counts[family_name(man)], ci[:, s], 1)
-        return counts

@@ -34,16 +34,27 @@ from .structs import Options
 def _pair_row_lists(batch, slot, target_indices):
     """For each target variable, the padded list of batch rows whose ``slot``
     dependency is that variable (the reference's per-variable ``selectcosts!``
-    subsets, src/optimize.jl:194, built once host-side)."""
+    subsets, src/optimize.jl:194, built once host-side).  Sort-based:
+    O(B log B + T·kmax) instead of a per-target scan of the batch — at
+    BAL scale (8k landmarks × 100k obs) that is the difference between
+    milliseconds and tens of seconds of setup."""
     idx = np.asarray(batch.idx[slot])
     mask = np.asarray(batch.mask)
-    lists = [np.nonzero((idx == v) & mask)[0] for v in target_indices]
-    kmax = max([len(l) for l in lists] + [1])
-    rows = np.zeros((len(target_indices), kmax), dtype=np.int32)
-    rmask = np.zeros((len(target_indices), kmax), dtype=bool)
-    for i, l in enumerate(lists):
-        rows[i, : len(l)] = l
-        rmask[i, : len(l)] = True
+    valid = np.nonzero(mask)[0]
+    order = valid[np.argsort(idx[valid], kind="stable")]
+    sorted_ids = idx[order]
+    targets = np.asarray(target_indices, dtype=idx.dtype)
+    starts = np.searchsorted(sorted_ids, targets, side="left")
+    counts = np.searchsorted(sorted_ids, targets, side="right") - starts
+    kmax = max(int(counts.max()) if counts.size else 0, 1)
+    rmask = np.arange(kmax)[None, :] < counts[:, None]
+    if order.size:
+        gather = np.minimum(
+            starts[:, None] + np.arange(kmax)[None, :], order.size - 1
+        )
+        rows = np.where(rmask, order[gather], 0).astype(np.int32)
+    else:
+        rows = np.zeros((len(targets), kmax), dtype=np.int32)
     return rows, rmask
 
 
@@ -80,6 +91,12 @@ def optimize_singles(problem: Problem, options: Options = None, targets=None):
 
 
 def _solve_family(problem, batches, fam_arrays, fam, man, target_indices, opts):
+    if getattr(opts, "jit_printout", False):
+        # Per-iteration printing is meaningless (and ordered io_callbacks
+        # unsupported) under the vmapped per-variable solves.
+        import dataclasses
+
+        opts = dataclasses.replace(opts, jit_printout=False)
     dtype = jnp.dtype(problem.dtype)
     d = man.dof
     # (batch, slot) pairs where this family appears.

@@ -64,6 +64,13 @@ class Options:
     max_iters: int = 100
     max_time: float = 30.0
     jit_max_time: bool = False
+    # Per-iteration printout from INSIDE the fully-jitted loop (reference
+    # ``printoutcallback`` runs inside the main optimizer,
+    # src/callbacks.jl:39-60) via an ordered io_callback — no stepped-driver
+    # fallback needed just to watch iterations.  One small host transfer per
+    # outer iteration; off by default.  Ignored by the vmapped
+    # per-variable alternation solves.
+    jit_printout: bool = False
     iterator: str = LEVENBERG_MARQUARDT
     solver: str = "auto"
     schur_family: Any = None  # Manifold of the eliminated (landmark) family

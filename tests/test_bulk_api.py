@@ -59,3 +59,98 @@ def test_mixed_single_and_bulk():
     assert p.num_costs() == 3
     # 3 residuals: 1·2−0.5, 1·2−1, 1·2−2 → ½(1.5² + 1² + 0²) = 1.625
     np.testing.assert_allclose(nt.cost(p), 0.5 * (1.5**2 + 1.0**2 + 0.0**2))
+
+
+def test_varcostmap_coo():
+    """Full incidence export (reference updatevarcostmap!/getvarcostmap,
+    src/problem.jl:124-175): COO pairs per family, cost ids global in
+    batches() order, matching a hand-built incidence."""
+    rng = np.random.default_rng(1)
+    ia = rng.integers(0, 5, size=9).astype(np.int32)
+    ib = rng.integers(0, 4, size=9).astype(np.int32)
+    p = nt.Problem()
+    hs = [p.add_variable(nt.Scalar(), 0.1 * k) for k in range(5)]
+    p.add_variables(nt.Euclidean(2), rng.standard_normal((4, 2)))
+    # Mixed ingestion: 3 singles then a 6-row chunk, same group.
+    for k in range(3):
+        p.add_cost(residual, (hs[ia[k]], nt.VarHandle(nt.Euclidean(2), int(ib[k]))),
+                   params=float(k))
+    p.add_cost_batch(residual, slots=[(nt.Scalar(), ia[3:]), (nt.Euclidean(2), ib[3:])],
+                     params=np.zeros(6))
+    coo = p.varcostmap()
+    vs, cs = coo[nt.family_name(nt.Scalar())]
+    np.testing.assert_array_equal(vs, ia)
+    np.testing.assert_array_equal(cs, np.arange(9))
+    ve, ce = coo[nt.family_name(nt.Euclidean(2))]
+    np.testing.assert_array_equal(ve, ib)
+    np.testing.assert_array_equal(ce, np.arange(9))
+    counts = p.var_cost_counts()
+    np.testing.assert_array_equal(
+        counts[nt.family_name(nt.Scalar())], np.bincount(ia, minlength=5)
+    )
+
+
+def test_subproblem_preserves_jacobian_and_batched():
+    """subproblem keeps the group's hand jacobian and batched layout (a
+    rebound per-cost function would be silently wrong/slow)."""
+    rng = np.random.default_rng(2)
+
+    def bres(meas, a, b):
+        return a[:, None] * b - meas  # batched: whole [B] / [B,2] arrays
+
+    def bjac(meas, a, b):
+        import jax.numpy as jnp
+
+        r = a[:, None] * b - meas
+        B = r.shape[0]
+        ja = b[:, :, None]  # dr/da [B, 2, 1]
+        jb = jnp.tile(jnp.eye(2)[None], (B, 1, 1)) * a[:, None, None]
+        return r, jnp.concatenate([ja, jb], axis=2)
+
+    ia = rng.integers(0, 3, size=10).astype(np.int32)
+    ib = rng.integers(0, 4, size=10).astype(np.int32)
+    meas = rng.standard_normal((10, 2))
+    p = nt.Problem()
+    p.add_variables(nt.Scalar(), rng.standard_normal(3))
+    p.add_variables(nt.Euclidean(2), rng.standard_normal((4, 2)))
+    p.add_cost_batch(
+        bres,
+        slots=[(nt.Scalar(), ia), (nt.Euclidean(2), ib)],
+        params=meas,
+        jacobian=bjac,
+        batched=True,
+    )
+    target = nt.VarHandle(nt.Scalar(), 1)
+    sub = p.subproblem(target)
+    g = sub._groups[next(iter(sub._groups))]
+    assert g.jacobian is bjac and g.batched is True
+    assert sub.num_costs() == int((ia == 1).sum())
+    # Sub cost equals the masked share of the full cost.
+    a_all = p.stacked_variables()[nt.family_name(nt.Scalar())]
+    b_all = p.stacked_variables()[nt.family_name(nt.Euclidean(2))]
+    r = np.asarray(a_all)[ia][:, None] * np.asarray(b_all)[ib] - meas
+    expect = 0.5 * (r[ia == 1] ** 2).sum()
+    np.testing.assert_allclose(nt.cost(sub), expect, rtol=1e-12)
+
+
+def test_subproblem_scales():
+    """VERDICT #7 'Done' criterion: subproblem of a 1M-obs problem in < 1s
+    (vectorized mask selection, no per-cost Python)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    n = 1_000_000
+    ia = rng.integers(0, 1000, size=n).astype(np.int32)
+    ib = rng.integers(0, 5000, size=n).astype(np.int32)
+    p = nt.Problem()
+    p.add_variables(nt.Scalar(), rng.standard_normal(1000))
+    p.add_variables(nt.Euclidean(2), rng.standard_normal((5000, 2)))
+    p.add_cost_batch(
+        residual, slots=[(nt.Scalar(), ia), (nt.Euclidean(2), ib)],
+        params=rng.standard_normal(n),
+    )
+    t0 = time.perf_counter()
+    sub = p.subproblem(nt.VarHandle(nt.Scalar(), 7))
+    dt = time.perf_counter() - t0
+    assert sub.num_costs() == int((ia == 7).sum())
+    assert dt < 1.0, f"subproblem took {dt:.2f}s"

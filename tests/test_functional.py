@@ -242,3 +242,21 @@ def test_result_timing_fields_semantics():
     assert np.isnan(r2.time_solver)
     assert r2.time_total > 0
     assert "unmeasured time (jitted)" in str(r2)
+
+
+def test_jit_printout(capsys):
+    """Options(jit_printout=True): the iteration table prints from INSIDE
+    the fully-jitted loop (reference printoutcallback runs inside the main
+    optimizer, src/callbacks.jl:39-60) — no stepped driver involved."""
+    from nllstpu.models.rosenbrock import make_rosenbrock
+
+    p, x, y = make_rosenbrock(x0=-0.5, y0=2.5)
+    r = nt.optimize(
+        p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT, jit_printout=True)
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    # header + iteration-0 row + one row per iteration
+    assert len(out) == r.num_iterations + 2
+    assert out[0].split() == ["iter", "cost", "cost", "change", "|step|", "trust"]
+    assert out[1].split()[0] == "0"
+    assert out[-1].split()[0] == str(r.num_iterations)
