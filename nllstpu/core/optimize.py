@@ -86,6 +86,9 @@ class CompiledProblem:
             fixed = getattr(options, "cg_fixed_iters", None)
             if fixed and hasattr(linops, "fixed_iters"):
                 linops = dataclasses.replace(linops, fixed_iters=int(fixed))
+            chunk = getattr(options, "cg_chunk_iters", None)
+            if chunk and hasattr(linops, "chunk_iters"):
+                linops = dataclasses.replace(linops, chunk_iters=int(chunk))
         elif self.cg_ops is not None:
             linops = self.cg_ops
         else:
@@ -413,12 +416,14 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
 
 #: Fully-jitted implicit programs above this many (padded) observations get
-#: the fixed-trip reduced PCG by default: the innermost data-dependent
-#: while_loop of 3-deep-nested giant programs faults the TPU worker
-#: (docs/ROUND1.md; reproduced at 838k obs, clean at 105k).  Conservative —
-#: the fixed-trip CG is correctness-preserving, merely burning its budget.
+#: chunked reduced PCG by default: the innermost data-dependent while_loop
+#: of 3-deep-nested giant programs faults the TPU worker (docs/ROUND1.md;
+#: reproduced at 838k obs, clean at 105k), so the innermost loop must be a
+#: ``fori_loop`` — chunking (a while over fori blocks) preserves that while
+#: letting converged solves stop at chunk granularity instead of burning a
+#: fixed 150-iteration budget every damped solve.
 GIANT_IMPLICIT_OBS_LIMIT = 200_000
-_GIANT_IMPLICIT_CG_ITERS = 150
+_GIANT_IMPLICIT_CG_CHUNK = 25
 
 
 def _make_jit_runner(compiled: CompiledProblem, opts: Options):
@@ -428,11 +433,13 @@ def _make_jit_runner(compiled: CompiledProblem, opts: Options):
         compiled.schur_info is not None
         and compiled.schur_info.implicit
         and getattr(opts, "cg_fixed_iters", None) is None
+        and getattr(opts, "cg_chunk_iters", None) is None
         and os.environ.get("NLLSTPU_CG_FIXED_ITERS") is None
+        and os.environ.get("NLLSTPU_CG_CHUNK_ITERS") is None
         and sum(b.n_padded for b in compiled.batches) > GIANT_IMPLICIT_OBS_LIMIT
     ):
         opts = dataclasses.replace(
-            opts, cg_fixed_iters=_GIANT_IMPLICIT_CG_ITERS
+            opts, cg_chunk_iters=_GIANT_IMPLICIT_CG_CHUNK
         )
     ctx = compiled.ctx(opts)
 

@@ -87,6 +87,12 @@ class Options:
     # jitted implicit programs, whose innermost while_loop faults the TPU
     # worker (docs/ROUND1.md); also settable via NLLSTPU_CG_FIXED_ITERS.
     cg_fixed_iters: Any = None
+    # Implicit (schur_cg) only: chunked CG — a while_loop over fori blocks
+    # of this many iterations.  Converged solves stop at chunk granularity
+    # (unlike cg_fixed_iters, which burns its whole budget every solve)
+    # while the INNERMOST loop stays a fori_loop, preserving the giant-
+    # program worker-fault mitigation.  Also via NLLSTPU_CG_CHUNK_ITERS.
+    cg_chunk_iters: Any = None
     # Iterative backends (cg / schur_cg) only: relative residual tolerance
     # of the inner linear solve (the Ceres ``eta`` analogue).  None = the
     # backend's dtype default (exact-ish).  LM tolerates inexact steps, so

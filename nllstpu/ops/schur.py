@@ -221,6 +221,14 @@ class SchurCGOps:
     # observed in LARGE implicit programs (docs/ROUND1.md), at the price of
     # always burning the full iteration budget.  None = dynamic while loop.
     fixed_iters: Optional[int] = None
+    # Chunked CG: a ``while_loop`` over ``fori_loop`` blocks of this many
+    # iterations — converged solves stop at chunk granularity (frozen
+    # updates keep over-running within a chunk exact) instead of burning
+    # ``fixed_iters`` every solve, while the INNERMOST loop stays a fori
+    # (the worker-fault trigger was a data-dependent innermost while_loop,
+    # docs/ROUND1.md).  Takes precedence over ``fixed_iters``; bounded by
+    # ``max_iters``.  None/0 = off.
+    chunk_iters: Optional[int] = None
 
     def _tol(self, dtype):
         if self.tol is not None:
@@ -611,16 +619,25 @@ class SchurCGOps:
             return (x2, r2, z2, p2, rz2, k + jnp.int32(active))
 
         init = (x0, r0, z0, z0, rz0, jnp.int32(0))
-        if self.fixed_iters is not None:
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return (r @ r > tol2) & (k < self.max_iters)
+
+        if self.chunk_iters:
+            chunk = int(self.chunk_iters)
+            xr, *_ = jax.lax.while_loop(
+                cond,
+                lambda st: jax.lax.fori_loop(
+                    0, chunk, lambda i, s: body(s), st
+                ),
+                init,
+            )
+        elif self.fixed_iters is not None:
             xr, *_ = jax.lax.fori_loop(
                 0, self.fixed_iters, lambda i, st: body(st), init
             )
         else:
-
-            def cond(st):
-                _, r, _, _, _, k = st
-                return (r @ r > tol2) & (k < self.max_iters)
-
             xr, *_ = jax.lax.while_loop(cond, body, init)
         xl = jnp.einsum(
             "del,el->dl", h_inv, g_l - self._wt_apply(wparts, xr)
@@ -698,6 +715,7 @@ class SchurInfo:
             if segment_impl == "pallas" and jax.default_backend() != "tpu":
                 segment_impl = "scatter"
             fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
+            chunk = os.environ.get("NLLSTPU_CG_CHUNK_ITERS")
             return SchurCGOps(
                 self.dim_reduced,
                 self.num_elim,
@@ -708,6 +726,7 @@ class SchurInfo:
                 wpart_obs_k=self.wpart_obs_k,
                 segment_impl=segment_impl,
                 fixed_iters=int(fixed) if fixed else None,
+                chunk_iters=int(chunk) if chunk else None,
             )
         return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
 

@@ -10,6 +10,16 @@ On a single host (or in tests with ``--xla_force_host_platform_device_count``)
 everything works unchanged; ``initialize`` is only needed under multi-host
 launchers (GKE/TPU-VM pods), where each host calls it with its coordinator
 address before any jax computation.
+
+Tested by a REAL 2-process job (tests/test_distributed.py): two CPU
+processes with gloo TCP collectives
+(``jax.config.update("jax_cpu_collectives_implementation", "gloo")``) join
+through this module, shard a BA problem over the 4-device global mesh, and
+run a fully-jitted LM optimization whose psums cross the process boundary.
+Multi-process caveat baked into the sharded runners: globally-sharded batch
+data must enter jitted programs as ARGUMENTS (see
+``ParallelCompiled.run_loop_jit``) — a closed-over global array becomes a
+jit constant, which cannot be materialized when its shards span processes.
 """
 
 from __future__ import annotations

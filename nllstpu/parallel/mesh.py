@@ -161,6 +161,38 @@ class ParallelCompiled:
         base_ctx = self.base.ctx(options)
         return dataclasses.replace(base_ctx, cost=self.cost)
 
+    def run_loop_jit(self, opts, vars0):
+        """Fully-jitted sharded optimization, safe under MULTI-PROCESS
+        meshes: the globally-sharded batch data enter the program as jit
+        ARGUMENTS.  (``jax.jit(lambda v: run_loop(self.assemble, ...))``
+        closes over ``batch_args``, and a closed-over array becomes a
+        compile-time constant — unmaterializable when its shards span
+        processes.)  Returns the ``run_loop`` final-state dict; replicated
+        leaves are addressable on every process."""
+        from ..core.optimize import run_loop
+
+        def fn(v, batch_args, fast_args):
+            def cost(vv):
+                return jax.shard_map(
+                    self._local_cost,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=P(),
+                )(vv, batch_args)
+
+            def assemble(vv):
+                return jax.shard_map(
+                    self._local_assemble,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(),
+                )(vv, batch_args, fast_args)
+
+            ctx = dataclasses.replace(self.base.ctx(opts), cost=cost)
+            return run_loop(assemble, cost, ctx, opts, v)
+
+        return jax.jit(fn)(vars0, self.batch_args, self.fast_args)
+
 
 def _per_shard_fast(compiled, batches, n):
     """Build per-shard Schur fast tables: slice each batch into its n

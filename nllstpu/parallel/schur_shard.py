@@ -346,6 +346,9 @@ class ShardedSchurCompiled:
             fixed = getattr(options, "cg_fixed_iters", None)
             if fixed is None:
                 fixed = os.environ.get("NLLSTPU_CG_FIXED_ITERS")
+            chunk = getattr(options, "cg_chunk_iters", None)
+            if chunk is None:
+                chunk = os.environ.get("NLLSTPU_CG_CHUNK_ITERS")
             ltol = getattr(options, "linear_tol", None)
             return ShardedSchurCGOps(
                 i.dim_reduced,
@@ -355,6 +358,7 @@ class ShardedSchurCompiled:
                 fam_offsets=i.fam_offsets,
                 wpart_fam=i.wpart_fam,
                 fixed_iters=int(fixed) if fixed else None,
+                chunk_iters=int(chunk) if chunk else None,
                 tol=None if ltol is None else float(ltol),
                 num_elim_global=self.num_elim,
                 n_devices=self.n_devices,

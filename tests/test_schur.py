@@ -464,3 +464,69 @@ def test_cluster_jacobi_option_converges():
         ),
     )
     assert r.best_cost < 1e-20
+
+
+def test_chunked_cg_matches_dynamic():
+    """cg_chunk_iters (while over fori blocks — the giant-program recipe
+    that can still stop early) must reproduce the dynamic while-loop PCG."""
+    import dataclasses
+
+    p, cams, lmks = make_affine_ba(5, 12, 0.7)
+    perturb_ba(p, lmks, 0.05, seed=3)
+    perturb_ba(p, cams, 0.05, seed=4)
+    implicit = compile_problem(p, solver="schur_cg", schur_family=LMK)
+    variables = p.stacked_variables()
+    _, sys_i = jax.jit(implicit.assemble)(variables)
+    iops = implicit.schur_info.ops()
+    chunked = dataclasses.replace(iops, chunk_iters=7)
+    fixed = dataclasses.replace(iops, fixed_iters=200)
+    for lam in [1e-3, 1.0]:
+        # All PCG variants solve to the same residual tolerance; solution
+        # agreement is tolerance-level, not bitwise (different loop
+        # structures compile to different fusions).
+        xd = jax.jit(iops.solve)(sys_i, jnp.asarray(lam))
+        xc = jax.jit(chunked.solve)(sys_i, jnp.asarray(lam))
+        xf = jax.jit(fixed.solve)(sys_i, jnp.asarray(lam))
+        np.testing.assert_allclose(xc, xd, rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(xf, xd, rtol=1e-5, atol=1e-9)
+
+
+def test_giant_implicit_auto_chunking(monkeypatch):
+    """Boundary behavior at GIANT_IMPLICIT_OBS_LIMIT: fully-jitted implicit
+    programs above the limit auto-select chunked CG (innermost fori — the
+    worker-fault mitigation that can still stop early); at or below they
+    keep the dynamic while loop.  The limit is monkeypatched small so the
+    test problem stays tiny."""
+    import dataclasses as dc
+
+    from nllstpu.core import optimize as opt_mod
+
+    captured = []
+    real_ctx = opt_mod.CompiledProblem.ctx
+
+    def spy_ctx(self, options=None):
+        captured.append(options)
+        return real_ctx(self, options)
+
+    monkeypatch.setattr(opt_mod.CompiledProblem, "ctx", spy_ctx)
+
+    def run(limit):
+        monkeypatch.setattr(opt_mod, "GIANT_IMPLICIT_OBS_LIMIT", limit)
+        captured.clear()
+        p, cams, lmks = make_affine_ba(5, 12, 0.7)
+        perturb_ba(p, lmks, 0.01, seed=3)
+        compiled = compile_problem(p, solver="schur_cg", schur_family=LMK)
+        n_obs = sum(b.n_padded for b in compiled.batches)
+        runner = opt_mod._make_jit_runner(
+            compiled, nt.Options(iterator=nt.LEVENBERG_MARQUARDT, max_iters=5)
+        )
+        out_vars, _, packed = runner(p.stacked_variables())
+        stats = np.asarray(packed)
+        assert stats[1] < stats[0]  # descends either way
+        return n_obs, captured[-1]
+
+    n_obs, opts_big = run(limit=8)  # n_obs > 8 → giant path
+    assert n_obs > 8
+    assert opts_big.cg_chunk_iters == opt_mod._GIANT_IMPLICIT_CG_CHUNK
+    _, opts_small = run(limit=10_000_000)
+    assert opts_small.cg_chunk_iters is None
