@@ -84,3 +84,62 @@ def test_bal_ladybug_scale_schur_cg():
         nt.Options(solver="schur_cg", schur_family=bal.PT, max_iters=8),
     )
     assert result.best_cost < start * 1e-6
+
+
+def test_native_loader_adversarial_text(tmp_path):
+    """Native (strtol/strtod) vs numpy parsing on a NON-trivial text file:
+    scientific notation (both cases), explicit +, 17-significant-digit
+    round-trip values, negative zero, tabs/multi-space/blank-line
+    whitespace.  Guards against int/float text-parsing skew that synthetic
+    writer-formatted data would never expose."""
+    lib = native._load()
+    if lib is None:
+        pytest.skip("native loader not built and g++ unavailable")
+    rng = np.random.default_rng(9)
+    ncam, npt, nobs = 3, 5, 8
+    cam_idx = rng.integers(0, ncam, nobs)
+    pt_idx = rng.integers(0, npt, nobs)
+    obs = rng.standard_normal((nobs, 2)) * np.array([1e-17, 1e14])
+    cams = rng.standard_normal((ncam, 9)) * 10.0 ** rng.integers(-12, 12, (ncam, 9))
+    cams[0, 0] = -0.0
+    cams[1, 1] = 0.1 + 0.2  # 0.30000000000000004 — needs all 17 digits
+    pts = rng.standard_normal((npt, 3))
+    path = os.path.join(tmp_path, "adversarial.txt")
+    with open(path, "w") as f:
+        f.write(f"{ncam}  {npt}\t{nobs}\n\n")
+        fmts = ["{:.17e}", "{:.17E}", "{:+.17e}"]
+        for k in range(nobs):
+            sep = "\t" if k % 2 else "   "
+            f.write(
+                f"{cam_idx[k]}{sep}{pt_idx[k]} "
+                + fmts[k % 3].format(obs[k, 0])
+                + " "
+                + fmts[(k + 1) % 3].format(obs[k, 1])
+                + "\n"
+            )
+        f.write("\n")
+        for row in cams:
+            for i, v in enumerate(row):
+                f.write(fmts[i % 3].format(v) + ("\n" if i % 3 == 2 else " \t"))
+            f.write("\n")
+        for row in pts:
+            f.write(" ".join("{:.17e}".format(v) for v in row) + "\n")
+
+    nat = native.parse_bal(path)
+    assert nat is not None
+    # Reference: the pure-numpy fallback parser on the same bytes.
+    raw = np.fromfile(path, sep=" ")
+    body = raw[3:]
+    ref_obs = body[: nobs * 4].reshape(nobs, 4)
+    rest = body[nobs * 4 :]
+    ref_cams = rest[: ncam * 9].reshape(ncam, 9)
+    ref_pts = rest[ncam * 9 : ncam * 9 + npt * 3].reshape(npt, 3)
+    np.testing.assert_array_equal(nat["cam_idx"], cam_idx)
+    np.testing.assert_array_equal(nat["pt_idx"], pt_idx)
+    # Bitwise: strtod and numpy must agree on correctly-rounded parsing.
+    np.testing.assert_array_equal(nat["observations"], ref_obs[:, 2:4])
+    np.testing.assert_array_equal(nat["cameras"], ref_cams)
+    np.testing.assert_array_equal(nat["points"], ref_pts)
+    # And the 17-digit values round-trip the original doubles exactly.
+    np.testing.assert_array_equal(nat["cameras"], cams)
+    np.testing.assert_array_equal(nat["observations"], obs)
