@@ -1102,6 +1102,19 @@ def build_schur_info(
     return info
 
 
+def _w_impl() -> str:
+    """W-coupling placement implementation for the direct dual-sorted
+    assembly: "onehot" (default XLA path), "pallas" (fused placement kernel,
+    TPU only — silently falls back off-TPU), or "pallas_interpret"
+    (interpreter mode, for CPU correctness tests)."""
+    import os
+
+    impl = os.environ.get("NLLSTPU_W_IMPL", "onehot")
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        return "onehot"
+    return impl
+
+
 def _assemble_fast_dual(
     batch, variables, layout, info, fast, e, dtype,
     a_rr, b_r, h_ll, g_l, w,
@@ -1182,38 +1195,62 @@ def _assemble_fast_dual(
             row_base=jnp.asarray(fast.row_base),
         )
     else:
-        # W: one-hot MXU contraction over the K run slots (per-slot scatters
-        # and one combined scatter both measured 5x slower — TPU scatters
-        # rewrite the full 75MB W buffer), landing with a permutation
-        # scatter of unique rows — or a plain contiguous add when every
-        # camera is unfixed (the permutation is the identity).
-        we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))  # [Sr,dl,L,K]
-        vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
         n_r = fast.n_r
-        w_parts = []
-        for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
-            oh_w = (
-                vc[:, :, None]
-                == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
-            ).astype(dtype)  # [L, K, width]
-            w_parts.append(
-                jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
-            )
-        w_blocks = jnp.concatenate(w_parts, axis=2)
         row_flat = (
             np.asarray(fast.row_base)[:, None]
             + np.arange(dr_s, dtype=np.int32)[None, :]
         ).reshape(-1)
-        if np.array_equal(row_flat, np.arange(n_r * dr_s, dtype=np.int32)):
-            w = w.at[:, :L, : n_r * dr_s].add(
-                w_blocks.reshape(dl, L, n_r * dr_s)
+        identity_rows = np.array_equal(
+            row_flat, np.arange(n_r * dr_s, dtype=np.int32)
+        )
+        w_impl = _w_impl()
+        if identity_rows and w_impl in ("pallas", "pallas_interpret"):
+            # Fused Pallas placement: the one-hot never reaches HBM and W is
+            # written once (see ops/pallas/w_place.py).  Opt-in via
+            # NLLSTPU_W_IMPL=pallas pending on-chip A/B.
+            from .pallas.w_place import place_w
+
+            we_b = robust_block(jac, g0, d1m, d2m, sel_r, sel_e)  # [Sr,dl,B]
+            we_x = (
+                we_b[:, :, : L * k]
+                .reshape(dr_s, dl, L, k)
+                .transpose(0, 1, 3, 2)
+                .reshape(dr_s * dl, k, L)
             )
+            vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T  # [K, L]
+            w_contrib = place_w(
+                we_x, vc_k, n_r, dr_s, dl, int(w.shape[-1]),
+                interpret=(w_impl == "pallas_interpret"),
+            )
+            w = w.at[:, :L].add(w_contrib)
         else:
-            w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
-            w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
-                w_blocks.reshape(dl, L, n_r * dr_s)
-            )
-            w = w.at[:, :L].add(w_add)
+            # W: one-hot MXU contraction over the K run slots (per-slot
+            # scatters and one combined scatter both measured 5x slower —
+            # TPU scatters rewrite the full 75MB W buffer), landing with a
+            # permutation scatter of unique rows — or a plain contiguous add
+            # when every camera is unfixed (the permutation is the identity).
+            we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))
+            vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
+            w_parts = []
+            for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
+                oh_w = (
+                    vc[:, :, None]
+                    == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+                ).astype(dtype)  # [L, K, width]
+                w_parts.append(
+                    jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
+                )
+            w_blocks = jnp.concatenate(w_parts, axis=2)
+            if identity_rows:
+                w = w.at[:, :L, : n_r * dr_s].add(
+                    w_blocks.reshape(dl, L, n_r * dr_s)
+                )
+            else:
+                w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
+                w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
+                    w_blocks.reshape(dl, L, n_r * dr_s)
+                )
+                w = w.at[:, :L].add(w_add)
 
     # --- camera-major leg: a_rr, b_r (cost NOT re-counted) ----------------
     raw2 = engine.batch_res_jac_cm(fast.cam_batch, variables, dtype)

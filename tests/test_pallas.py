@@ -69,3 +69,54 @@ def test_implicit_schur_pallas_segment_matches_scatter(monkeypatch):
     x1 = ops_scatter.solve(sys_i, jnp.asarray(1e-3))
     x2 = ops_pallas.solve(sys_i, jnp.asarray(1e-3))
     np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
+
+
+def test_place_w_matches_onehot():
+    """ops/pallas/w_place.place_w (interpret) vs a numpy one-hot reference:
+    arbitrary camera ids incl. dustbin (>= n_r), L not a tile multiple."""
+    from nllstpu.ops.pallas.w_place import place_w
+
+    rng = np.random.default_rng(4)
+    n_r, dr_s, dl, k_len, L = 11, 6, 3, 5, 300  # L % TILE_L != 0
+    drp = n_r * dr_s + 7
+    we_x = rng.standard_normal((dr_s * dl, k_len, L)).astype(np.float32)
+    vc = rng.integers(0, n_r + 2, (k_len, L)).astype(np.int32)  # some dustbin
+    out = place_w(jnp.asarray(we_x), jnp.asarray(vc), n_r, dr_s, dl, drp,
+                  interpret=True)
+    assert out.shape == (dl, L, drp)
+    expect = np.zeros((dl, L, drp), dtype=np.float32)
+    for l in range(L):
+        for k in range(k_len):
+            v = vc[k, l]
+            if v >= n_r:
+                continue
+            blk = we_x[:, k, l].reshape(dr_s, dl)  # [p, d]
+            expect[:, l, v * dr_s : (v + 1) * dr_s] += blk.T
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6, atol=1e-6)
+
+
+def test_assemble_pallas_w_matches_onehot(monkeypatch):
+    """Direct dual-sorted assembly with NLLSTPU_W_IMPL=pallas_interpret must
+    reproduce the one-hot W exactly on a pinhole cm batch."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        c = compile_problem(p, solver="schur", schur_family=__import__("nllstpu").Euclidean(3))
+        return jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+    cost_ref, sys_ref = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "pallas_interpret")
+    cost_pl, sys_pl = build()
+    np.testing.assert_allclose(cost_pl, cost_ref, rtol=1e-14)
+    for a, b in zip(sys_pl, sys_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
+                                   atol=1e-14)
