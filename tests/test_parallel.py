@@ -167,3 +167,16 @@ def test_landmark_sharded_implicit_full_optimize():
     res_sh = optimize_sharded(p_sh, make_mesh(8), opts)
     assert res_sh.best_cost < 1e-25
     assert res_sh.num_iterations == res_ref.num_iterations
+
+
+def test_landmark_sharded_dogleg_fused_quad():
+    """Sharded dogleg exercises ShardedSchurOps.solve0_quad_grad (the fused
+    Newton-leg + Cauchy-curvature path with its extra scalar psum) and must
+    reach the single-device optimum."""
+    opts = nt.Options(solver="schur", schur_family=LMK, iterator=nt.DOGLEG,
+                      max_iters=40)
+    p_ref = _pinhole_problem()
+    res_ref = optimize(p_ref, opts)
+    p_sh = _pinhole_problem()
+    res_sh = optimize_sharded(p_sh, make_mesh(8), opts)
+    assert res_sh.best_cost <= max(res_ref.best_cost * (1 + 1e-9), 1e-25)
