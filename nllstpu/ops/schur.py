@@ -1104,13 +1104,15 @@ def build_schur_info(
 
 def _w_impl() -> str:
     """W-coupling placement implementation for the direct dual-sorted
-    assembly: "onehot" (default XLA path), "pallas" (fused placement kernel,
-    TPU only — silently falls back off-TPU), or "pallas_interpret"
-    (interpreter mode, for CPU correctness tests)."""
+    assembly: "onehot" (default XLA path), "pallas" (W-placement kernel),
+    "fused" (whole obs-major leg — h_ll/g_l/W — in one kernel pass over the
+    Jacobian); the pallas variants are TPU-only and silently fall back
+    off-TPU.  "*_interpret" runs the kernel in interpreter mode for CPU
+    correctness tests."""
     import os
 
     impl = os.environ.get("NLLSTPU_W_IMPL", "onehot")
-    if impl == "pallas" and jax.default_backend() != "tpu":
+    if impl in ("pallas", "fused") and jax.default_backend() != "tpu":
         return "onehot"
     return impl
 
@@ -1168,11 +1170,48 @@ def _assemble_fast_dual(
     def runs(x):
         return x[..., : L * k].reshape(x.shape[:-1] + (L, k))
 
+    wpart = None
+    identity_rows = False
+    if not info.implicit:
+        n_r = fast.n_r
+        row_flat = (
+            np.asarray(fast.row_base)[:, None]
+            + np.arange(dr_s, dtype=np.int32)[None, :]
+        ).reshape(-1)
+        identity_rows = np.array_equal(
+            row_flat, np.arange(n_r * dr_s, dtype=np.int32)
+        )
+    w_impl = _w_impl()
+    if identity_rows and w_impl in ("fused", "fused_interpret"):
+        # Fully-fused obs-major leg: one kernel pass over the K-major jac
+        # tiles emits h_ll, g_l AND the placed W (see ops/pallas/fused_obs).
+        from .pallas.fused_obs import fused_obs_leg
+
+        nres, stot = jac.shape[0], jac.shape[1]
+        jac_t = (
+            jac[:, :, : L * k].reshape(nres, stot, L, k).transpose(0, 1, 3, 2)
+        )
+        g0_t = g0[:, : L * k].reshape(stot, L, k).transpose(0, 2, 1)
+        d1_t = d1m[: L * k].reshape(L, k).T
+        d2_t = d2m[: L * k].reshape(L, k).T
+        vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T
+        h_add, g_add, w_contrib = fused_obs_leg(
+            jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl,
+            int(w.shape[-1]), int(sel_e[0]),
+            interpret=(w_impl == "fused_interpret"),
+        )
+        h_ll = h_ll.at[:, :, :L].add(h_add)
+        g_l = g_l.at[:, :L].add(g_add)
+        w = w.at[:, :L].add(w_contrib)
+        return cost_sum, _fast_dual_cam_leg(
+            fast, variables, dtype, robust_block, sel_r, dr_s,
+            a_rr, b_r, h_ll, g_l, w,
+        ), wpart
+
     he = robust_block(jac, g0, d1m, d2m, sel_e, sel_e)
     h_ll = h_ll.at[:, :, :L].add(jnp.sum(runs(he), axis=-1))
     g_l = g_l.at[:, :L].add(jnp.sum(runs(g0[sel_e] * d1m), axis=-1))
 
-    wpart = None
     if info.implicit:
         # Implicit: keep the per-cost coupling blocks components-major
         # [Sr, dl, B] (masked columns are exactly zero via the masked
@@ -1195,15 +1234,6 @@ def _assemble_fast_dual(
             row_base=jnp.asarray(fast.row_base),
         )
     else:
-        n_r = fast.n_r
-        row_flat = (
-            np.asarray(fast.row_base)[:, None]
-            + np.arange(dr_s, dtype=np.int32)[None, :]
-        ).reshape(-1)
-        identity_rows = np.array_equal(
-            row_flat, np.arange(n_r * dr_s, dtype=np.int32)
-        )
-        w_impl = _w_impl()
         if identity_rows and w_impl in ("pallas", "pallas_interpret"):
             # Fused Pallas placement: the one-hot never reaches HBM and W is
             # written once (see ops/pallas/w_place.py).  Opt-in via
@@ -1252,7 +1282,17 @@ def _assemble_fast_dual(
                 )
                 w = w.at[:, :L].add(w_add)
 
-    # --- camera-major leg: a_rr, b_r (cost NOT re-counted) ----------------
+    return cost_sum, _fast_dual_cam_leg(
+        fast, variables, dtype, robust_block, sel_r, dr_s,
+        a_rr, b_r, h_ll, g_l, w,
+    ), wpart
+
+
+def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
+                       a_rr, b_r, h_ll, g_l, w):
+    """Camera-major leg of the dual-sorted assembly: a_rr and b_r as pure
+    reshape-sums over camera runs (cost NOT re-counted; the Jacobian is
+    evaluated a second time in camera order — docstring above)."""
     raw2 = engine.batch_res_jac_cm(fast.cam_batch, variables, dtype)
     _, _, jac2, g02, d1_2, d2_2 = raw2
     m2 = jnp.asarray(fast.cam_batch.mask).astype(dtype)
@@ -1274,7 +1314,7 @@ def _assemble_fast_dual(
         jnp.transpose(a_blocks, (2, 0, 1))
     )
     b_r = b_r.at[row_idx].add(b_blocks.T)
-    return cost_sum, (a_rr, b_r, h_ll, g_l, w), wpart
+    return (a_rr, b_r, h_ll, g_l, w)
 
 
 def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):

@@ -120,3 +120,33 @@ def test_assemble_pallas_w_matches_onehot(monkeypatch):
     for a, b in zip(sys_pl, sys_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
                                    atol=1e-14)
+
+
+def test_assemble_fused_obs_matches_onehot(monkeypatch):
+    """The fully-fused obs-major leg (NLLSTPU_W_IMPL=fused_interpret) must
+    reproduce the default path's h_ll, g_l AND W on a pinhole cm batch."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        c = compile_problem(
+            p, solver="schur",
+            schur_family=__import__("nllstpu").Euclidean(3),
+        )
+        return jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+    cost_ref, sys_ref = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_interpret")
+    cost_f, sys_f = build()
+    np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
+    for a, b in zip(sys_f, sys_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
+                                   atol=1e-14)
