@@ -108,15 +108,32 @@ class SchurOps:
         a_damped = a_rr + lam * eye_r
         # Batched landmark-block inverses (closed-form for d<=3).
         h_inv = batched_inv_spd_cm(h_damped)
-        # y = W·H⁻¹ in components-major [dl, L, Dr] layout (h_inv symmetric).
-        y = jnp.einsum("dlr,del->elr", w, h_inv)
-        # Reduced (Schur) system — one MXU contraction over dl·L.  For f32
-        # problems run it at HIGH (bf16x3) precision: ~1e-6 relative error —
-        # far below LM's f32 convergence floor — for a 2-3x faster matmul.
-        # f64 problems keep full precision for the reference's 1e-15 targets.
-        prec = "highest" if a_rr.dtype == jnp.float64 else "high"
-        s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
-        rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
+        impl = _solve_impl()
+        if (
+            impl in ("pallas", "pallas_interpret")
+            and self.num_elim > 0
+            and self.dim_reduced > 0
+        ):
+            # Fused reduction kernel: W streamed from HBM exactly once, y
+            # formed in VMEM registers (see ops/pallas/schur_reduce.py).
+            from .pallas.schur_reduce import reduce_s
+
+            s_sum, rhs_sum = reduce_s(
+                w, h_inv, g_l, interpret=(impl == "pallas_interpret")
+            )
+            s = a_damped - s_sum
+            rhs = b_r - rhs_sum
+        else:
+            # y = W·H⁻¹ in components-major [dl, L, Dr] (h_inv symmetric).
+            y = jnp.einsum("dlr,del->elr", w, h_inv)
+            # Reduced (Schur) system — one MXU contraction over dl·L.  For
+            # f32 problems run it at HIGH (bf16x3) precision: ~1e-6 relative
+            # error — far below LM's f32 convergence floor — for a 2-3x
+            # faster matmul.  f64 problems keep full precision for the
+            # reference's 1e-15 targets.
+            prec = "highest" if a_rr.dtype == jnp.float64 else "high"
+            s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
+            rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
         xr = cholesky_solve(s, rhs)
         if not want_gquad:
             # Back-substitution; transpose to landmark-major at the boundary.
@@ -1100,6 +1117,20 @@ def build_schur_info(
             info.wpart_fam = tuple(wpart_fam)
             info.wpart_obs_k = tuple(wpart_obs_k)
     return info
+
+
+def _solve_impl() -> str:
+    """Direct-Schur reduced-system implementation: "xla" (default einsum
+    chain) or "pallas" (fused single-W-pass reduction kernel,
+    ops/pallas/schur_reduce.py); pallas is TPU-only with a silent XLA
+    fallback off-TPU.  "pallas_interpret" runs the kernel in interpreter
+    mode for CPU correctness tests."""
+    import os
+
+    impl = os.environ.get("NLLSTPU_SOLVE_IMPL", "xla")
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        return "xla"
+    return impl
 
 
 def _w_impl() -> str:

@@ -16,12 +16,13 @@ print('probe ok', d)" >> "$LOG" 2>&1 || { say "probe FAILED — abort"; exit 1; 
 say "1. bench TPU leg (prewarm + measure) $(date)"
 timeout 1500 python bench.py --worker tpu 15 >> "$LOG" 2>&1
 
-say "2. W_IMPL env A/B (interleaved x3) $(date)"
+say "2. kernel env A/B (interleaved x3) $(date)"
 for i in 1 2 3; do
-  for impl in onehot pallas fused; do
-    echo "-- round $i impl=$impl" >> "$LOG"
-    NLLSTPU_W_IMPL=$impl timeout 900 python bench.py --worker tpu 15 \
-      2>> "$LOG" | tail -1 | sed "s/^/[$impl r$i] /" | tee -a "$LOG"
+  for cfg in "onehot xla" "pallas xla" "fused xla" "onehot pallas" "fused pallas"; do
+    set -- $cfg
+    echo "-- round $i w=$1 solve=$2" >> "$LOG"
+    NLLSTPU_W_IMPL=$1 NLLSTPU_SOLVE_IMPL=$2 timeout 900 python bench.py --worker tpu 15 \
+      2>> "$LOG" | tail -1 | sed "s/^/[w=$1 s=$2 r$i] /" | tee -a "$LOG"
     sleep 10
   done
 done

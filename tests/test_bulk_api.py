@@ -149,8 +149,13 @@ def test_subproblem_scales():
         residual, slots=[(nt.Scalar(), ia), (nt.Euclidean(2), ib)],
         params=rng.standard_normal(n),
     )
-    t0 = time.perf_counter()
-    sub = p.subproblem(nt.VarHandle(nt.Scalar(), 7))
-    dt = time.perf_counter() - t0
+    # Best-of-3: the operation is ~10 ms, but a single cold timing under
+    # background machine load has been seen at >1 s — the criterion is the
+    # algorithm's scaling, not one wall-clock sample.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sub = p.subproblem(nt.VarHandle(nt.Scalar(), 7))
+        dt = min(dt, time.perf_counter() - t0)
     assert sub.num_costs() == int((ia == 7).sum())
     assert dt < 1.0, f"subproblem took {dt:.2f}s"

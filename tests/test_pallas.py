@@ -150,3 +150,65 @@ def test_assemble_fused_obs_matches_onehot(monkeypatch):
     for a, b in zip(sys_f, sys_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
                                    atol=1e-14)
+
+
+def test_reduce_s_matches_einsum():
+    """ops/pallas/schur_reduce.reduce_s (interpret) vs the einsum chain:
+    random W/H^-1/g_l incl. an L that is not a tile multiple."""
+    from nllstpu.ops.pallas.schur_reduce import reduce_s
+
+    rng = np.random.default_rng(7)
+    for dl, L, dr in [(3, 300, 23), (2, 8, 5), (3, 512, 40)]:
+        w = rng.standard_normal((dl, L, dr))
+        a = rng.standard_normal((dl, dl, L))
+        h_inv = np.einsum("del,fel->dfl", a, a)  # symmetric like the real one
+        g_l = rng.standard_normal((dl, L))
+        s_sum, rhs_sum = reduce_s(
+            jnp.asarray(w), jnp.asarray(h_inv), jnp.asarray(g_l),
+            interpret=True,
+        )
+        y = np.einsum("dlr,del->elr", w, h_inv)
+        np.testing.assert_allclose(
+            np.asarray(s_sum), np.einsum("elr,els->rs", y, w),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs_sum), np.einsum("elr,el->r", y, g_l),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_solve_pallas_reduce_matches_xla(monkeypatch):
+    """SchurOps.solve / solve0_quad_grad with NLLSTPU_SOLVE_IMPL=
+    pallas_interpret must match the default einsum path on an assembled
+    pinhole system (damped and undamped)."""
+    import jax
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    p, cams, lmks = make_pinhole_ba(
+        ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+        dtype=jnp.float64, batched="cm",
+    )
+    perturb_ba(p, lmks, 0.03, seed=2)
+    # Pin the 7-dof BA gauge (fix two cameras): the UNDAMPED reduced system
+    # is otherwise singular and its Newton leg is meaningless to compare.
+    c = compile_problem(
+        p, solver="schur", schur_family=nt.Euclidean(3),
+        unfixed=cams[2:] + lmks,
+    )
+    _, sys_d = jax.jit(c.assemble)(p.stacked_variables())
+    ops = c.schur_info.ops()
+
+    monkeypatch.delenv("NLLSTPU_SOLVE_IMPL", raising=False)
+    x_ref = np.asarray(ops.solve(sys_d, jnp.asarray(1e-3)))
+    x0_ref, ghg_ref = ops.solve0_quad_grad(sys_d)
+    monkeypatch.setenv("NLLSTPU_SOLVE_IMPL", "pallas_interpret")
+    x_pl = np.asarray(ops.solve(sys_d, jnp.asarray(1e-3)))
+    x0_pl, ghg_pl = ops.solve0_quad_grad(sys_d)
+    np.testing.assert_allclose(x_pl, x_ref, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x0_pl), np.asarray(x0_ref),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(ghg_pl), float(ghg_ref), rtol=1e-12)
