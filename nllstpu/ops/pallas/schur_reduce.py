@@ -18,7 +18,15 @@ damped attempt.  Here each landmark tile of W is read into VMEM once, y is
 formed in registers, and both outputs accumulate in VMEM across the
 (sequential) grid — kernel HBM traffic is ONE read of W plus the tiny
 [Dr, Dr] result, ~75 MB total.  The contraction itself is an MXU matmul
-([Dr, dl*TILE] x [dl*TILE, Dr] per tile).
+([Dr, TILE] x [TILE, Dr] per (tile, e)).
+
+Mosaic constraints (learned from an on-chip failure): integer indexing a
+loaded >2D array plus ``None``-broadcast lowers to an unsupported >2D
+gather, and >2D reshapes that remix lane/sublane axes are "unsupported
+shape cast".  So the host passes ``h_inv`` flattened to ``[L, dl*dl]`` and
+``g_l`` transposed to ``[L, dl]``: every in-kernel operand is then a plain
+2D slice (``hi_ref[:, c:c+1]``), a 2D broadcast multiply, or a 2D
+``dot_general`` — nothing is reshaped or gathered inside the kernel.
 
 Reference parity note: this computes the marginalization the reference only
 prepares via ``reordercostsforschur!`` (/root/reference/src/problem.jl:177)
@@ -40,51 +48,53 @@ from jax.experimental.pallas import tpu as pltpu
 from .w_place import TILE_L
 
 
-def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl, tile_l):
+def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     i = pl.program_id(0)
-    dr = w_ref.shape[-1]
-    dt = w_ref.dtype
-    w_t = w_ref[:]  # [dl, TL, Dr]
-    hi_t = hi_ref[:]  # [dl, dl, TL]
-    g_t = g_ref[:]  # [dl, TL]
+    # Accumulate in the h_inv dtype (f32/f64) even when W is stored bf16
+    # (NLLSTPU_W_DTYPE=bf16): the upcast happens in registers after the
+    # half-width HBM read.
+    dt = hi_ref.dtype
+    # One [TL, Dr] load per eliminated component (2D slices of the ref).
+    w_rows = [w_ref[d].astype(dt) for d in range(dl)]
 
-    # y[e] = sum_d h_inv[e, d] * w[d]  — dl is tiny (<= 3 for landmarks), so
-    # this is dl*dl fused VPU multiply-adds over [TL, Dr] registers.
-    y_rows = []
+    s_acc = None
+    r_acc = None
     for e_ix in range(dl):
-        acc = hi_t[e_ix, 0, :, None] * w_t[0]
+        # y_e[l, r] = sum_d h_inv[e, d, l] * w[d, l, r]: dl broadcast FMAs
+        # of [TL, 1] columns against [TL, Dr] rows.
+        y_e = hi_ref[:, e_ix * dl : e_ix * dl + 1] * w_rows[0]
         for d_ix in range(1, dl):
-            acc = acc + hi_t[e_ix, d_ix, :, None] * w_t[d_ix]
-        y_rows.append(acc)  # [TL, Dr]
-    y2 = jnp.concatenate(y_rows, axis=0)  # [dl*TL, Dr], index = e*TL + l
-    w2 = w_t.reshape(dl * tile_l, dr)  # same e*TL + l ordering
-    g2 = g_t.reshape(dl * tile_l, 1)
-
-    # MXU contractions over the (dl*TL) landmark-tile axis.
-    s_delta = jax.lax.dot_general(
-        y2, w2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=dt.type,
-    )  # [Dr, Dr]
-    r_delta = jax.lax.dot_general(
-        y2, g2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=dt.type,
-    )  # [Dr, 1]
+            c = e_ix * dl + d_ix
+            y_e = y_e + hi_ref[:, c : c + 1] * w_rows[d_ix]
+        # MXU contractions over the TL (landmark) axis.
+        s_e = jax.lax.dot_general(
+            y_e, w_rows[e_ix], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dt.type,
+        )  # [Dr, Dr]
+        r_e = jax.lax.dot_general(
+            y_e, g_ref[:, e_ix : e_ix + 1],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dt.type,
+        )  # [Dr, 1]
+        s_acc = s_e if s_acc is None else s_acc + s_e
+        r_acc = r_e if r_acc is None else r_acc + r_e
 
     @pl.when(i == 0)
     def _():
-        s_ref[:] = s_delta
-        r_ref[:] = r_delta
+        s_ref[:] = s_acc
+        r_ref[:] = r_acc
 
     @pl.when(i > 0)
     def _():
-        s_ref[:] = s_ref[:] + s_delta
-        r_ref[:] = r_ref[:] + r_delta
+        s_ref[:] = s_ref[:] + s_acc
+        r_ref[:] = r_ref[:] + r_acc
 
 
 def reduce_s(w, h_inv, g_l, interpret: bool = False):
-    """See module docstring.  ``w`` [dl, L, Dr], ``h_inv`` [dl, dl, L]
-    (symmetric damped block inverses), ``g_l`` [dl, L].  Returns
-    ``(s_sum [Dr, Dr], rhs_sum [Dr])`` in ``w.dtype``.
+    """See module docstring.  ``w`` [dl, L, Dr] (may be bf16-stored,
+    NLLSTPU_W_DTYPE), ``h_inv`` [dl, dl, L] (symmetric damped block
+    inverses), ``g_l`` [dl, L].  Returns ``(s_sum [Dr, Dr],
+    rhs_sum [Dr])`` in ``h_inv.dtype`` (the accumulation dtype).
 
     L is zero-padded up to the landmark tile (a no-op at shapes that are
     already tile multiples); padded lanes contribute exact zeros, so no
@@ -100,16 +110,20 @@ def reduce_s(w, h_inv, g_l, interpret: bool = False):
         w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
         h_inv = jnp.pad(h_inv, ((0, 0), (0, 0), (0, pad)))
         g_l = jnp.pad(g_l, ((0, 0), (0, pad)))
-    kernel = functools.partial(_kernel, dl=dl, tile_l=tile_l)
+    # Landmark-major 2D layouts so the kernel never indexes a >2D value:
+    # hi2[l, e*dl+d] = h_inv[e, d, l];  g2[l, e] = g_l[e, l].
+    hi2 = h_inv.reshape(dl * dl, grid * tile_l).T
+    g2 = g_l.T
+    kernel = functools.partial(_kernel, dl=dl)
     s_sum, rhs_sum = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((dl, tile_l, dr), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dl, dl, tile_l), lambda i: (0, 0, i),
+            pl.BlockSpec((tile_l, dl * dl), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dl, tile_l), lambda i: (0, i),
+            pl.BlockSpec((tile_l, dl), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -119,9 +133,9 @@ def reduce_s(w, h_inv, g_l, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((dr, dr), w.dtype),
-            jax.ShapeDtypeStruct((dr, 1), w.dtype),
+            jax.ShapeDtypeStruct((dr, dr), h_inv.dtype),
+            jax.ShapeDtypeStruct((dr, 1), h_inv.dtype),
         ),
         interpret=interpret,
-    )(w, h_inv, g_l)
+    )(w, hi2, g2)
     return s_sum, rhs_sum[:, 0]

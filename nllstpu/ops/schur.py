@@ -1119,6 +1119,26 @@ def build_schur_info(
     return info
 
 
+def _w_dtype(dtype):
+    """Storage dtype for the dense W coupling (``NLLSTPU_W_DTYPE=bf16``
+    opt-in).  W dominates the direct solve's HBM traffic (~330 MB of
+    ~500 MB per LM iteration at bench scale: one write + ~3.4 streamed
+    reads across the damped attempts); storing it in bfloat16 halves those
+    bytes while every contraction consuming it still accumulates in f32
+    (the MXU takes bf16 operands natively).  The ~2⁻⁸ relative W error
+    only perturbs the step direction — LM's accept/reject loop absorbs it
+    — but it is far above the reference's f64 1e-15 cost targets, so the
+    knob is ignored for f64 problems and off by default."""
+    import os
+
+    if (
+        os.environ.get("NLLSTPU_W_DTYPE", "f32") == "bf16"
+        and dtype == jnp.float32
+    ):
+        return jnp.bfloat16
+    return dtype
+
+
 def _solve_impl() -> str:
     """Direct-Schur reduced-system implementation: "xla" (default einsum
     chain) or "pallas" (fused single-W-pass reduction kernel,
@@ -1348,8 +1368,14 @@ def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
     return (a_rr, b_r, h_ll, g_l, w)
 
 
-def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, dtype):
+def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
+                   dtype, w_dtype=None):
     """Assemble ``(cost, (a_rr, b_r, h_ll, g_l, w))``.
+
+    ``w_dtype`` overrides the dense-W storage dtype (None → the
+    ``NLLSTPU_W_DTYPE`` knob via :func:`_w_dtype`); the sharded callers pin
+    it to ``dtype`` because their per-device W contributions are psum-reduced
+    and a pre-reduction downcast would stack rounding error across devices.
 
     Reuses the per-batch block computation of the dense path
     (``engine.batch_grad_hess``) and splits each cost's block into
@@ -1583,7 +1609,12 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo, d
                 jnp.transpose(w_blk_cm, (1, 2, 0))
             )
 
-    w_out = tuple(wparts) if info.implicit else w[:, :L, :dr]
+    if info.implicit:
+        w_out = tuple(wparts)
+    else:
+        w_out = w[:, :L, :dr].astype(
+            _w_dtype(dtype) if w_dtype is None else w_dtype
+        )
     return total, (
         a_rr[:dr, :dr],
         b_r[:dr],

@@ -128,8 +128,11 @@ class ParallelCompiled:
                         )
                     )
             local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))
+            # Pin w_dtype: the per-device W contributions are psum-summed
+            # below and a pre-reduction bf16 downcast would stack error.
             c, sys = schur.assemble_schur(
-                bs, variables, self.layout, local_info, self.dtype
+                bs, variables, self.layout, local_info, self.dtype,
+                w_dtype=self.dtype,
             )
         else:
             c, a, g = engine.assemble_dense(bs, variables, self.layout, self.dtype)

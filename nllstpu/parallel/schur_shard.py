@@ -420,8 +420,10 @@ class ShardedSchurCompiled:
     def _local_assemble(self, variables, batch_args, elim_ids, fast_args):
         bs = self._rebuild(batch_args)
         info = self._local_info(elim_ids, fast_args)
+        # w_dtype pinned: landmark-local W feeds this backend's own solve
+        # path, which has not been audited for bf16 storage.
         c, sys = schur.assemble_schur(
-            bs, variables, self.layout, info, self.dtype
+            bs, variables, self.layout, info, self.dtype, w_dtype=self.dtype
         )
         a_rr, b_r, h_ll, g_l, w = sys
         c, a_rr, b_r = jax.lax.psum((c, a_rr, b_r), DATA_AXIS)

@@ -212,3 +212,59 @@ def test_solve_pallas_reduce_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(x0_pl), np.asarray(x0_ref),
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(float(ghg_pl), float(ghg_ref), rtol=1e-12)
+
+
+def test_reduce_s_bf16_w():
+    """reduce_s accepts a bf16-stored W (NLLSTPU_W_DTYPE=bf16) and
+    accumulates in the h_inv dtype: outputs are f32 and match the einsum
+    chain computed from the same (bf16-rounded) W."""
+    from nllstpu.ops.pallas.schur_reduce import reduce_s
+
+    rng = np.random.default_rng(13)
+    dl, L, dr = 3, 200, 17
+    w32 = rng.standard_normal((dl, L, dr)).astype(np.float32)
+    a = rng.standard_normal((dl, dl, L)).astype(np.float32)
+    h_inv = np.einsum("del,fel->dfl", a, a)
+    g_l = rng.standard_normal((dl, L)).astype(np.float32)
+    w_bf = jnp.asarray(w32).astype(jnp.bfloat16)
+    s_sum, rhs_sum = reduce_s(
+        w_bf, jnp.asarray(h_inv), jnp.asarray(g_l), interpret=True
+    )
+    assert s_sum.dtype == jnp.float32 and rhs_sum.dtype == jnp.float32
+    w_r = np.asarray(w_bf).astype(np.float32)  # the rounded W the kernel saw
+    y = np.einsum("dlr,del->elr", w_r, h_inv)
+    np.testing.assert_allclose(
+        np.asarray(s_sum), np.einsum("elr,els->rs", y, w_r),
+        rtol=2e-5, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rhs_sum), np.einsum("elr,el->r", y, g_l),
+        rtol=2e-5, atol=2e-4,
+    )
+
+
+def test_solve_pallas_reduce_bf16_end_to_end(monkeypatch):
+    """NLLSTPU_SOLVE_IMPL=pallas_interpret combined with
+    NLLSTPU_W_DTYPE=bf16: the assembled bf16-W system solves through the
+    fused kernel and matches the XLA path on the SAME system."""
+    import jax
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    monkeypatch.setenv("NLLSTPU_W_DTYPE", "bf16")
+    p, cams, lmks = make_pinhole_ba(
+        ncameras=4, nlandmarks=24, prop_visible=0.8, noise=1e-3,
+        dtype=jnp.float32, batched="cm",
+    )
+    perturb_ba(p, lmks, 0.03, seed=5)
+    c = compile_problem(p, solver="schur", schur_family=nt.Euclidean(3))
+    _, sys_b = jax.jit(c.assemble)(p.stacked_variables())
+    assert sys_b[4].dtype == jnp.bfloat16
+    ops = c.schur_info.ops()
+    monkeypatch.delenv("NLLSTPU_SOLVE_IMPL", raising=False)
+    x_ref = np.asarray(ops.solve(sys_b, jnp.asarray(1e-2)))
+    monkeypatch.setenv("NLLSTPU_SOLVE_IMPL", "pallas_interpret")
+    x_pl = np.asarray(ops.solve(sys_b, jnp.asarray(1e-2)))
+    np.testing.assert_allclose(x_pl, x_ref, rtol=1e-4, atol=1e-6)

@@ -530,3 +530,49 @@ def test_giant_implicit_auto_chunking(monkeypatch):
     assert opts_big.cg_chunk_iters == opt_mod._GIANT_IMPLICIT_CG_CHUNK
     _, opts_small = run(limit=10_000_000)
     assert opts_small.cg_chunk_iters is None
+
+
+def test_w_dtype_bf16_knob(monkeypatch):
+    """NLLSTPU_W_DTYPE=bf16 stores the dense W coupling in bfloat16 for f32
+    problems (and is ignored for f64): the assembled sys carries a bf16 W,
+    the damped solve still returns f32 steps close to the f32 reference,
+    and a full LM run converges to a comparable cost."""
+    from nllstpu.models.ba import make_pinhole_ba
+
+    def fresh(dtype):
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=6, nlandmarks=40, prop_visible=0.7, noise=1e-3,
+            dtype=dtype, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=11)
+        return p
+
+    opts = nt.Options(solver="schur", schur_family=LMK, max_iters=25)
+
+    monkeypatch.delenv("NLLSTPU_W_DTYPE", raising=False)
+    p = fresh(jnp.float32)
+    c = compile_problem(p, solver="schur", schur_family=LMK)
+    _, sys_f32 = jax.jit(c.assemble)(p.stacked_variables())
+    x_ref = np.asarray(c.schur_info.ops().solve(sys_f32, jnp.asarray(1e-2)))
+    r_ref = nt.optimize(fresh(jnp.float32), opts)
+
+    monkeypatch.setenv("NLLSTPU_W_DTYPE", "bf16")
+    p = fresh(jnp.float32)
+    c = compile_problem(p, solver="schur", schur_family=LMK)
+    _, sys_bf = jax.jit(c.assemble)(p.stacked_variables())
+    assert sys_bf[4].dtype == jnp.bfloat16
+    assert sys_bf[0].dtype == jnp.float32  # only W is downcast
+    x_bf = np.asarray(c.schur_info.ops().solve(sys_bf, jnp.asarray(1e-2)))
+    assert x_bf.dtype == np.float32
+    # bf16 W perturbs the step by O(2^-8) relative, not more.
+    denom = max(1e-12, float(np.linalg.norm(x_ref)))
+    assert np.linalg.norm(x_bf - x_ref) / denom < 0.05
+    r_bf = nt.optimize(fresh(jnp.float32), opts)
+    # Converges to the same basin; costs agree loosely (bf16 steps).
+    assert float(r_bf.best_cost) < 2.0 * max(float(r_ref.best_cost), 1e-8)
+
+    # f64 problems ignore the knob entirely (reference 1e-15 targets).
+    p64 = fresh(jnp.float64)
+    c64 = compile_problem(p64, solver="schur", schur_family=LMK)
+    _, sys_64 = jax.jit(c64.assemble)(p64.stacked_variables())
+    assert sys_64[4].dtype == jnp.float64
