@@ -124,23 +124,23 @@ def fused_obs_leg(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((n, s, k_len, tile_l), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((n, s, k_len, tile_l), lambda i: (i * 0, i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, k_len, tile_l), lambda i: (0, 0, i),
+            pl.BlockSpec((s, k_len, tile_l), lambda i: (i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_len, tile_l), lambda i: (0, i),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_len, tile_l), lambda i: (0, i),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_len, tile_l), lambda i: (0, i),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((dl, dl, tile_l), lambda i: (0, 0, i),
+            pl.BlockSpec((dl, dl, tile_l), lambda i: (i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dl, tile_l), lambda i: (0, i),
+            pl.BlockSpec((dl, tile_l), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dl, tile_l, drp), lambda i: (0, i, 0),
+            pl.BlockSpec((dl, tile_l, drp), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

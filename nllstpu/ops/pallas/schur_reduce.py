@@ -66,15 +66,20 @@ def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
         for d_ix in range(1, dl):
             c = e_ix * dl + d_ix
             y_e = y_e + hi_ref[:, c : c + 1] * w_rows[d_ix]
-        # MXU contractions over the TL (landmark) axis.
+        # MXU contractions over the TL (landmark) axis.  Precision matters:
+        # Mosaic lowers an unqualified f32 dot to ONE bf16 MXU pass
+        # (~4e-3 relative error, measured on-chip); HIGHEST requests the
+        # full f32 multi-pass.
         s_e = jax.lax.dot_general(
             y_e, w_rows[e_ix], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Dr, Dr]
         r_e = jax.lax.dot_general(
             y_e, g_ref[:, e_ix : e_ix + 1],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Dr, 1]
         s_acc = s_e if s_acc is None else s_acc + s_e
         r_acc = r_e if r_acc is None else r_acc + r_e
@@ -88,6 +93,101 @@ def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     def _():
         s_ref[:] = s_ref[:] + s_acc
         r_ref[:] = r_ref[:] + r_acc
+
+
+def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
+    """Landmark-minor variant for the p-major W layout (w [dl, wc, L],
+    see ops/pallas/w_place.py): per-component operands are [1, TL]
+    sublane slices, y_e is [wc, TL], and the MXU contracts over the
+    lane (landmark) axis.
+
+    The rhs contraction cannot be a [wc, 1]-shaped dot: Mosaic lowers a
+    lane-contraction with a width-1 result to ``vector.multi_reduction``
+    and rejects its chained accumulator ("only constant accumulators
+    supported", observed on-chip).  Instead g_e is embedded as row 0 of a
+    zero-padded [8, TL] operand so the rhs rides a normal MXU matmul;
+    the caller reads column 0 of the [wc, 8] result."""
+    i = pl.program_id(0)
+    dt = hi_ref.dtype
+    w_rows = [w_ref[d].astype(dt) for d in range(dl)]  # [wc, TL]
+    tile_l = w_ref.shape[-1]
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, tile_l), 0) == 0
+    )  # [8, TL]
+
+    s_acc = None
+    r_acc = None
+    for e_ix in range(dl):
+        y_e = hi_ref[e_ix * dl : e_ix * dl + 1, :] * w_rows[0]
+        for d_ix in range(1, dl):
+            c = e_ix * dl + d_ix
+            y_e = y_e + hi_ref[c : c + 1, :] * w_rows[d_ix]
+        s_e = jax.lax.dot_general(
+            y_e, w_rows[e_ix], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [wc, wc]
+        g_pad = jnp.where(row0, g_ref[e_ix : e_ix + 1, :], dt.type(0))
+        r_e = jax.lax.dot_general(
+            y_e, g_pad, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [wc, 8]
+        s_acc = s_e if s_acc is None else s_acc + s_e
+        r_acc = r_e if r_acc is None else r_acc + r_e
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[:] = s_acc
+        r_ref[:] = r_acc
+
+    @pl.when(i > 0)
+    def _():
+        s_ref[:] = s_ref[:] + s_acc
+        r_ref[:] = r_ref[:] + r_acc
+
+
+def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
+    """Landmark-minor reduce for the p-major W: ``w`` [dl, wc, L] (may be
+    bf16), ``h_inv`` [dl, dl, L], ``g_l`` [dl, L].  Returns
+    ``(s_sum [wc, wc], rhs_sum [wc])`` in ``h_inv.dtype`` — still in the
+    p-major basis; the caller gathers through pm_of_std."""
+    dl, wc, n_real = w.shape
+    assert h_inv.shape == (dl, dl, n_real), (h_inv.shape, w.shape)
+    assert g_l.shape == (dl, n_real), (g_l.shape, w.shape)
+    tile_l = min(TILE_L, max(128, -(-n_real // 128) * 128))
+    grid = pl.cdiv(n_real, tile_l)
+    pad = grid * tile_l - n_real
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+        h_inv = jnp.pad(h_inv, ((0, 0), (0, 0), (0, pad)))
+        g_l = jnp.pad(g_l, ((0, 0), (0, pad)))
+    hi2 = h_inv.reshape(dl * dl, grid * tile_l)  # [e*dl+d, L]
+    kernel = functools.partial(_kernel_lm, dl=dl)
+    s_sum, rhs_sum = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((dl, wc, tile_l), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl * dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wc, wc), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, 8), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((wc, wc), h_inv.dtype),
+            jax.ShapeDtypeStruct((wc, 8), h_inv.dtype),
+        ),
+        interpret=interpret,
+    )(w, hi2, g_l)
+    return s_sum, rhs_sum[:, 0]
 
 
 def reduce_s(w, h_inv, g_l, interpret: bool = False):
@@ -119,17 +219,17 @@ def reduce_s(w, h_inv, g_l, interpret: bool = False):
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((dl, tile_l, dr), lambda i: (0, i, 0),
+            pl.BlockSpec((dl, tile_l, dr), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_l, dl * dl), lambda i: (i, 0),
+            pl.BlockSpec((tile_l, dl * dl), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_l, dl), lambda i: (i, 0),
+            pl.BlockSpec((tile_l, dl), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((dr, dr), lambda i: (0, 0),
+            pl.BlockSpec((dr, dr), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dr, 1), lambda i: (0, 0),
+            pl.BlockSpec((dr, 1), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

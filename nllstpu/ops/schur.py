@@ -58,10 +58,33 @@ class SchurOps:
     dim_reduced: int
     num_elim: int
     dof_elim: int
+    #: None, or the static pm_of_std index map [Dr] when W is stored in
+    #: the p-major column layout (SchurInfo.w_pm): reduced-space vectors
+    #: scatter through it before touching W, and W-basis results gather
+    #: back — always on the SMALL [Dr]/[Dr, Dr] operands, never on W.
+    pm: Any = None
 
     @property
     def dim(self):
         return self.dim_reduced + self.num_elim * self.dof_elim
+
+    def _to_w_basis(self, vec, w_cols):
+        """Scatter a [Dr] reduced vector into W's column basis (identity
+        for the standard layout)."""
+        if self.pm is None:
+            return vec
+        return (
+            jnp.zeros(w_cols, dtype=vec.dtype)
+            .at[jnp.asarray(self.pm)]
+            .set(vec)
+        )
+
+    def _from_w_basis(self, s_w, rhs_w):
+        """Gather the reduced system back from W's column basis."""
+        if self.pm is None:
+            return s_w, rhs_w
+        idx = jnp.asarray(self.pm)
+        return s_w[idx][:, idx], rhs_w[idx]
 
     def grad(self, sys):
         _, b_r, _, g_l, _ = sys
@@ -79,7 +102,13 @@ class SchurOps:
         a_rr, _, h_ll, _, w = sys
         xr = x[: self.dim_reduced]
         xl = x[self.dim_reduced :].reshape(self.num_elim, self.dof_elim)
-        cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
+        if self.pm is not None:
+            # P-major W is landmark-minor: [dl, wc, L].
+            cross = jnp.einsum(
+                "drl,r,ld->", w, self._to_w_basis(xr, w.shape[1]), xl
+            )
+        else:
+            cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
         return (
             xr @ (a_rr @ xr)
             + 2.0 * cross
@@ -109,6 +138,8 @@ class SchurOps:
         # Batched landmark-block inverses (closed-form for d<=3).
         h_inv = batched_inv_spd_cm(h_damped)
         impl = _solve_impl()
+        pm = self.pm is not None
+        w_cols = w.shape[1] if pm else w.shape[-1]
         if (
             impl in ("pallas", "pallas_interpret")
             and self.num_elim > 0
@@ -116,34 +147,51 @@ class SchurOps:
         ):
             # Fused reduction kernel: W streamed from HBM exactly once, y
             # formed in VMEM registers (see ops/pallas/schur_reduce.py).
-            from .pallas.schur_reduce import reduce_s
+            from .pallas.schur_reduce import reduce_s, reduce_s_lm
 
-            s_sum, rhs_sum = reduce_s(
+            red = reduce_s_lm if pm else reduce_s
+            s_sum, rhs_sum = red(
                 w, h_inv, g_l, interpret=(impl == "pallas_interpret")
             )
-            s = a_damped - s_sum
-            rhs = b_r - rhs_sum
         else:
-            # y = W·H⁻¹ in components-major [dl, L, Dr] (h_inv symmetric).
-            y = jnp.einsum("dlr,del->elr", w, h_inv)
-            # Reduced (Schur) system — one MXU contraction over dl·L.  For
-            # f32 problems run it at HIGH (bf16x3) precision: ~1e-6 relative
-            # error — far below LM's f32 convergence floor — for a 2-3x
-            # faster matmul.  f64 problems keep full precision for the
-            # reference's 1e-15 targets.
+            # y = W·H⁻¹, never materialized wider than one W (h_inv
+            # symmetric).  The reduced (Schur) system is one MXU
+            # contraction over dl·L.  For f32 problems run it at HIGH
+            # (bf16x3) precision: ~1e-6 relative error — far below LM's
+            # f32 convergence floor — for a 2-3x faster matmul.  f64
+            # problems keep full precision for the reference's 1e-15
+            # targets.
             prec = "highest" if a_rr.dtype == jnp.float64 else "high"
-            s = a_damped - jnp.einsum("elr,els->rs", y, w, precision=prec)
-            rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
+            if pm:  # landmark-minor W [dl, wc, L]
+                y = jnp.einsum("drl,del->erl", w, h_inv)
+                s_sum = jnp.einsum("erl,esl->rs", y, w, precision=prec)
+                rhs_sum = jnp.einsum("erl,el->r", y, g_l)
+            else:  # components-major W [dl, L, Dr]
+                y = jnp.einsum("dlr,del->elr", w, h_inv)
+                s_sum = jnp.einsum("elr,els->rs", y, w, precision=prec)
+                rhs_sum = jnp.einsum("elr,el->r", y, g_l)
+        s_sum, rhs_sum = self._from_w_basis(s_sum, rhs_sum)
+        s = a_damped - s_sum
+        rhs = b_r - rhs_sum
         xr = cholesky_solve(s, rhs)
+        xr_w = self._to_w_basis(xr, w_cols)
         if not want_gquad:
             # Back-substitution; transpose to landmark-major at the boundary.
-            xl = jnp.einsum(
-                "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
+            wx = (
+                jnp.einsum("drl,r->dl", w, xr_w)
+                if pm
+                else jnp.einsum("dlr,r->dl", w, xr_w)
             )
+            xl = jnp.einsum("del,el->dl", h_inv, g_l - wx)
             return jnp.concatenate([xr, xl.T.reshape(-1)]), None
         # Wᵀ·[x_r | b_r] in ONE W pass: column 0 feeds the back-substitution,
         # column 1 is the quad cross term.
-        wt = jnp.einsum("dlr,rk->kdl", w, jnp.stack([xr, b_r], axis=1))
+        stacked = jnp.stack([xr_w, self._to_w_basis(b_r, w_cols)], axis=1)
+        wt = (
+            jnp.einsum("drl,rk->kdl", w, stacked)
+            if pm
+            else jnp.einsum("dlr,rk->kdl", w, stacked)
+        )
         xl = jnp.einsum("del,el->dl", h_inv, g_l - wt[0])
         ghg = (
             b_r @ (a_rr @ b_r)
@@ -718,6 +766,12 @@ class SchurInfo:
     # Per-wpart obs-major run length (None = not obs-major); lets the CG
     # matvec run gather-free (see SchurCGOps.wpart_obs_k).
     wpart_obs_k: tuple = ()
+    # P-major dense-W layout (NLLSTPU_W_IMPL=pallas and the problem
+    # qualifies): (n_r, nrp, dr_s, pm_of_std [Dr]) where W column
+    # ``p*nrp + v`` holds what the standard layout stores at
+    # ``pm_of_std⁻¹``; see ops/pallas/w_place.py for why Mosaic forces
+    # this.  None = standard v-major columns.
+    w_pm: tuple = None
 
     def ops(self):
         if self.implicit:
@@ -745,7 +799,10 @@ class SchurInfo:
                 fixed_iters=int(fixed) if fixed else None,
                 chunk_iters=int(chunk) if chunk else None,
             )
-        return SchurOps(self.dim_reduced, self.num_elim, self.dof_elim)
+        return SchurOps(
+            self.dim_reduced, self.num_elim, self.dof_elim,
+            pm=None if self.w_pm is None else self.w_pm[3],
+        )
 
 
 #: Fast-path guards: transient one-hot memory cap (elements) and
@@ -1073,6 +1130,8 @@ def build_schur_info(
         info.fast = tuple(
             _fast_batch_data(b, layout, info) for b in batches
         )
+        if not implicit:
+            info.w_pm = _w_pm_data(batches, info)
         if implicit:
             # Obs-major batches must keep their column order (the CG path
             # relies on it) — the pallas elim_sort permutation would break
@@ -1117,6 +1176,59 @@ def build_schur_info(
             info.wpart_fam = tuple(wpart_fam)
             info.wpart_obs_k = tuple(wpart_obs_k)
     return info
+
+
+def _w_pm_data(batches, info: "SchurInfo"):
+    """P-major dense-W layout data (SchurInfo.w_pm), or None.
+
+    Enabled only when ``NLLSTPU_W_IMPL=pallas`` AND exactly one batch
+    touches the eliminated family AND that batch runs the dual-sorted cm
+    fast path AND the reduced space is exactly the coupled family's
+    unfixed-variable grid — then the Pallas placement kernel is the SOLE
+    W writer and every consumer permutation is well-defined (see
+    ops/pallas/w_place.py).  Anything else keeps the standard layout."""
+    if _w_impl() not in ("pallas", "pallas_interpret"):
+        return None
+    if info.num_elim == 0 or info.dim_reduced == 0:
+        return None
+    touching = [
+        bi
+        for bi, b in enumerate(batches)
+        if any(family_name(m) == info.elim_family for m in b.manifolds)
+    ]
+    if len(touching) != 1:
+        return None
+    bi = touching[0]
+    b = batches[bi]
+    f = info.fast[bi] if bi < len(info.fast) else None
+    eslots = [
+        i
+        for i, m in enumerate(b.manifolds)
+        if family_name(m) == info.elim_family
+    ]
+    if (
+        len(eslots) != 1
+        or f is None
+        or f.obs_k is None
+        or f.cam_batch is None
+        or getattr(b, "batched", None) != "cm"
+    ):
+        return None
+    dr_s = sum(m.dof for m in b.manifolds) - info.dof_elim
+    rb = np.asarray(f.row_base)
+    sel = rb < info.dim_reduced
+    cols = (rb[sel][:, None] + np.arange(dr_s)[None, :]).reshape(-1)
+    if cols.size != info.dim_reduced or not np.array_equal(
+        np.sort(cols), np.arange(info.dim_reduced)
+    ):
+        return None
+    nrp = -(-f.n_r // 128) * 128
+    vids = np.nonzero(sel)[0].astype(np.int32)
+    pm_of_std = np.empty(info.dim_reduced, dtype=np.int32)
+    pm_of_std[rb[sel][:, None] + np.arange(dr_s)[None, :]] = (
+        np.arange(dr_s, dtype=np.int32)[None, :] * nrp + vids[:, None]
+    )
+    return (int(f.n_r), int(nrp), int(dr_s), pm_of_std)
 
 
 def _w_dtype(dtype):
@@ -1285,25 +1397,25 @@ def _assemble_fast_dual(
             row_base=jnp.asarray(fast.row_base),
         )
     else:
-        if identity_rows and w_impl in ("pallas", "pallas_interpret"):
-            # Fused Pallas placement: the one-hot never reaches HBM and W is
-            # written once (see ops/pallas/w_place.py).  Opt-in via
-            # NLLSTPU_W_IMPL=pallas pending on-chip A/B.
-            from .pallas.w_place import place_w
+        if info.w_pm is not None:
+            # Fused Pallas placement in the p-major column layout: the
+            # one-hot never reaches HBM and the kernel's output IS the
+            # final W — _w_pm_data guarantees it is the sole W writer
+            # (see ops/pallas/w_place.py for the Mosaic layout rationale).
+            from .pallas.w_place import place_w_pm
 
             we_b = robust_block(jac, g0, d1m, d2m, sel_r, sel_e)  # [Sr,dl,B]
-            we_x = (
+            we3 = (
                 we_b[:, :, : L * k]
                 .reshape(dr_s, dl, L, k)
-                .transpose(0, 1, 3, 2)
-                .reshape(dr_s * dl, k, L)
-            )
-            vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T  # [K, L]
-            w_contrib = place_w(
-                we_x, vc_k, n_r, dr_s, dl, int(w.shape[-1]),
+                .transpose(3, 1, 0, 2)
+                .reshape(k, dl * dr_s, L)
+            )  # [K, d*dr_s + p, L]
+            vc2 = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T  # [K, L]
+            w = place_w_pm(
+                we3, vc2, n_r, dr_s, dl,
                 interpret=(w_impl == "pallas_interpret"),
-            )
-            w = w.at[:, :L].add(w_contrib)
+            )  # [dl, dr_s*nrp, L] landmark-minor p-major
         else:
             # W: one-hot MXU contraction over the K run slots (per-slot
             # scatters and one combined scatter both measured 5x slower —
@@ -1612,9 +1724,15 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
     if info.implicit:
         w_out = tuple(wparts)
     else:
-        w_out = w[:, :L, :dr].astype(
-            _w_dtype(dtype) if w_dtype is None else w_dtype
-        )
+        if info.w_pm is not None:
+            # P-major W arrives straight from the placement kernel in its
+            # landmark-minor [dl, dr_s*nrp, L] form (hole/fixed columns are
+            # zero and never read back in the standard basis).
+            assert w.shape[-1] == L, w.shape
+            w_out = w
+        else:
+            w_out = w[:, :L, :dr]
+        w_out = w_out.astype(_w_dtype(dtype) if w_dtype is None else w_dtype)
     return total, (
         a_rr[:dr, :dr],
         b_r[:dr],

@@ -127,7 +127,11 @@ class ParallelCompiled:
                             cam_k=None,
                         )
                     )
-            local_info = dataclasses.replace(self.schur_info, fast=tuple(fast))
+            # w_pm=None: the psum-everything path sums per-device W in the
+            # standard layout and its ops don't speak p-major.
+            local_info = dataclasses.replace(
+                self.schur_info, fast=tuple(fast), w_pm=None
+            )
             # Pin w_dtype: the per-device W contributions are psum-summed
             # below and a pre-reduction bf16 downcast would stack error.
             c, sys = schur.assemble_schur(
@@ -162,7 +166,12 @@ class ParallelCompiled:
 
     def ctx(self, options=None) -> iterators.IterCtx:
         base_ctx = self.base.ctx(options)
-        return dataclasses.replace(base_ctx, cost=self.cost)
+        linops = base_ctx.linops
+        if getattr(linops, "pm", None) is not None:
+            # The sharded assemble pins the standard W layout (w_pm=None in
+            # _local_assemble); strip the p-major map from the ops too.
+            linops = dataclasses.replace(linops, pm=None)
+        return dataclasses.replace(base_ctx, cost=self.cost, linops=linops)
 
     def run_loop_jit(self, opts, vars0):
         """Fully-jitted sharded optimization, safe under MULTI-PROCESS
@@ -191,7 +200,9 @@ class ParallelCompiled:
                     out_specs=P(),
                 )(vv, batch_args, fast_args)
 
-            ctx = dataclasses.replace(self.base.ctx(opts), cost=cost)
+            # self.ctx (not base.ctx): it strips the p-major W map, which
+            # does not apply to the sharded assemble's standard-layout W.
+            ctx = dataclasses.replace(self.ctx(opts), cost=cost)
             return run_loop(assemble, cost, ctx, opts, v)
 
         return jax.jit(fn)(vars0, self.batch_args, self.fast_args)

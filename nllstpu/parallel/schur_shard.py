@@ -415,6 +415,7 @@ class ShardedSchurCompiled:
             fast=tuple(fast),
             elim_sort=(),  # pallas sorted runs don't apply to shard repads
             wpart_fam=i.wpart_fam,  # static per-batch structure is unchanged
+            w_pm=None,  # sharded solve consumes the standard W layout
         )
 
     def _local_assemble(self, variables, batch_args, elim_ids, fast_args):

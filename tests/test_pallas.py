@@ -71,35 +71,47 @@ def test_implicit_schur_pallas_segment_matches_scatter(monkeypatch):
     np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
 
 
-def test_place_w_matches_onehot():
-    """ops/pallas/w_place.place_w (interpret) vs a numpy one-hot reference:
-    arbitrary camera ids incl. dustbin (>= n_r), L not a tile multiple."""
-    from nllstpu.ops.pallas.w_place import place_w
+def test_place_w_pm_matches_reference():
+    """ops/pallas/w_place.place_w_pm (interpret) vs a numpy reference:
+    arbitrary camera ids incl. dustbin (>= n_r), L not a tile multiple;
+    p-major landmark-minor output [dl, dr_s*nrp, L]."""
+    from nllstpu.ops.pallas.w_place import place_w_pm
 
     rng = np.random.default_rng(4)
     n_r, dr_s, dl, k_len, L = 11, 6, 3, 5, 300  # L % TILE_L != 0
-    drp = n_r * dr_s + 7
-    we_x = rng.standard_normal((dr_s * dl, k_len, L)).astype(np.float32)
-    vc = rng.integers(0, n_r + 2, (k_len, L)).astype(np.int32)  # some dustbin
-    out = place_w(jnp.asarray(we_x), jnp.asarray(vc), n_r, dr_s, dl, drp,
-                  interpret=True)
-    assert out.shape == (dl, L, drp)
-    expect = np.zeros((dl, L, drp), dtype=np.float32)
+    nrp = -(-n_r // 128) * 128
+    we3 = rng.standard_normal((k_len, dl * dr_s, L)).astype(np.float32)
+    vc2 = rng.integers(0, n_r + 2, (k_len, L)).astype(np.int32)  # dustbin too
+    out = place_w_pm(jnp.asarray(we3), jnp.asarray(vc2), n_r, dr_s, dl,
+                     interpret=True)
+    assert out.shape == (dl, dr_s * nrp, L)
+    expect = np.zeros((dl, dr_s * nrp, L), dtype=np.float32)
     for l in range(L):
         for k in range(k_len):
-            v = vc[k, l]
+            v = vc2[k, l]
             if v >= n_r:
                 continue
-            blk = we_x[:, k, l].reshape(dr_s, dl)  # [p, d]
-            expect[:, l, v * dr_s : (v + 1) * dr_s] += blk.T
+            for d in range(dl):
+                for p in range(dr_s):
+                    expect[d, p * nrp + v, l] += we3[k, d * dr_s + p, l]
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6, atol=1e-6)
 
 
-def test_assemble_pallas_w_matches_onehot(monkeypatch):
-    """Direct dual-sorted assembly with NLLSTPU_W_IMPL=pallas_interpret must
-    reproduce the one-hot W exactly on a pinhole cm batch."""
+def _pm_to_std(sys_pm, info):
+    """Un-permute a p-major landmark-minor W back to the standard
+    [dl, L, Dr] layout."""
+    n_r, nrp, dr_s, pm_of_std = info.w_pm
+    return np.asarray(sys_pm[4]).transpose(0, 2, 1)[:, :, pm_of_std]
+
+
+def test_assemble_pallas_w_pm_matches_onehot(monkeypatch):
+    """Direct dual-sorted assembly with NLLSTPU_W_IMPL=pallas_interpret
+    (p-major W layout) must reproduce the one-hot system exactly on a
+    pinhole cm batch — W compared through the pm_of_std un-permutation,
+    and the full solve + quad + dogleg fused solve compared end to end."""
     import jax
 
+    import nllstpu as nt
     from nllstpu.core.optimize import compile_problem
     from nllstpu.models.ba import make_pinhole_ba, perturb_ba
 
@@ -109,17 +121,87 @@ def test_assemble_pallas_w_matches_onehot(monkeypatch):
             dtype=jnp.float64, batched="cm",
         )
         perturb_ba(p, lmks, 0.03, seed=2)
-        c = compile_problem(p, solver="schur", schur_family=__import__("nllstpu").Euclidean(3))
-        return jax.jit(c.assemble)(p.stacked_variables())
+        c = compile_problem(p, solver="schur", schur_family=nt.Euclidean(3))
+        return c, jax.jit(c.assemble)(p.stacked_variables())
 
     monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
-    cost_ref, sys_ref = build()
+    c_ref, (cost_ref, sys_ref) = build()
+    assert c_ref.schur_info.w_pm is None
     monkeypatch.setenv("NLLSTPU_W_IMPL", "pallas_interpret")
-    cost_pl, sys_pl = build()
+    c_pl, (cost_pl, sys_pl) = build()
+    assert c_pl.schur_info.w_pm is not None
     np.testing.assert_allclose(cost_pl, cost_ref, rtol=1e-14)
-    for a, b in zip(sys_pl, sys_ref):
+    for a, b in zip(sys_pl[:4], sys_ref[:4]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
                                    atol=1e-14)
+    np.testing.assert_allclose(
+        _pm_to_std(sys_pl, c_pl.schur_info), np.asarray(sys_ref[4]),
+        rtol=1e-12, atol=1e-14,
+    )
+    ops_ref, ops_pl = c_ref.schur_info.ops(), c_pl.schur_info.ops()
+    x_ref = np.asarray(ops_ref.solve(sys_ref, jnp.asarray(1e-3)))
+    x_pl = np.asarray(ops_pl.solve(sys_pl, jnp.asarray(1e-3)))
+    np.testing.assert_allclose(x_pl, x_ref, rtol=1e-9, atol=1e-12)
+    q_ref = float(ops_ref.quad(sys_ref, jnp.asarray(x_ref)))
+    q_pl = float(ops_pl.quad(sys_pl, jnp.asarray(x_ref)))
+    np.testing.assert_allclose(q_pl, q_ref, rtol=1e-10)
+    # The gradient curvature is gauge-invariant; the UNDAMPED Newton leg
+    # x0 is not (7-DoF BA gauge → singular S, null-space component depends
+    # on summation order) — compare x0 on a gauge-fixed problem below.
+    _, g_ref = ops_ref.solve0_quad_grad(sys_ref)
+    _, g_pl = ops_pl.solve0_quad_grad(sys_pl)
+    np.testing.assert_allclose(float(g_pl), float(g_ref), rtol=1e-10)
+
+    def build_fixed(cams_unfixed):
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        c = compile_problem(
+            p, solver="schur", schur_family=nt.Euclidean(3),
+            unfixed=cams[2:] + lmks,
+        )
+        return c, jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+    cf_ref, (_, fsys_ref) = build_fixed(True)
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "pallas_interpret")
+    cf_pl, (_, fsys_pl) = build_fixed(True)
+    assert cf_pl.schur_info.w_pm is not None  # fixed cams still qualify
+    fx_ref, fg_ref = cf_ref.schur_info.ops().solve0_quad_grad(fsys_ref)
+    fx_pl, fg_pl = cf_pl.schur_info.ops().solve0_quad_grad(fsys_pl)
+    np.testing.assert_allclose(np.asarray(fx_pl), np.asarray(fx_ref),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(float(fg_pl), float(fg_ref), rtol=1e-10)
+
+
+def test_assemble_pallas_w_pm_fixed_cameras(monkeypatch):
+    """The p-major layout keys columns by family variable id, so FIXED
+    cameras (non-identity reduced rows) are supported: full optimize with
+    NLLSTPU_W_IMPL=pallas_interpret matches the default path."""
+    import nllstpu as nt
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def run():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=6, nlandmarks=40, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=7)
+        return nt.optimize(
+            p,
+            nt.Options(solver="schur", schur_family=nt.Euclidean(3)),
+            unfixed=cams[2:] + lmks,  # two cameras fixed
+        )
+
+    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+    r_ref = run()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "pallas_interpret")
+    r_pl = run()
+    np.testing.assert_allclose(float(r_pl.best_cost), float(r_ref.best_cost),
+                               rtol=1e-10)
+    assert int(r_pl.num_iterations) == int(r_ref.num_iterations)
 
 
 def test_assemble_fused_obs_matches_onehot(monkeypatch):
@@ -268,3 +350,55 @@ def test_solve_pallas_reduce_bf16_end_to_end(monkeypatch):
     monkeypatch.setenv("NLLSTPU_SOLVE_IMPL", "pallas_interpret")
     x_pl = np.asarray(ops.solve(sys_b, jnp.asarray(1e-2)))
     np.testing.assert_allclose(x_pl, x_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_reduce_s_lm_matches_einsum():
+    """reduce_s_lm (landmark-minor p-major W) vs the einsum chain."""
+    from nllstpu.ops.pallas.schur_reduce import reduce_s_lm
+
+    rng = np.random.default_rng(17)
+    dl, L, wc = 3, 300, 23
+    w = rng.standard_normal((dl, wc, L))
+    a = rng.standard_normal((dl, dl, L))
+    h_inv = np.einsum("del,fel->dfl", a, a)
+    g_l = rng.standard_normal((dl, L))
+    s_sum, rhs_sum = reduce_s_lm(
+        jnp.asarray(w), jnp.asarray(h_inv), jnp.asarray(g_l), interpret=True
+    )
+    y = np.einsum("drl,del->erl", w, h_inv)
+    np.testing.assert_allclose(
+        np.asarray(s_sum), np.einsum("erl,esl->rs", y, w),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rhs_sum), np.einsum("erl,el->r", y, g_l),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_pm_with_pallas_solve_end_to_end(monkeypatch):
+    """W_IMPL=pallas_interpret (p-major W) combined with
+    SOLVE_IMPL=pallas_interpret (reduce_s_lm) optimizes to the same result
+    as the all-default path."""
+    import nllstpu as nt
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def run():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=6, nlandmarks=40, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=9)
+        return nt.optimize(
+            p, nt.Options(solver="schur", schur_family=nt.Euclidean(3))
+        )
+
+    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+    monkeypatch.delenv("NLLSTPU_SOLVE_IMPL", raising=False)
+    r_ref = run()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "pallas_interpret")
+    monkeypatch.setenv("NLLSTPU_SOLVE_IMPL", "pallas_interpret")
+    r_pm = run()
+    np.testing.assert_allclose(float(r_pm.best_cost), float(r_ref.best_cost),
+                               rtol=1e-10)
+    assert int(r_pm.num_iterations) == int(r_ref.num_iterations)
