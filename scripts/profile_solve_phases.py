@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Profiles the default (TPU) backend; NLLSTPU_PLATFORM=cpu for smoke tests
+# (the env var alone is overridden by sitecustomize, see CLAUDE.md).
+if os.environ.get("NLLSTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["NLLSTPU_PLATFORM"])
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -97,7 +102,21 @@ def main():
                 lambda x: x * (1 + 1e-9 * acc.astype(x.dtype)), vars0
             )
             c, s = compiled.assemble(v)
-            return acc + c.astype(jnp.float32) * 1e-20 + 1e-6 * i.astype(jnp.float32)
+            # Consume EVERY output: an unused Hessian gets DCE'd and the
+            # "assemble" time silently measures only the cost eval
+            # (CLAUDE.md: this hid 13ms of assembly for a whole round).
+            used = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in jax.tree.leaves(s))
+            return acc + (c.astype(jnp.float32) + used) * 1e-20 + 1e-6 * i.astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+
+    def ops_solve_loop():
+        """The REAL damped solve as configured (NLLSTPU_SOLVE_IMPL &
+        friends), not the XLA stage decomposition above."""
+        def body(i, acc):
+            lam = 0.1 * (1.0 + 1e-5 * i.astype(jnp.float32)) + 1e-9 * acc
+            x = ops.solve(sys0, lam.astype(sys0[0].dtype))
+            return acc + jnp.sum(x).astype(jnp.float32) * 1e-20 + 1e-6 * i.astype(jnp.float32)
 
         return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
@@ -110,7 +129,14 @@ def main():
 
         return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
-    print(f"backend={jax.default_backend()} ncam={NCAM} nlmk={NLMK} vis={VIS} reps={REPS}")
+    knobs = " ".join(
+        f"{k.split('_', 1)[1].lower()}={os.environ.get(k, '-')}"
+        for k in ("NLLSTPU_W_IMPL", "NLLSTPU_SOLVE_IMPL", "NLLSTPU_W_DTYPE")
+    )
+    print(
+        f"backend={jax.default_backend()} ncam={NCAM} nlmk={NLMK} vis={VIS}"
+        f" reps={REPS} {knobs}"
+    )
     prev = 0.0
     for upto, name in enumerate(names, start=1):
         f = make_loop(upto)
@@ -124,7 +150,11 @@ def main():
         print(f"{name:>16}: {per:7.3f} ms/call  (stage {per - prev:+7.3f} ms)")
         prev = per
 
-    for name, fn in (("assemble", assemble_loop), ("cost", cost_loop)):
+    for name, fn in (
+        ("ops.solve", ops_solve_loop),
+        ("assemble", assemble_loop),
+        ("cost", cost_loop),
+    ):
         f = jax.jit(fn)
         float(f())
         best = float("inf")
