@@ -138,7 +138,11 @@ def main():
         f" reps={REPS} {knobs}"
     )
     prev = 0.0
-    for upto, name in enumerate(names, start=1):
+    # The stage decomposition spells out the STANDARD [dl, L, Dr] W layout;
+    # under the p-major pallas placement (ops.pm set) only the real
+    # ops.solve / assemble / cost legs below apply.
+    stage_list = names[:1] if ops.pm is not None else names
+    for upto, name in enumerate(stage_list, start=1):
         f = make_loop(upto)
         float(f())  # compile + fence
         best = float("inf")
