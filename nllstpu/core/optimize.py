@@ -302,6 +302,8 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
         def _print_row(vals):
             vals = np.asarray(vals, dtype=np.float64)
+            if len(vals) > 7 and vals[7] == 0:
+                return  # rejected damping attempt (flat LM), not a row
             it = int(vals[0])
             if it == 0:
                 print(
@@ -317,7 +319,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 f" {step:>12.4e} {trust:>12.4e}"
             )
 
-        def _emit_row(it, c, prev_best, step, itdata):
+        def _emit_row(it, c, prev_best, step, itdata, emit=1):
             io_callback(
                 _print_row,
                 None,
@@ -330,6 +332,10 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                         jnp.asarray(itdata["lm_lambda"], jnp.float32),
                         jnp.asarray(itdata["tr"], jnp.float32),
                         jnp.asarray(itdata["gd_step"], jnp.float32),
+                        # Emit flag: the flat LM machine calls once per TRIP
+                        # (rejected damping attempts included) and the host
+                        # side skips non-completed rows.
+                        jnp.asarray(emit, jnp.float32),
                     ]
                 ),
                 ordered=True,
@@ -359,6 +365,128 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
     def cond(st):
         return st["converged"] == 0
+
+    # ------------------------------------------------------------------
+    # Flat LM machine: the damping retry is merged into the single outer
+    # while_loop (a rejected trip only rescales λ; a completed trip runs the
+    # full outer-iteration bookkeeping and conditionally re-assembles).
+    # Exactly the same operations in the same order as the nested machine —
+    # iteration counts, λ trajectory and costs match bit-for-bit (tested) —
+    # but with ONE level of dynamic control flow instead of two.  That
+    # matters on TPU: 3-deep-nested giant implicit programs fault the
+    # worker (docs/ROUND1.md), so flat LM + chunked reduced CG keeps giant
+    # fully-jitted programs inside the validated 2-deep budget while still
+    # stopping converged CG solves early.  (The reference nests the retry
+    # loop inside iterate!, src/iterators.jl:139-172 — host control flow,
+    # where nesting is free.)
+    # ------------------------------------------------------------------
+    flat_lm = opts.iterator == structs.LEVENBERG_MARQUARDT and (
+        getattr(opts, "flat_lm", None) is not False
+    )
+    if flat_lm:
+        ops = ctx.ops()
+        _, sys0 = assemble_fn(vars0)
+        state = dict(
+            state,
+            sys=sys0,
+            mu=jnp.asarray(2.0, dtype),
+            ngrad=jnp.int32(1),  # the pre-loop assemble above
+        )
+
+        def body_flat(st):
+            sys = st["sys"]
+            itdata = st["itdata"]
+            lam = itdata["lm_lambda"]
+            lam = jnp.where(
+                lam == 0, ops.diag_max(sys) * dtype.type(1e-6), lam
+            )
+            x = -ops.solve(sys, lam)
+            nv = ctx.apply(st["variables"], x)
+            c = ctx.cost(nv)
+            maxstep = jnp.max(jnp.abs(x))
+            # The nested machine's inner-loop exit condition.
+            inner_accept = (~(c > st["bestcost"])) | (maxstep < opts.dstep)
+
+            # Completed-iteration results (selected in only on inner_accept).
+            g = ops.grad(sys)
+            # Step quality via the damped-solve identity (see _levmar).
+            quality = (c - st["bestcost"]) / (
+                0.5 * (g @ x - lam * (x @ x))
+            )
+            lam_acc = lam * jnp.where(
+                quality < 0.983,
+                1 - (2 * quality - 1) ** 3,
+                jnp.asarray(0.1, dtype),
+            )
+            dcost = st["bestcost"] - c
+            accepted = dcost >= 0
+            snap = inner_accept & (~accepted) & (st["fails"] == 0)
+            varbest = _tree_select(snap, st["variables"], st["varbest"])
+            fails = jnp.where(accepted, jnp.int32(0), st["fails"] + 1)
+            bestcost = jnp.where(accepted, c, st["bestcost"])
+            dcost_term = jnp.where(accepted, dcost, c)
+            iternum = st["iternum"] + 1
+            bits = _termination_bits(
+                c, dcost_term, bestcost, maxstep, fails, iternum, opts
+            )
+            if use_timer:
+                from jax.experimental import io_callback
+
+                now = io_callback(_now, _t_sds, ordered=True)
+                bits |= jnp.int32(now - st["t0"] > opts.max_time) << 9
+            if use_print:
+                _emit_row(
+                    iternum,
+                    c,
+                    st["bestcost"],
+                    jnp.linalg.norm(x),
+                    dict(itdata, lm_lambda=lam_acc),
+                    emit=jnp.int32(inner_accept),
+                )
+            trace = st["trace"]
+            if opts.store_trajectory:
+                trace = jnp.where(
+                    inner_accept, trace.at[iternum - 1].set(c), trace
+                )
+            # Re-assemble only when the loop will actually continue: total
+            # assembles == completed iterations, like the nested machine.
+            cont = inner_accept & (bits == 0)
+            sys_next = jax.lax.cond(
+                cont, lambda v: assemble_fn(v)[1], lambda v: sys, nv
+            )
+            return dict(
+                variables=_tree_select(inner_accept, nv, st["variables"]),
+                varbest=varbest,
+                bestcost=jnp.where(inner_accept, bestcost, st["bestcost"]),
+                lastcost=jnp.where(inner_accept, c, st["lastcost"]),
+                itdata=dict(
+                    itdata,
+                    lm_lambda=jnp.where(
+                        inner_accept, lam_acc, lam * st["mu"]
+                    ),
+                ),
+                mu=jnp.where(
+                    inner_accept, jnp.asarray(2.0, dtype), st["mu"] * 2
+                ),
+                fails=jnp.where(inner_accept, fails, st["fails"]),
+                iternum=jnp.where(inner_accept, iternum, st["iternum"]),
+                converged=jnp.where(inner_accept, bits, jnp.int32(0)),
+                ncost=st["ncost"] + 1,
+                ngrad=st["ngrad"] + jnp.int32(cont),
+                nsolve=st["nsolve"] + 1,
+                t0=st["t0"],
+                trace=trace,
+                sys=sys_next,
+            )
+
+        final = jax.lax.while_loop(cond, body_flat, state)
+        final = {k: v for k, v in final.items() if k not in ("sys", "mu")}
+        out_vars = _tree_select(
+            ~(final["bestcost"] >= final["lastcost"]),
+            final["varbest"],
+            final["variables"],
+        )
+        return dict(final, variables=out_vars, startcost=c0)
 
     def body(st):
         _, sys = assemble_fn(st["variables"])

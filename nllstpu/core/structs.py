@@ -99,6 +99,14 @@ class Options:
     # a loose tolerance (e.g. 1e-2) trades inner iterations for outer ones
     # — usually a large net win at scale.
     linear_tol: Any = None
+    # Fully-jitted LM only: run the damping retry merged into the single
+    # outer while_loop (one level of dynamic control flow) instead of a
+    # nested inner while_loop.  Identical results and counts; one less
+    # nesting level keeps giant fully-jitted implicit programs (whose
+    # 3-deep nesting faults the TPU worker, docs/ROUND1.md) inside the
+    # validated depth budget even with chunked CG.  None = on; False
+    # forces the nested machine.
+    flat_lm: Any = None
     # Implicit (schur_cg) only: cluster-Jacobi preconditioning (Ceres
     # CLUSTER_JACOBI analogue) with this many consecutive cameras per
     # cluster — the exact diagonal CLUSTER blocks of S, capturing

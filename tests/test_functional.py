@@ -260,3 +260,35 @@ def test_jit_printout(capsys):
     assert out[0].split() == ["iter", "cost", "cost", "change", "|step|", "trust"]
     assert out[1].split()[0] == "0"
     assert out[-1].split()[0] == str(r.num_iterations)
+
+
+def test_flat_and_nested_lm_identical():
+    """The flat LM machine (damping retry merged into the outer while_loop,
+    Options.flat_lm) must reproduce the nested machine exactly: same ops in
+    the same order => bitwise-equal costs, counts and lambda trajectory."""
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    for make in (
+        lambda: make_problem(-0.5, 2.5)[0],
+        lambda: make_pinhole_ba(4, 12, 0.9, noise=1e-2, seed=3)[0],
+    ):
+        results = {}
+        for flat in (None, False):
+            p = make()
+            if flat is False:
+                # fresh problem per run: optimize mutates variable state
+                pass
+            results[flat] = nt.optimize(
+                p,
+                nt.Options(
+                    iterator=nt.LEVENBERG_MARQUARDT, flat_lm=flat, max_iters=25
+                ),
+            )
+        rf, rn = results[None], results[False]
+        assert rf.num_iterations == rn.num_iterations
+        assert rf.cost_computations == rn.cost_computations
+        assert rf.gradient_computations == rn.gradient_computations
+        assert rf.linear_solves == rn.linear_solves
+        assert rf.termination == rn.termination
+        np.testing.assert_array_equal(rf.best_cost, rn.best_cost)
+        np.testing.assert_array_equal(rf.start_cost, rn.start_cost)
