@@ -553,6 +553,17 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 GIANT_IMPLICIT_OBS_LIMIT = 200_000
 _GIANT_IMPLICIT_CG_CHUNK = 25
 
+#: Above this many padded observations, implicit (schur_cg) problems run on
+#: the host-STEPPED driver by default even without a callback: the current
+#: TPU worker faults on fully-jitted implicit programs past this scale
+#: REGARDLESS of control-flow nesting depth (round-2 bisect on the v5e:
+#: works at 210k/472k obs with flat LM + chunked CG, crashes at 671k/839k
+#: in every shape — flat+chunk, flat+fixed-fori, and the round-1-validated
+#: nested+fixed-fori, which had passed at 839k on the round-1 worker).  The
+#: stepped driver (2-deep jitted kernels, host outer loop) runs 839k
+#: cleanly.  Override with NLLSTPU_GIANT_FULLJIT=1 to force the jit driver.
+GIANT_FULLJIT_OBS_LIMIT = 500_000
+
 
 def _make_jit_runner(compiled: CompiledProblem, opts: Options):
     import os
@@ -862,4 +873,28 @@ def optimize(
         if compiled.layout.dof_total == 0:
             raise ValueError("no unfixed variables to optimize")
         return _run_stepped(problem, compiled, options, callback)
+    if _giant_fulljit_unsafe(problem, options):
+        compiled = compile_problem(
+            problem, unfixed, solver=options.solver, schur_family=options.schur_family
+        )
+        return _run_stepped(problem, compiled, options, None)
     return _run_jit(problem, _cached_runner(problem, options, unfixed), options)
+
+
+def _giant_fulljit_unsafe(problem, options) -> bool:
+    """True when the fully-jitted driver is known to fault the TPU worker
+    at this scale (see ``GIANT_FULLJIT_OBS_LIMIT``) and the host-stepped
+    driver should run instead.  Implicit problems only reach the jit
+    driver via an explicit ``solver="schur_cg"`` (auto never selects it
+    with a schur_family), so the gate needs no compilation."""
+    import os
+
+    if os.environ.get("NLLSTPU_GIANT_FULLJIT"):
+        return False
+    if options.solver != "schur_cg":
+        return False
+    if jax.default_backend() != "tpu":
+        return False  # the fault is a TPU-worker failure mode
+    return (
+        sum(b.n_padded for b in problem.batches()) > GIANT_FULLJIT_OBS_LIMIT
+    )

@@ -576,3 +576,34 @@ def test_w_dtype_bf16_knob(monkeypatch):
     c64 = compile_problem(p64, solver="schur", schur_family=LMK)
     _, sys_64 = jax.jit(c64.assemble)(p64.stacked_variables())
     assert sys_64[4].dtype == jnp.float64
+
+
+def test_giant_fulljit_stepped_fallback_gate(monkeypatch):
+    """Implicit problems past GIANT_FULLJIT_OBS_LIMIT must route to the
+    host-stepped driver on TPU (the current worker faults on fully-jitted
+    implicit programs at that scale regardless of control-flow nesting —
+    bisected on-chip in round 2), with NLLSTPU_GIANT_FULLJIT=1 forcing the
+    jit driver back on.  The gate itself is unit-tested here; the CPU
+    backend never triggers it."""
+    from nllstpu.core import optimize as opt_mod
+
+    p, cams, lmks = make_affine_ba(5, 12, 0.7)
+    o = nt.Options(solver="schur_cg", schur_family=LMK)
+    monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 1)
+    monkeypatch.delenv("NLLSTPU_GIANT_FULLJIT", raising=False)
+    # CPU backend: never unsafe.
+    assert not opt_mod._giant_fulljit_unsafe(p, o)
+    # TPU backend + above the limit: unsafe -> stepped.
+    monkeypatch.setattr(opt_mod.jax, "default_backend", lambda: "tpu")
+    assert opt_mod._giant_fulljit_unsafe(p, o)
+    # Non-implicit solvers keep the jit driver.
+    assert not opt_mod._giant_fulljit_unsafe(
+        p, nt.Options(solver="schur", schur_family=LMK)
+    )
+    # Below the limit: jit driver.
+    monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 10_000_000)
+    assert not opt_mod._giant_fulljit_unsafe(p, o)
+    # Env override forces fulljit at any scale.
+    monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 1)
+    monkeypatch.setenv("NLLSTPU_GIANT_FULLJIT", "1")
+    assert not opt_mod._giant_fulljit_unsafe(p, o)
