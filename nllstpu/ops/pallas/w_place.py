@@ -52,23 +52,26 @@ def _kernel(we_ref, vc_ref, w_ref, *, n_r, nrp, dr_s, dl, k_len, tile_l):
     dt = we_ref.dtype
     # Camera ids on SUBLANES: ohT[v, l] = (vc[k, l] == v).
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (nrp, tile_l), 0)
-    zero = jnp.zeros((nrp, tile_l), dtype=dt)
 
-    for c in range(dr_s * dl):  # X is tiny (<= MAX dr_s*dl ~ 18): unrolled
-
-        def body(k, acc, c=c):
-            vc_k = vc_ref[pl.ds(k, 1), :]  # [1, TL]
-            oh = jnp.where(
-                jnp.logical_and(vc_k == v_iota, vc_k < n_r),
-                dt.type(1),
-                dt.type(0),
-            )  # [NRp, TL]
-            we_k = we_ref[pl.ds(k, 1), c, :]  # [1, TL]
-            return acc + we_k * oh
-
-        acc = jax.lax.fori_loop(0, k_len, body, zero)
-        d, p = divmod(c, dr_s)
-        w_ref[d, p * nrp : (p + 1) * nrp, :] = acc
+    # K outer and fully unrolled (k_len is a small static run length), the
+    # one-hot hoisted out of the column loop: the first kernel shape —
+    # column-outer fori over k — recomputed the compare+select X·K times
+    # instead of K and paid X·K tiny-loop trips; measured as slow as the
+    # XLA one-hot chain it replaces (round-2 on-chip A/B).  Accumulation
+    # goes straight into the VMEM output block (read-modify-write), so no
+    # extra accumulator spill traffic.
+    w_ref[:] = jnp.zeros_like(w_ref)
+    for k in range(k_len):
+        vc_k = vc_ref[k : k + 1, :]  # [1, TL]
+        oh = jnp.where(
+            jnp.logical_and(vc_k == v_iota, vc_k < n_r),
+            dt.type(1),
+            dt.type(0),
+        )  # [NRp, TL]
+        for c in range(dr_s * dl):  # X is tiny (<= dl*dr_s ~ 18)
+            d, p = divmod(c, dr_s)
+            sl = slice(p * nrp, (p + 1) * nrp)
+            w_ref[d, sl, :] = w_ref[d, sl, :] + we_ref[k : k + 1, c, :] * oh
 
 
 def place_w_pm(we3, vc2, n_r: int, dr_s: int, dl: int,

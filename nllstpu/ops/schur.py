@@ -1187,7 +1187,9 @@ def _w_pm_data(batches, info: "SchurInfo"):
     unfixed-variable grid — then the Pallas placement kernel is the SOLE
     W writer and every consumer permutation is well-defined (see
     ops/pallas/w_place.py).  Anything else keeps the standard layout."""
-    if _w_impl() not in ("pallas", "pallas_interpret"):
+    if _w_impl() not in (
+        "pallas", "pallas_interpret", "fused", "fused_interpret"
+    ):
         return None
     if info.num_elim == 0 or info.dim_reduced == 0:
         return None
@@ -1345,10 +1347,13 @@ def _assemble_fast_dual(
             row_flat, np.arange(n_r * dr_s, dtype=np.int32)
         )
     w_impl = _w_impl()
-    if identity_rows and w_impl in ("fused", "fused_interpret"):
+    if info.w_pm is not None and w_impl in ("fused", "fused_interpret"):
         # Fully-fused obs-major leg: one kernel pass over the K-major jac
-        # tiles emits h_ll, g_l AND the placed W (see ops/pallas/fused_obs).
-        from .pallas.fused_obs import fused_obs_leg
+        # tiles emits h_ll, g_l AND the placed p-major W (the kernel is the
+        # sole W writer, same contract as place_w_pm — see
+        # ops/pallas/fused_obs.py).  Replaces the he-compose + h_ll/g_l
+        # reductions + we-compose + one-hot placement XLA chain.
+        from .pallas.fused_obs import fused_obs_leg_pm
 
         nres, stot = jac.shape[0], jac.shape[1]
         jac_t = (
@@ -1358,14 +1363,12 @@ def _assemble_fast_dual(
         d1_t = d1m[: L * k].reshape(L, k).T
         d2_t = d2m[: L * k].reshape(L, k).T
         vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T
-        h_add, g_add, w_contrib = fused_obs_leg(
-            jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl,
-            int(w.shape[-1]), int(sel_e[0]),
+        h_add, g_add, w = fused_obs_leg_pm(
+            jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
             interpret=(w_impl == "fused_interpret"),
         )
         h_ll = h_ll.at[:, :, :L].add(h_add)
         g_l = g_l.at[:, :L].add(g_add)
-        w = w.at[:, :L].add(w_contrib)
         return cost_sum, _fast_dual_cam_leg(
             fast, variables, dtype, robust_block, sel_r, dr_s,
             a_rr, b_r, h_ll, g_l, w,

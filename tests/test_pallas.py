@@ -206,13 +206,15 @@ def test_assemble_pallas_w_pm_fixed_cameras(monkeypatch):
 
 def test_assemble_fused_obs_matches_onehot(monkeypatch):
     """The fully-fused obs-major leg (NLLSTPU_W_IMPL=fused_interpret) must
-    reproduce the default path's h_ll, g_l AND W on a pinhole cm batch."""
+    reproduce the default path's h_ll, g_l AND W (p-major layout, compared
+    through the pm_of_std un-permutation) on a pinhole cm batch, including
+    with fixed cameras; the damped solve must match end to end."""
     import jax
 
     from nllstpu.core.optimize import compile_problem
     from nllstpu.models.ba import make_pinhole_ba, perturb_ba
 
-    def build():
+    def build(unfixed=None):
         p, cams, lmks = make_pinhole_ba(
             ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
             dtype=jnp.float64, batched="cm",
@@ -221,17 +223,28 @@ def test_assemble_fused_obs_matches_onehot(monkeypatch):
         c = compile_problem(
             p, solver="schur",
             schur_family=__import__("nllstpu").Euclidean(3),
+            unfixed=None if unfixed is None else cams[2:] + lmks,
         )
-        return jax.jit(c.assemble)(p.stacked_variables())
+        return c, jax.jit(c.assemble)(p.stacked_variables())
 
-    monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
-    cost_ref, sys_ref = build()
-    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_interpret")
-    cost_f, sys_f = build()
-    np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
-    for a, b in zip(sys_f, sys_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
-                                   atol=1e-14)
+    for unfixed in (None, "fix2"):
+        monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+        c_ref, (cost_ref, sys_ref) = build(unfixed)
+        monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_interpret")
+        c_f, (cost_f, sys_f) = build(unfixed)
+        assert c_f.schur_info.w_pm is not None
+        np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
+        for a, b in zip(sys_f[:4], sys_ref[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14
+            )
+        np.testing.assert_allclose(
+            _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+            rtol=1e-12, atol=1e-14,
+        )
+        x_ref = np.asarray(c_ref.schur_info.ops().solve(sys_ref, jnp.asarray(1e-3)))
+        x_f = np.asarray(c_f.schur_info.ops().solve(sys_f, jnp.asarray(1e-3)))
+        np.testing.assert_allclose(x_f, x_ref, rtol=1e-9, atol=1e-12)
 
 
 def test_reduce_s_matches_einsum():
