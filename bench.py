@@ -55,29 +55,56 @@ def _remaining():
     return _DEADLINE - time.monotonic()
 
 
-def _emit(value, platform, vs_baseline):
-    """Print THE one JSON line (at most once) and flush."""
+def _emit(value, platform, vs_baseline, stats=None, w_dtype="f32",
+          target_cost=None):
+    """Print THE one JSON line (at most once) and flush.
+
+    Carries the accuracy half of the north-star pair (BASELINE.md:32-34):
+    start/best cost and the (approximate) wall time to reach 1.1x the
+    committed converged target cost — a perf "win" that degrades
+    convergence is visible in the artifact, not just in worker logs.  The
+    metric name embeds the effective W storage dtype so bf16 and f32 runs
+    can never be silently conflated."""
     global _emitted
     if _emitted:
         return
     _emitted = True
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"lm_iters_per_sec_pinhole_ba_{NCAM}cam_{NLMK}lmk_f32_schur"
-                    f"_{platform}"
-                ),
-                "value": round(value, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
+    line = {
+        "metric": (
+            f"lm_iters_per_sec_pinhole_ba_{NCAM}cam_{NLMK}lmk_f32_schur"
+            f"_w{w_dtype}_{platform}"
         ),
-        flush=True,
-    )
+        "value": round(value, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if stats is not None:
+        line["start_cost"] = stats.get("start_cost")
+        line["best_cost"] = stats.get("best_cost")
+        line["iters"] = stats.get("iters")
+        line["wall_s"] = stats.get("wall_s")
+        line["target_cost"] = target_cost
+        line["time_to_target_s"] = stats.get("time_to_target_s")
+    print(json.dumps(line), flush=True)
 
 
-def worker(platform: str, iters: int):
+#: bf16-W acceptance gate: the bf16 run's best cost must stay within this
+#: factor of the committed f32 cost at the same iteration budget, else the
+#: bench re-runs (or re-labels) in f32 — a storage-precision "win" that
+#: breaks LM convergence must never become the headline number.
+BF16_COST_GATE = 2.0
+
+
+def bf16_cost_ok(best_cost, ref_best_cost, gate=BF16_COST_GATE):
+    """True when a bf16-W run's converged cost is acceptable vs the f32
+    reference at the same iteration budget (unit-tested in
+    tests/test_functional.py)."""
+    if ref_best_cost is None or not np.isfinite(best_cost):
+        return np.isfinite(best_cost)
+    return best_cost <= gate * max(ref_best_cost, 1e-12)
+
+
+def worker(platform: str, iters: int, w_dtype: str = None):
     """Measure LM iterations/sec on the requested platform and print one
     JSON line with the raw stats."""
     import jax
@@ -87,13 +114,18 @@ def worker(platform: str, iters: int):
         # The env var alone is overridden by this machine's sitecustomize
         # (see CLAUDE.md); the config update is authoritative.
         jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("NLLSTPU_W_DTYPE", "f32")
+    elif w_dtype is not None:
+        os.environ["NLLSTPU_W_DTYPE"] = w_dtype
     else:
         # Half-width dense-W storage (f32 accumulation everywhere): the
         # round-2 on-chip A/B (3 interleaved rounds, 6 configs) put
         # onehot/xla/bf16 first at 75.0 it/s vs 64.9 for the f32 default,
         # with the converged best_cost bit-comparable to the f32 floor.
-        # The CPU leg stays f32 so vs_baseline compares like for like
-        # against scripts/cpu_ref.json.
+        # The accuracy gate in main() (bf16_cost_ok) re-runs f32 if the
+        # bf16 best_cost degrades past BF16_COST_GATE x the committed f32
+        # cost.  The CPU leg stays f32 so vs_baseline compares like for
+        # like against scripts/cpu_ref.json.
         os.environ.setdefault("NLLSTPU_W_DTYPE", "bf16")
     jax.config.update("jax_default_matmul_precision", "highest")
     cache = os.path.join(_REPO, ".jax_cache")
@@ -125,13 +157,19 @@ def worker(platform: str, iters: int):
         abs_dcost=0.0,
         dstep=1e-12,
         max_fails=1 << 30,
+        # In-loop per-iteration cost trace (a [max_iters] device array, one
+        # masked write per accepted iteration — no measurable overhead):
+        # main() derives time-to-target from it.
+        store_trajectory=True,
     )
 
     def run(v):
         final = run_loop(compiled.assemble, compiled.cost, compiled.ctx(), opts, v)
-        # Pack every scalar we need into ONE array so the host does a single
-        # device read (multi-read robustness, see module docstring).
-        return jnp.stack(
+        # Pack every scalar we need — including the per-iteration cost
+        # trace, which main() turns into time-to-target — into ONE array so
+        # the host does a single device read (multi-read robustness, see
+        # module docstring).
+        head = jnp.stack(
             [
                 final["iternum"].astype(jnp.float32),
                 final["startcost"].astype(jnp.float32),
@@ -139,6 +177,7 @@ def worker(platform: str, iters: int):
                 final["nsolve"].astype(jnp.float32),
             ]
         )
+        return jnp.concatenate([head, final["trace"].astype(jnp.float32)])
 
     runner = jax.jit(run)
     vars0 = problem.stacked_variables()
@@ -159,17 +198,21 @@ def worker(platform: str, iters: int):
         vars_i = jax.tree.map(lambda x: x * (1.0 + eps), vars0)
         t0 = time.perf_counter()
         out = runner(vars_i)
-        run_stats = [float(x) for x in list(np.asarray(out))]
+        run_stats = np.asarray(out, dtype=np.float64)
         run_wall = time.perf_counter() - t0
         rate = run_stats[0] / run_wall
         if rate > best_rate:
             best_rate, wall, stats = rate, run_wall, run_stats
-    n_iter, start, best, solves = int(stats[0]), stats[1], stats[2], int(stats[3])
+    n_iter, start, best, solves = (
+        int(stats[0]), float(stats[1]), float(stats[2]), int(stats[3]),
+    )
+    trace = stats[4 : 4 + n_iter].tolist()
     assert best < start, (start, best)  # sanity: LM actually descends
     print(
         json.dumps(
             {
                 "platform": platform,
+                "w_dtype": os.environ.get("NLLSTPU_W_DTYPE", "f32"),
                 "iters_per_sec": n_iter / wall,
                 "iters": n_iter,
                 "wall_s": wall,
@@ -177,19 +220,26 @@ def worker(platform: str, iters: int):
                 "start_cost": start,
                 "best_cost": best,
                 "solves": solves,
+                "cost_trace": trace,
             }
         ),
         flush=True,
     )
 
 
-def run_leg(platform: str, iters: int, timeout: float):
+def run_leg(platform: str, iters: int, timeout: float, w_dtype: str = None):
     """One subprocess measurement attempt, hard-capped at ``timeout``."""
     if timeout < 30:
         return None
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--worker", platform,
+        str(iters),
+    ]
+    if w_dtype is not None:
+        cmd.append(w_dtype)
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", platform, str(iters)],
+            cmd,
             capture_output=True,
             text=True,
             timeout=timeout,
@@ -209,8 +259,11 @@ def run_leg(platform: str, iters: int, timeout: float):
 
 
 def load_cpu_ref():
-    """Committed CPU reference for vs_baseline (scripts/cpu_ref.json),
-    valid only when it was measured at the current workload shape."""
+    """Committed CPU reference (scripts/cpu_ref.json) — iters/s for
+    vs_baseline plus the f32 cost targets for the bf16 gate and
+    time-to-target — valid only when it was measured at the current
+    workload shape AND iteration budget (round-2 weak item: a 30-iter TPU
+    rate divided by a 5-iter CPU rate mixes fixed-cost amortization)."""
     try:
         with open(_CPU_REF_PATH) as f:
             ref = json.load(f)
@@ -218,17 +271,41 @@ def load_cpu_ref():
             ref.get("ncam") == NCAM
             and ref.get("nlmk") == NLMK
             and ref.get("vis") == VIS
+            and ref.get("iters") == ITERS
             and ref.get("iters_per_sec", 0) > 0
         ):
-            return float(ref["iters_per_sec"])
+            return ref
     except (OSError, ValueError):
         pass
     return None
 
 
+def time_to_target(stats, target_cost):
+    """Approximate wall seconds for the measured run to reach
+    ``1.1 x target_cost``: per-iteration costs come from the jitted loop's
+    trace; wall per iteration is uniform (the loop body is one fused
+    program — finer attribution isn't observable from outside it).  None
+    when the run never reaches the target."""
+    if not stats or target_cost is None:
+        return None
+    trace = stats.get("cost_trace") or []
+    n = stats.get("iters", len(trace))
+    wall = stats.get("wall_s")
+    if not trace or not n or wall is None:
+        return None
+    for i, c in enumerate(trace):
+        if c <= 1.1 * target_cost:
+            return wall * (i + 1) / n
+    return None
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(sys.argv[2], int(sys.argv[3]))
+        worker(
+            sys.argv[2],
+            int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else None,
+        )
         return
 
     # Best-effort line even if the driver SIGTERMs us before the deadline.
@@ -240,6 +317,9 @@ def main():
 
     has_tpu = os.environ.get("JAX_PLATFORMS", "").replace("cpu", "").strip(", ") != ""
     cpu_ref = load_cpu_ref()
+    ref_rate = cpu_ref["iters_per_sec"] if cpu_ref else None
+    ref_best = cpu_ref.get("best_cost") if cpu_ref else None
+    target_cost = cpu_ref.get("target_cost") if cpu_ref else None
 
     main_stats = None
     platform = "cpu"
@@ -252,6 +332,21 @@ def main():
         main_stats = run_leg("tpu", ITERS, timeout=tpu_timeout)
         if main_stats is not None:
             platform = "tpu"
+            if not bf16_cost_ok(main_stats["best_cost"], ref_best):
+                # Accuracy gate tripped: the bf16-W run converged worse
+                # than BF16_COST_GATE x the committed f32 cost at the same
+                # iteration budget.  Re-measure in f32 if budget remains;
+                # otherwise at least never record the broken number.
+                sys.stderr.write(
+                    "# bf16 gate FAILED: best_cost "
+                    f"{main_stats['best_cost']:.6g} vs f32 ref {ref_best}; "
+                    "re-running f32\n"
+                )
+                f32_stats = run_leg(
+                    "tpu", ITERS, timeout=min(TPU_TIMEOUT_S, _remaining() - 60),
+                    w_dtype="f32",
+                )
+                main_stats = f32_stats  # f32 or nothing
     if main_stats is None:
         # CPU fallback (or CPU-only machine): fewer iters, remaining budget.
         main_stats = run_leg("cpu", min(ITERS, 5), timeout=_remaining() - 20)
@@ -260,10 +355,10 @@ def main():
         return
 
     value = main_stats["iters_per_sec"]
-    if platform == "cpu":
-        vs_baseline = value / cpu_ref if cpu_ref else 1.0
-    elif cpu_ref:
-        vs_baseline = value / cpu_ref
+    if ref_rate:
+        vs_baseline = value / ref_rate
+    elif platform == "cpu":
+        vs_baseline = 1.0
     else:
         # No committed reference: measure CPU live only if budget remains.
         cpu_stats = run_leg("cpu", min(ITERS, 5), timeout=_remaining() - 20)
@@ -272,7 +367,15 @@ def main():
             if cpu_stats and cpu_stats["iters_per_sec"] > 0
             else 1.0
         )
-    _emit(value, platform, vs_baseline)
+    main_stats["time_to_target_s"] = time_to_target(main_stats, target_cost)
+    _emit(
+        value,
+        platform,
+        vs_baseline,
+        stats=main_stats,
+        w_dtype=main_stats.get("w_dtype", "f32"),
+        target_cost=target_cost,
+    )
 
 
 if __name__ == "__main__":

@@ -49,7 +49,13 @@ from .core.structs import (
     Options,
     Result,
 )
-from .core.optimize import CompiledProblem, compile_problem, cost, optimize
+from .core.optimize import (
+    CompiledProblem,
+    SubproblemView,
+    compile_problem,
+    cost,
+    optimize,
+)
 from .core.singles import optimize_singles
 from .core.callbacks import null_callback, printout_callback, store_costs_callback
 
@@ -91,6 +97,7 @@ __all__ = [
     "DOGLEG",
     "GRADIENT_DESCENT",
     "optimize",
+    "SubproblemView",
     "optimize_singles",
     "cost",
     "compile_problem",

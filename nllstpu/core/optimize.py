@@ -625,12 +625,35 @@ _RUNNER_CACHE_SIZE = 8
 _runner_cache: dict = {}  # insertion-ordered → LRU via move-to-end semantics
 
 
-def _cached_runner(problem, opts, unfixed):
-    """Reuse the compiled jit runner across optimize() calls as long as the
-    problem *structure* is unchanged (value edits via set_value don't
-    invalidate — variable values are runtime arguments, not constants).
-    A small LRU (``_RUNNER_CACHE_SIZE`` entries) so alternating optimize()
-    across several problems/options doesn't recompile every call."""
+class _RunnerEntry:
+    """Cache slot: the compiled problem plus a lazily-built jit runner.
+
+    The runner is built on first jit use, not at compile time, so the
+    giant-fulljit gate (which must inspect the *compiled* problem — the
+    dense-W auto-fallback can flip ``solver="schur"`` to implicit,
+    optimize.py DENSE_W_BYTE_LIMIT) can route to the stepped driver without
+    ever tracing the known-faulting fully-jitted program."""
+
+    __slots__ = ("compiled", "opts", "_runner")
+
+    def __init__(self, compiled, opts):
+        self.compiled = compiled
+        self.opts = opts
+        self._runner = None
+
+    def runner(self):
+        if self._runner is None:
+            self._runner = _make_jit_runner(self.compiled, self.opts)
+        return self._runner
+
+
+def _cached_entry(problem, opts, unfixed) -> _RunnerEntry:
+    """Reuse the compiled problem (and its jit runner) across optimize()
+    calls as long as the problem *structure* is unchanged (value edits via
+    set_value don't invalidate — variable values are runtime arguments, not
+    constants).  A small LRU (``_RUNNER_CACHE_SIZE`` entries) so alternating
+    optimize() across several problems/options doesn't recompile every
+    call."""
     key = (
         id(problem),
         problem.structure_version,
@@ -639,24 +662,24 @@ def _cached_runner(problem, opts, unfixed):
     )
     hit = _runner_cache.pop(key, None)
     # id() can alias a garbage-collected problem: verify identity via weakref.
-    if hit is not None and hit[2]() is problem:
+    if hit is not None and hit[1]() is problem:
         _runner_cache[key] = hit  # re-insert = most recently used
-        return hit[0], hit[1]
+        return hit[0]
     compiled = compile_problem(
         problem, unfixed, solver=opts.solver, schur_family=opts.schur_family
     )
     if compiled.layout.dof_total == 0:
         raise ValueError("no unfixed variables to optimize")
-    runner = _make_jit_runner(compiled, opts)
+    entry = _RunnerEntry(compiled, opts)
     while len(_runner_cache) >= _RUNNER_CACHE_SIZE:
         _runner_cache.pop(next(iter(_runner_cache)))
-    _runner_cache[key] = (compiled, runner, weakref.ref(problem))
-    return compiled, runner
+    _runner_cache[key] = (entry, weakref.ref(problem))
+    return entry
 
 
-def _run_jit(problem, compiled_runner, opts) -> Result:
+def _run_jit(problem, entry: _RunnerEntry, opts) -> Result:
     t0 = time.perf_counter()
-    compiled, runner = compiled_runner
+    runner = entry.runner()
     vars0 = problem.stacked_variables()
     t1 = time.perf_counter()
     out_vars, trace, packed = runner(vars0)
@@ -687,6 +710,139 @@ def _run_jit(problem, compiled_runner, opts) -> Result:
         linear_solves=int(stats[6]),
         trajectory=trajectory,
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime-masked subproblem view (reference subproblem!, src/problem.jl:47-83)
+# ---------------------------------------------------------------------------
+
+
+class SubproblemView:
+    """Reusable cost-subset view over one problem: compile ONCE, then swap
+    the active subset as a runtime mask value — the TPU-native counterpart
+    of the reference's in-place ``subproblem!`` (src/problem.jl:47-83),
+    which reuses problem storage across subset swaps so tight alternation
+    doesn't rebuild structures.  Here "structure" is the traced XLA
+    program: the view's batches keep the FULL problem's padded shapes and
+    the per-batch boolean masks arrive as jit arguments, so two subset
+    swaps hit the same executable with zero retracing.
+
+    Dense backend only: the Schur/CG backends precompute host-side
+    structure (obs-major repacks, fast tables, preconditioner layouts)
+    from the active mask, which cannot be swapped at runtime.
+
+    Use a DAMPED iterator (LM or dogleg, the default): variables touched
+    by no active cost have exactly-zero gradient and Hessian rows, so the
+    λ-damped solve gives them an exactly-zero step, while undamped Newton
+    would face a singular system (the reference's alternation likewise
+    pairs ``subproblem`` with per-variable ``unfixed`` or damping).
+
+    Usage::
+
+        view = SubproblemView(problem)
+        view.select(handle_or_predicate)
+        res = view.optimize(options)          # same compile across selects
+    """
+
+    def __init__(self, problem: Problem, unfixed=None):
+        self.problem = problem
+        self._structure_version = problem.structure_version
+        self.compiled = compile_problem(problem, unfixed, solver="dense")
+        if self.compiled.layout.dof_total == 0:
+            raise ValueError("no unfixed variables to optimize")
+        self._base_masks = tuple(
+            jnp.asarray(b.mask) for b in self.compiled.batches
+        )
+        self._masks = self._base_masks
+        self._runners: dict = {}
+        self.trace_count = 0  # observable "no recompile" evidence for tests
+
+    def select(self, predicate) -> "SubproblemView":
+        """Choose the active cost subset (same predicate forms as
+        ``Problem.subproblem``); padding and base-validity masks are always
+        ANDed in.  Returns self for chaining."""
+        if self.problem.structure_version != self._structure_version:
+            raise ValueError(
+                "problem structure changed since this view was compiled; "
+                "build a new SubproblemView"
+            )
+        masks = self.problem.subset_masks(predicate)
+        self._masks = tuple(
+            base & jnp.asarray(m)
+            for base, m in zip(self._base_masks, masks)
+        )
+        return self
+
+    def _masked(self, masks):
+        batches = [
+            dataclasses.replace(b, mask=m)
+            for b, m in zip(self.compiled.batches, masks)
+        ]
+        return dataclasses.replace(self.compiled, batches=batches)
+
+    def cost(self) -> float:
+        runner = self._runners.get("cost")
+        if runner is None:
+
+            def _cost(variables, masks):
+                return self._masked(masks).cost(variables)
+
+            runner = jax.jit(_cost)
+            self._runners["cost"] = runner
+        return float(runner(self.problem.stacked_variables(), self._masks))
+
+    def optimize(self, options: Options = None) -> Result:
+        """Optimize the selected subset in place on the parent problem.
+        One traced program per Options value; subset swaps reuse it."""
+        options = options or Options()
+        t0 = time.perf_counter()
+        runner = self._runners.get(options)
+        if runner is None:
+
+            def _run(vars0, masks):
+                # Python side effect: executes at TRACE time only, so
+                # trace_count observably stays put across subset swaps
+                # (the "no recompile" contract, asserted in tests).
+                self.trace_count += 1
+                c = self._masked(masks)
+                final = run_loop(
+                    c.assemble, c.cost, c.ctx(options), options, vars0
+                )
+                packed = jnp.stack(
+                    [
+                        final["startcost"].astype(jnp.float64),
+                        final["bestcost"].astype(jnp.float64),
+                        final["converged"].astype(jnp.float64),
+                        final["iternum"].astype(jnp.float64),
+                        final["ncost"].astype(jnp.float64),
+                        final["ngrad"].astype(jnp.float64),
+                        final["nsolve"].astype(jnp.float64),
+                    ]
+                )
+                return final["variables"], packed
+
+            runner = jax.jit(_run)
+            self._runners[options] = runner
+        vars0 = self.problem.stacked_variables()
+        t1 = time.perf_counter()
+        out_vars, packed = runner(vars0, self._masks)
+        stats = np.asarray(packed)
+        t2 = time.perf_counter()
+        self.problem.set_values(out_vars)
+        return Result(
+            start_cost=float(stats[0]),
+            best_cost=float(stats[1]),
+            time_total=t2 - t0,
+            time_init=t1 - t0,
+            time_cost=float("nan"),
+            time_gradient=float("nan"),
+            time_solver=float("nan"),
+            termination=int(stats[2]),
+            num_iterations=int(stats[3]),
+            cost_computations=int(stats[4]),
+            gradient_computations=int(stats[5]),
+            linear_solves=int(stats[6]),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -740,11 +896,15 @@ def _run_stepped(problem, compiled, opts, callback) -> Result:
 
     while True:
         tg = time.perf_counter()
-        _, sys = jax.block_until_ready(assemble_j(variables))
-        # NOTE: on tunneled TPU backends block_until_ready returns early
-        # (CLAUDE.md), so part of the assemble time lands in the next
-        # readback-fenced phase there; a full-readback fence of `sys` would
-        # stream the dense W to the host every iteration, which is worse.
+        c_asm, sys = assemble_j(variables)
+        # Fence via a SCALAR readback of the assemble program's own cost
+        # output: on tunneled TPU backends block_until_ready returns early
+        # (CLAUDE.md) and would let assemble time leak into the next
+        # readback-fenced phase, while a full readback of `sys` would
+        # stream the dense W to the host every iteration.  Reading one
+        # scalar output waits for the whole program (outputs of one
+        # executable materialize together) for pennies.
+        float(c_asm)
         ngrad += 1
         time_grad += time.perf_counter() - tg
 
@@ -873,28 +1033,31 @@ def optimize(
         if compiled.layout.dof_total == 0:
             raise ValueError("no unfixed variables to optimize")
         return _run_stepped(problem, compiled, options, callback)
-    if _giant_fulljit_unsafe(problem, options):
-        compiled = compile_problem(
-            problem, unfixed, solver=options.solver, schur_family=options.schur_family
-        )
-        return _run_stepped(problem, compiled, options, None)
-    return _run_jit(problem, _cached_runner(problem, options, unfixed), options)
+    entry = _cached_entry(problem, options, unfixed)
+    if _giant_fulljit_unsafe(entry.compiled):
+        # The jit runner is never built for this entry (lazy), so the
+        # known-faulting giant program is never traced; the compiled
+        # problem itself is reused by the stepped driver.
+        return _run_stepped(problem, entry.compiled, options, None)
+    return _run_jit(problem, entry, options)
 
 
-def _giant_fulljit_unsafe(problem, options) -> bool:
+def _giant_fulljit_unsafe(compiled: CompiledProblem) -> bool:
     """True when the fully-jitted driver is known to fault the TPU worker
     at this scale (see ``GIANT_FULLJIT_OBS_LIMIT``) and the host-stepped
-    driver should run instead.  Implicit problems only reach the jit
-    driver via an explicit ``solver="schur_cg"`` (auto never selects it
-    with a schur_family), so the gate needs no compilation."""
+    driver should run instead.  Gated on the *compiled* problem: implicit
+    programs reach the jit driver both via explicit ``solver="schur_cg"``
+    AND via the ``DENSE_W_BYTE_LIMIT`` auto-fallback that silently compiles
+    ``solver="schur"`` problems implicit — the compiled ``schur_info``
+    is the single source of truth for which backend actually runs."""
     import os
 
     if os.environ.get("NLLSTPU_GIANT_FULLJIT"):
         return False
-    if options.solver != "schur_cg":
+    if compiled.schur_info is None or not compiled.schur_info.implicit:
         return False
     if jax.default_backend() != "tpu":
         return False  # the fault is a TPU-worker failure mode
     return (
-        sum(b.n_padded for b in problem.batches()) > GIANT_FULLJIT_OBS_LIMIT
+        sum(b.n_padded for b in compiled.batches) > GIANT_FULLJIT_OBS_LIMIT
     )

@@ -529,28 +529,7 @@ class Problem:
             n = ind.shape[0]
             if n == 0:
                 continue
-            if targets is not None:
-                sel = np.zeros(n, dtype=bool)
-                for s, man in enumerate(g.families):
-                    t = targets.get(family_name(man))
-                    if t is not None:
-                        sel |= np.isin(ind[:, s], t)
-            else:
-                sel = np.fromiter(
-                    (
-                        bool(
-                            predicate(
-                                tuple(
-                                    VarHandle(man, int(i))
-                                    for man, i in zip(g.families, row)
-                                )
-                            )
-                        )
-                        for row in ind
-                    ),
-                    dtype=bool,
-                    count=n,
-                )
+            sel = self._select_rows(g, ind, predicate, targets)
             if not sel.any():
                 continue
             ind_sel = ind[sel]
@@ -569,6 +548,73 @@ class Problem:
                 batched=g.batched,
             )
         return sub
+
+    @staticmethod
+    def _normalize_predicate(predicate):
+        """Handle/iterable predicates → per-family sorted index arrays
+        (``targets``); callables pass through as ``(predicate, None)``."""
+        if callable(predicate):
+            return predicate, None
+        handles = (
+            [predicate] if isinstance(predicate, VarHandle) else list(predicate)
+        )
+        targets = {}
+        for h in handles:
+            targets.setdefault(h.family, []).append(h.index)
+        return None, {
+            f: np.unique(np.asarray(ix, dtype=np.int64))
+            for f, ix in targets.items()
+        }
+
+    @staticmethod
+    def _select_rows(g, ind, predicate, targets):
+        """Boolean selection over one group's ``n`` real costs: vectorized
+        numpy for handle targets, per-cost evaluation for callables."""
+        n = ind.shape[0]
+        if targets is not None:
+            sel = np.zeros(n, dtype=bool)
+            for s, man in enumerate(g.families):
+                t = targets.get(family_name(man))
+                if t is not None:
+                    sel |= np.isin(ind[:, s], t)
+            return sel
+        return np.fromiter(
+            (
+                bool(
+                    predicate(
+                        tuple(
+                            VarHandle(man, int(i))
+                            for man, i in zip(g.families, row)
+                        )
+                    )
+                )
+                for row in ind
+            ),
+            dtype=bool,
+            count=n,
+        )
+
+    def subset_masks(self, predicate) -> list:
+        """Per-batch boolean masks (aligned with :meth:`batches`, padded to
+        the same lengths) selecting the costs ``predicate`` keeps — the
+        runtime-valued half of the reference's in-place ``subproblem!``
+        (src/problem.jl:47-83): the batch SHAPES are those of the full
+        problem, so a jitted program taking these masks as arguments swaps
+        cost subsets with zero recompilation (see
+        :class:`nllstpu.core.optimize.SubproblemView`).  Accepts the same
+        predicate forms as :meth:`subproblem`."""
+        predicate, targets = self._normalize_predicate(predicate)
+        masks = []
+        for key in self._group_order:
+            g = self._groups[key]
+            ind, _ = self._group_stacked(g, want_params=False)
+            n = ind.shape[0]
+            n_pad = -(-n // BATCH_ALIGN) * BATCH_ALIGN  # as in batches()
+            m = np.zeros(n_pad, dtype=bool)
+            if n:
+                m[:n] = self._select_rows(g, ind, predicate, targets)
+            masks.append(m)
+        return masks
 
     def varcostmap(self) -> dict:
         """Full variable-cost incidence (reference ``updatevarcostmap!`` /

@@ -51,6 +51,11 @@ from ..core.structs import CostTrajectory, Options, Result
 from ..ops import schur
 from .mesh import DATA_AXIS
 
+#: LRU capacity of ShardedSchurCompiled.run's per-Options runner cache —
+#: mirrors core.optimize._RUNNER_CACHE_SIZE's rationale (alternation over a
+#: handful of Options must not recompile per call).
+_SHARD_RUNNER_CACHE_SIZE = 4
+
 
 def _pad_eye_local(axis, lc, num_real, dl, dtype):
     """Components-major [dl, dl, Lc] identity on pad slots (global id ≥
@@ -421,10 +426,14 @@ class ShardedSchurCompiled:
     def _local_assemble(self, variables, batch_args, elim_ids, fast_args):
         bs = self._rebuild(batch_args)
         info = self._local_info(elim_ids, fast_args)
-        # w_dtype pinned: landmark-local W feeds this backend's own solve
-        # path, which has not been audited for bf16 storage.
+        # w_dtype=None → the NLLSTPU_W_DTYPE knob applies, exactly like the
+        # single-device direct Schur: each device owns its landmarks' W rows
+        # outright (W is sharded on the landmark axis, never psum-reduced —
+        # only c/a_rr/b_r cross the ICI below), so per-device bf16 storage
+        # introduces the same single downcast after f32 assembly as the
+        # single-chip path, with f32 accumulation in every consumer.
         c, sys = schur.assemble_schur(
-            bs, variables, self.layout, info, self.dtype, w_dtype=self.dtype
+            bs, variables, self.layout, info, self.dtype, w_dtype=None
         )
         a_rr, b_r, h_ll, g_l, w = sys
         c, a_rr, b_r = jax.lax.psum((c, a_rr, b_r), DATA_AXIS)
@@ -498,12 +507,17 @@ class ShardedSchurCompiled:
     def run(self, vars0, opts: Options):
         """The full jitted optimization under one ``shard_map`` — the
         sharded analogue of ``core.optimize.run_loop``."""
+        # LRU of several Options: alternation workflows swap between a
+        # handful of configurations and must not recompile per call (the
+        # same pathology optimize()'s _runner_cache fixes; a single-entry
+        # cache here recompiled on every swap).
         cache = self.__dict__.setdefault("_runner_cache", {})
-        runner = cache.get(opts)
+        runner = cache.pop(opts, None)
         if runner is None:
             runner = self._make_runner(opts)
-            cache.clear()
-            cache[opts] = runner
+            while len(cache) >= _SHARD_RUNNER_CACHE_SIZE:
+                cache.pop(next(iter(cache)))
+        cache[opts] = runner  # (re-)insert = most recently used
         return runner(vars0)
 
     def _make_runner(self, opts: Options):

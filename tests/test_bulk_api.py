@@ -1,6 +1,7 @@
 """Bulk ingestion APIs must be exactly equivalent to per-item calls."""
 
 import numpy as np
+import pytest
 
 import nllstpu as nt
 from nllstpu.core.optimize import compile_problem
@@ -159,3 +160,100 @@ def test_subproblem_scales():
         dt = min(dt, time.perf_counter() - t0)
     assert sub.num_costs() == int((ia == 7).sum())
     assert dt < 1.0, f"subproblem took {dt:.2f}s"
+
+
+def test_million_variable_construction_and_lowering():
+    """BAL-ingest scale: 1M landmark variables + 1M observations must
+    construct and lower (``compile_problem`` — layout, batches, Schur info)
+    in bounded wall time with no per-variable Python loops.  Guards the
+    vectorized ``build_layout`` offset assignment (round-2 weak item: the
+    per-variable loop cost seconds of host time per compile at this
+    scale)."""
+    import time
+
+    from nllstpu.core.optimize import compile_problem
+
+    rng = np.random.default_rng(11)
+    nl, nc = 1_000_000, 64
+    p = nt.Problem()
+    cam = nt.Euclidean(2)
+    lmk = nt.Euclidean(3)
+    p.add_variables(cam, rng.standard_normal((nc, 2)))
+    p.add_variables(lmk, rng.standard_normal((nl, 3)))
+    il = np.arange(nl, dtype=np.int32)
+    ic = (il % nc).astype(np.int32)
+
+    def res(meas, c, l):
+        return c[0] * l + c[1] - meas
+
+    p.add_cost_batch(
+        res,
+        slots=[(cam, ic), (lmk, il)],
+        params=rng.standard_normal((nl, 3)),
+    )
+    t0 = time.perf_counter()
+    compiled = compile_problem(p, solver="schur", schur_family=lmk)
+    dt = time.perf_counter() - t0
+    assert compiled.layout.dof_total == nc * 2 + nl * 3
+    off = np.asarray(compiled.layout.offsets[nt.family_name(lmk)])
+    # Landmarks are ordered last (Schur) with contiguous 3-dof offsets.
+    assert off[0] == nc * 2 and off[-1] == nc * 2 + (nl - 1) * 3
+    assert dt < 30.0, f"compile_problem took {dt:.1f}s at 1M variables"
+
+
+def test_subproblem_view_swaps_without_recompile():
+    """Reference ``subproblem!`` parity (src/problem.jl:47-83): one
+    SubproblemView compiled once, two subset swaps run through the SAME
+    traced program (trace_count stays 1), and each swap optimizes exactly
+    the selected costs (matches a fresh per-subset subproblem)."""
+    rng = np.random.default_rng(4)
+    sc = nt.Scalar()
+    meas = rng.standard_normal(24)
+    ia = (np.arange(24) % 6).astype(np.int32)
+
+    def build():
+        p = nt.Problem()
+        p.add_variables(sc, np.zeros(6))
+        p.add_cost_batch(
+            lambda t, x: x - t, slots=[(sc, ia)], params=meas
+        )
+        return p
+
+    opts = nt.Options(iterator=nt.LEVENBERG_MARQUARDT, max_iters=25)
+    p = build()
+    view = nt.SubproblemView(p)
+
+    # Swap 1: costs touching variable 0 only.
+    r0 = view.select(nt.VarHandle(sc, 0)).optimize(opts)
+    assert view.trace_count == 1
+    x = np.asarray(p.stacked_variables()[nt.family_name(sc)])
+    np.testing.assert_allclose(x[0], meas[ia == 0].mean(), rtol=1e-9)
+    # Unselected variables received exactly zero step.
+    np.testing.assert_array_equal(x[1:], 0.0)
+
+    # Swap 2: variable 3 — same program, new mask value.
+    r3 = view.select(nt.VarHandle(sc, 3)).optimize(opts)
+    assert view.trace_count == 1, "subset swap must not retrace"
+    x = np.asarray(p.stacked_variables()[nt.family_name(sc)])
+    np.testing.assert_allclose(x[3], meas[ia == 3].mean(), rtol=1e-9)
+    assert r0.best_cost >= 0 and r3.best_cost >= 0
+
+    # Matches the rebuild-per-subset path (Problem.subproblem).
+    p2 = build()
+    sub = p2.subproblem(nt.VarHandle(sc, 3))
+    nt.optimize(sub, opts, unfixed=nt.VarHandle(sc, 3))
+    np.testing.assert_allclose(
+        np.asarray(p2.stacked_variables()[nt.family_name(sc)])[3],
+        x[3],
+        rtol=1e-9,
+    )
+
+    # cost() of the active subset, also swap-stable.
+    view.select(nt.VarHandle(sc, 0))
+    expect = 0.5 * ((x[0] - meas[ia == 0]) ** 2).sum()
+    np.testing.assert_allclose(view.cost(), expect, rtol=1e-9)
+
+    # Structure edits invalidate the view loudly.
+    p.add_cost(lambda t, v: v - t, (nt.VarHandle(sc, 1),), params=0.5)
+    with pytest.raises(ValueError):
+        view.select(nt.VarHandle(sc, 0))

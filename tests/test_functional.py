@@ -208,11 +208,11 @@ def test_runner_cache_holds_multiple_entries():
     for p in problems:
         nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
     assert len(opt_mod._runner_cache) == 3
-    runners = {k: v[1] for k, v in opt_mod._runner_cache.items()}
-    # Re-running reuses the same runner objects (cache hits, no eviction).
+    runners = {k: v[0] for k, v in opt_mod._runner_cache.items()}
+    # Re-running reuses the same entry objects (cache hits, no eviction).
     for p in problems:
         nt.optimize(p, nt.Options(iterator=nt.NEWTON, max_iters=3))
-    assert {k: v[1] for k, v in opt_mod._runner_cache.items()} == runners
+    assert {k: v[0] for k, v in opt_mod._runner_cache.items()} == runners
     # Overflow evicts the least recently used entry only.
     for seed in range(opt_mod._RUNNER_CACHE_SIZE):
         p = nt.Problem()

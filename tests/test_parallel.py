@@ -180,3 +180,80 @@ def test_landmark_sharded_dogleg_fused_quad():
     p_sh = _pinhole_problem()
     res_sh = optimize_sharded(p_sh, make_mesh(8), opts)
     assert res_sh.best_cost <= max(res_ref.best_cost * (1 + 1e-9), 1e-25)
+
+
+def _pinhole_f32(seed=7):
+    p, cams, lmks = make_pinhole_ba(
+        ncameras=6, nlandmarks=48, prop_visible=0.6, noise=1e-3,
+        dtype=jnp.float32, batched="cm",
+    )
+    perturb_ba(p, lmks, 0.03, seed=seed)
+    return p
+
+
+def test_landmark_sharded_w_dtype_bf16(monkeypatch):
+    """NLLSTPU_W_DTYPE=bf16 now reaches the landmark-sharded direct Schur
+    (round-2 pinned it f32): the sharded W shard is stored bf16, matches the
+    f32 sharded assembly within bf16 rounding, and the full sharded LM run
+    converges to a comparable cost.  Safe because each device owns its
+    landmarks' W rows outright — W is never psum-reduced."""
+    monkeypatch.delenv("NLLSTPU_W_DTYPE", raising=False)
+    p = _pinhole_f32()
+    compiled = compile_problem(p, solver="schur", schur_family=LMK)
+    variables = p.stacked_variables()
+    mesh = make_mesh(8)
+    par = parallelize_schur(compiled, mesh)
+    _, (_, _, _, _, w_f32) = par.assemble(variables)
+    res_f32 = optimize_sharded(_pinhole_f32(), mesh, nt.Options(
+        solver="schur", schur_family=LMK, max_iters=25))
+
+    monkeypatch.setenv("NLLSTPU_W_DTYPE", "bf16")
+    p2 = _pinhole_f32()
+    compiled2 = compile_problem(p2, solver="schur", schur_family=LMK)
+    par2 = parallelize_schur(compiled2, mesh)
+    _, (_, _, _, _, w_bf) = par2.assemble(p2.stacked_variables())
+    assert w_bf.dtype == jnp.bfloat16
+    scale = max(1e-12, float(np.abs(np.asarray(w_f32)).max()))
+    assert (
+        np.abs(
+            np.asarray(w_bf, dtype=np.float32) - np.asarray(w_f32)
+        ).max()
+        / scale
+        < 2 ** -7
+    )
+    res_bf = optimize_sharded(_pinhole_f32(), mesh, nt.Options(
+        solver="schur", schur_family=LMK, max_iters=25))
+    assert res_bf.best_cost < 2.0 * max(res_f32.best_cost, 1e-8)
+
+
+def test_sharded_runner_cache_lru():
+    """ShardedSchurCompiled.run keeps an LRU of compiled runners across
+    Options (round-2 held exactly ONE entry → alternation recompiled every
+    swap, the same pathology optimize()'s _runner_cache fixes)."""
+    from nllstpu.parallel import schur_shard
+
+    p = _pinhole_problem()
+    compiled = compile_problem(p, solver="schur", schur_family=LMK)
+    par = parallelize_schur(compiled, make_mesh(8))
+    vars0 = p.stacked_variables()
+    opts_a = nt.Options(solver="schur", schur_family=LMK, max_iters=2)
+    opts_b = nt.Options(solver="schur", schur_family=LMK, max_iters=3)
+    par.run(vars0, opts_a)
+    par.run(vars0, opts_b)
+    cache = par.__dict__["_runner_cache"]
+    assert set(cache) == {opts_a, opts_b}
+    runners = dict(cache)
+    # Alternating swaps are pure cache hits: the runner objects persist.
+    par.run(vars0, opts_a)
+    par.run(vars0, opts_b)
+    assert dict(par.__dict__["_runner_cache"]) == runners
+    # Overflow evicts the least recently used entry only.
+    extra = [
+        nt.Options(solver="schur", schur_family=LMK, max_iters=4 + i)
+        for i in range(schur_shard._SHARD_RUNNER_CACHE_SIZE)
+    ]
+    for o in extra:
+        par.run(vars0, o)
+    cache = par.__dict__["_runner_cache"]
+    assert len(cache) == schur_shard._SHARD_RUNNER_CACHE_SIZE
+    assert opts_a not in cache and extra[-1] in cache

@@ -588,22 +588,54 @@ def test_giant_fulljit_stepped_fallback_gate(monkeypatch):
     from nllstpu.core import optimize as opt_mod
 
     p, cams, lmks = make_affine_ba(5, 12, 0.7)
-    o = nt.Options(solver="schur_cg", schur_family=LMK)
+    c_cg = opt_mod.compile_problem(p, solver="schur_cg", schur_family=LMK)
+    c_direct = opt_mod.compile_problem(p, solver="schur", schur_family=LMK)
     monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 1)
     monkeypatch.delenv("NLLSTPU_GIANT_FULLJIT", raising=False)
     # CPU backend: never unsafe.
-    assert not opt_mod._giant_fulljit_unsafe(p, o)
+    assert not opt_mod._giant_fulljit_unsafe(c_cg)
     # TPU backend + above the limit: unsafe -> stepped.
     monkeypatch.setattr(opt_mod.jax, "default_backend", lambda: "tpu")
-    assert opt_mod._giant_fulljit_unsafe(p, o)
-    # Non-implicit solvers keep the jit driver.
-    assert not opt_mod._giant_fulljit_unsafe(
-        p, nt.Options(solver="schur", schur_family=LMK)
+    assert opt_mod._giant_fulljit_unsafe(c_cg)
+    # Non-implicit compiles keep the jit driver.
+    assert not opt_mod._giant_fulljit_unsafe(c_direct)
+    # The DENSE_W_BYTE_LIMIT auto-fallback compiles solver="schur" problems
+    # implicit past the W memory budget — those MUST hit the gate too (the
+    # round-2 hole: gating on the requested solver string missed them).
+    monkeypatch.setattr(opt_mod, "DENSE_W_BYTE_LIMIT", 0)
+    c_auto_implicit = opt_mod.compile_problem(
+        p, solver="schur", schur_family=LMK
     )
+    assert c_auto_implicit.schur_info.implicit
+    assert opt_mod._giant_fulljit_unsafe(c_auto_implicit)
     # Below the limit: jit driver.
     monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 10_000_000)
-    assert not opt_mod._giant_fulljit_unsafe(p, o)
+    assert not opt_mod._giant_fulljit_unsafe(c_cg)
     # Env override forces fulljit at any scale.
     monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 1)
     monkeypatch.setenv("NLLSTPU_GIANT_FULLJIT", "1")
-    assert not opt_mod._giant_fulljit_unsafe(p, o)
+    assert not opt_mod._giant_fulljit_unsafe(c_cg)
+
+
+def test_giant_gate_routes_optimize_to_stepped(monkeypatch):
+    """End-to-end: when the gate fires, optimize() runs the stepped driver
+    (observable via real per-phase times — the jit driver reports NaN) and
+    never traces the fully-jitted program."""
+    from nllstpu.core import optimize as opt_mod
+
+    p, cams, lmks = make_affine_ba(4, 9, 0.8)
+    monkeypatch.setattr(opt_mod, "GIANT_FULLJIT_OBS_LIMIT", 1)
+    monkeypatch.setattr(opt_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("NLLSTPU_GIANT_FULLJIT", raising=False)
+
+    def _boom(*a, **k):  # the faulting path must not even be traced
+        raise AssertionError("jit runner built despite the giant gate")
+
+    monkeypatch.setattr(opt_mod, "_make_jit_runner", _boom)
+    opts = nt.Options(
+        solver="schur_cg", schur_family=LMK,
+        iterator=nt.LEVENBERG_MARQUARDT, max_iters=3,
+    )
+    r = nt.optimize(p, opts)
+    assert np.isfinite(r.time_gradient)  # stepped driver measures phases
+    assert r.best_cost <= r.start_cost
