@@ -103,6 +103,194 @@ def _kernel(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref, *,
                 h_ref[e2, e1 : e1 + 1, :] = h_rows[(e1, e2)]
 
 
+def _kernel_all(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref,
+                ab_ref, w_acc, ab_rows, *, n_real, n_r, nrp, dr_s, dl, k_len,
+                e_start, tile_l, npairs):
+    """Full-assembly variant: everything ``_kernel`` does PLUS the reduced
+    (camera) side.  Per ``k`` the dr_s·(dr_s+1)/2 upper-triangle a_rr rows
+    and the dr_s b_r rows are written into the ``ab_rows`` scratch and
+    contracted against the hoisted one-hot in ONE MXU matmul
+    ([ab_pad, TL] × [NRp, TL]ᵀ), accumulating [ab_pad, NRp] per-camera
+    blocks across the whole grid — the camera-major Jacobian re-evaluation
+    of ``_fast_dual_cam_leg`` (ops/schur.py) never happens.
+
+    W accumulates in an f32 VMEM scratch and is downcast ONCE on the final
+    write (same single-rounding semantics as the XLA path's
+    ``astype(_w_dtype)``), so ``NLLSTPU_W_DTYPE=bf16`` costs one half-width
+    HBM write instead of a full-width write plus a convert pass."""
+    i = pl.program_id(0)
+    n, s = jac_ref.shape[0], jac_ref.shape[1]
+    dt = g0_ref.dtype
+    l_ok = (
+        i * tile_l + jax.lax.broadcasted_iota(jnp.int32, (1, tile_l), 1)
+        < n_real
+    )
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (nrp, tile_l), 0)
+    r_rows = [r for r in range(s) if not (e_start <= r < e_start + dl)]
+    ab_pad = ab_rows.shape[0]
+    if ab_pad > npairs + dr_s:  # zero the pad rows once (hygiene)
+        ab_rows[npairs + dr_s :, :] = jnp.zeros(
+            (ab_pad - npairs - dr_s, tile_l), dt
+        )
+
+    h_rows = {}
+    g_rows = {}
+    w_acc[:] = jnp.zeros_like(w_acc)
+    ab_acc = jnp.zeros((ab_pad, nrp), dt)
+    for k in range(k_len):
+        d1 = jnp.where(l_ok, d1_ref[k : k + 1, :], dt.type(0))
+        d2 = jnp.where(l_ok, d2_ref[k : k + 1, :], dt.type(0))
+        vc_k = vc_ref[k : k + 1, :]
+        oh = jnp.where(
+            jnp.logical_and(vc_k == v_iota, vc_k < n_r),
+            dt.type(1),
+            dt.type(0),
+        )  # [NRp, TL]
+        je = [
+            [jac_ref[ni, e_start + d, k : k + 1, :] for d in range(dl)]
+            for ni in range(n)
+        ]
+        jr = [
+            [jac_ref[ni, r, k : k + 1, :] for ni in range(n)] for r in r_rows
+        ]
+        g0e = [g0_ref[e_start + d, k : k + 1, :] for d in range(dl)]
+        g0r = [g0_ref[r, k : k + 1, :] for r in r_rows]
+        # h_ll / g_l rows (upper triangle mirrored on write-back).
+        for e1 in range(dl):
+            g_rows[e1] = g_rows.get(e1, dt.type(0)) + g0e[e1] * d1
+            for e2 in range(e1, dl):
+                jj = sum(je[ni][e1] * je[ni][e2] for ni in range(n))
+                h_rows[(e1, e2)] = h_rows.get((e1, e2), dt.type(0)) + (
+                    jj * d1 + d2 * g0e[e1] * g0e[e2]
+                )
+        # W coupling rows, placed against the hoisted one-hot.
+        for p in range(dr_s):
+            for d in range(dl):
+                row = (
+                    sum(jr[p][ni] * je[ni][d] for ni in range(n)) * d1
+                    + d2 * g0r[p] * g0e[d]
+                )  # [1, TL]
+                sl = slice(p * nrp, (p + 1) * nrp)
+                w_acc[d, sl, :] = w_acc[d, sl, :] + row * oh
+        # Reduced-side rows → one MXU contraction over the landmark lanes.
+        idx = 0
+        for p in range(dr_s):
+            for q in range(p, dr_s):
+                ab_rows[idx : idx + 1, :] = (
+                    sum(jr[p][ni] * jr[q][ni] for ni in range(n)) * d1
+                    + d2 * g0r[p] * g0r[q]
+                )
+                idx += 1
+        for p in range(dr_s):
+            ab_rows[npairs + p : npairs + p + 1, :] = g0r[p] * d1
+        ab_acc = ab_acc + jax.lax.dot_general(
+            ab_rows[:], oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    for e1 in range(dl):
+        g_ref[e1 : e1 + 1, :] = g_rows[e1]
+        for e2 in range(e1, dl):
+            h_ref[e1, e2 : e2 + 1, :] = h_rows[(e1, e2)]
+            if e2 != e1:
+                h_ref[e2, e1 : e1 + 1, :] = h_rows[(e1, e2)]
+    w_ref[:] = w_acc[:].astype(w_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        ab_ref[:] = ab_acc
+
+    @pl.when(i > 0)
+    def _():
+        ab_ref[:] = ab_ref[:] + ab_acc
+
+
+def fused_obs_all_pm(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
+                     dl: int, e_start: int, w_dtype=None,
+                     interpret: bool = False):
+    """Whole-system fused assembly: one kernel pass over the K-major
+    obs-sorted Jacobian emits ``(h_ll [dl, dl, L], g_l [dl, L],
+    w_pm [dl, dr_s*NRp, L] in ``w_dtype``, ab [npairs+dr_s, NRp])`` where
+    ``ab`` rows 0..npairs-1 are the per-camera upper-triangle a_rr blocks
+    (row ``idx(p, q)``) and rows npairs..npairs+dr_s-1 the b_r rows — the
+    caller scatters them with the same unique row_base scatter the XLA
+    camera leg uses.  Same input contract as :func:`fused_obs_leg_pm`."""
+    n, s, k_len, n_real = jac_t.shape
+    assert e_start + dl <= s
+    assert s - dl == dr_s, (s, dl, dr_s)
+    npairs = dr_s * (dr_s + 1) // 2
+    ab_pad = -(-(npairs + dr_s) // 8) * 8
+    tile_l = TILE_L
+    grid = pl.cdiv(n_real, tile_l)
+    nrp = -(-n_r // 128) * 128
+    pad = grid * tile_l - n_real
+    if pad:
+        jac_t = jnp.pad(jac_t, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        g0_t = jnp.pad(g0_t, ((0, 0), (0, 0), (0, pad)))
+        d1m_t = jnp.pad(d1m_t, ((0, 0), (0, pad)))
+        d2m_t = jnp.pad(d2m_t, ((0, 0), (0, pad)))
+        vc = jnp.pad(vc, ((0, 0), (0, pad)), constant_values=n_r)
+    base_dt = jac_t.dtype
+    w_dt = base_dt if w_dtype is None else w_dtype
+    kernel = functools.partial(
+        _kernel_all,
+        n_real=n_real,
+        n_r=n_r,
+        nrp=nrp,
+        dr_s=dr_s,
+        dl=dl,
+        k_len=k_len,
+        e_start=e_start,
+        tile_l=tile_l,
+        npairs=npairs,
+    )
+    h_ll, g_l, w_pm, ab = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n, s, k_len, tile_l),
+                         lambda i: (i * 0, i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, k_len, tile_l), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((dl, dl, tile_l), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl, dr_s * nrp, tile_l),
+                         lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ab_pad, nrp), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((dl, dl, grid * tile_l), base_dt),
+            jax.ShapeDtypeStruct((dl, grid * tile_l), base_dt),
+            jax.ShapeDtypeStruct((dl, dr_s * nrp, grid * tile_l), w_dt),
+            jax.ShapeDtypeStruct((ab_pad, nrp), base_dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dl, dr_s * nrp, tile_l), base_dt),
+            pltpu.VMEM((ab_pad, tile_l), base_dt),
+        ],
+        interpret=interpret,
+    )(jac_t, g0_t, d1m_t, d2m_t, vc)
+    return (
+        h_ll[:, :, :n_real],
+        g_l[:, :n_real],
+        w_pm[:, :, :n_real],
+        ab[: npairs + dr_s],
+    )
+
+
 def fused_obs_leg_pm(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
                      dl: int, e_start: int, interpret: bool = False):
     """See module docstring.  ``jac_t`` [n, S, K, L], ``g0_t`` [S, K, L],

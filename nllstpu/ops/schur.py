@@ -1188,7 +1188,8 @@ def _w_pm_data(batches, info: "SchurInfo"):
     W writer and every consumer permutation is well-defined (see
     ops/pallas/w_place.py).  Anything else keeps the standard layout."""
     if _w_impl() not in (
-        "pallas", "pallas_interpret", "fused", "fused_interpret"
+        "pallas", "pallas_interpret", "fused", "fused_interpret",
+        "fused_all", "fused_all_interpret",
     ):
         return None
     if info.num_elim == 0 or info.dim_reduced == 0:
@@ -1271,20 +1272,25 @@ def _w_impl() -> str:
     """W-coupling placement implementation for the direct dual-sorted
     assembly: "onehot" (default XLA path), "pallas" (W-placement kernel),
     "fused" (whole obs-major leg — h_ll/g_l/W — in one kernel pass over the
-    Jacobian); the pallas variants are TPU-only and silently fall back
+    Jacobian), "fused_all" (the ENTIRE assembly — h_ll/g_l/W/a_rr/b_r — in
+    one kernel pass; the camera-major Jacobian re-evaluation never
+    happens); the pallas variants are TPU-only and silently fall back
     off-TPU.  "*_interpret" runs the kernel in interpreter mode for CPU
     correctness tests."""
     import os
 
     impl = os.environ.get("NLLSTPU_W_IMPL", "onehot")
-    if impl in ("pallas", "fused") and jax.default_backend() != "tpu":
+    if (
+        impl in ("pallas", "fused", "fused_all")
+        and jax.default_backend() != "tpu"
+    ):
         return "onehot"
     return impl
 
 
 def _assemble_fast_dual(
     batch, variables, layout, info, fast, e, dtype,
-    a_rr, b_r, h_ll, g_l, w,
+    a_rr, b_r, h_ll, g_l, w, w_store=None,
 ):
     """Dual-sorted direct assembly of one BA-shaped cm batch (the
     speed-of-light path): every reduction is either a contiguous
@@ -1347,6 +1353,51 @@ def _assemble_fast_dual(
             row_flat, np.arange(n_r * dr_s, dtype=np.int32)
         )
     w_impl = _w_impl()
+    if info.w_pm is not None and w_impl in (
+        "fused_all", "fused_all_interpret"
+    ):
+        # Whole-system fused assembly: ONE kernel pass over the obs-major
+        # Jacobian emits h_ll, g_l, the placed p-major W (written directly
+        # in the storage dtype — the bf16 downcast pass disappears) AND the
+        # per-camera a_rr/b_r blocks via an in-kernel one-hot MXU
+        # contraction — the camera-major leg's second Jacobian evaluation
+        # (_fast_dual_cam_leg) never happens.
+        from .pallas.fused_obs import fused_obs_all_pm
+
+        nres, stot = jac.shape[0], jac.shape[1]
+        jac_t = (
+            jac[:, :, : L * k].reshape(nres, stot, L, k).transpose(0, 1, 3, 2)
+        )
+        g0_t = g0[:, : L * k].reshape(stot, L, k).transpose(0, 2, 1)
+        d1_t = d1m[: L * k].reshape(L, k).T
+        d2_t = d2m[: L * k].reshape(L, k).T
+        vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T
+        n_r = fast.n_r
+        h_add, g_add, w, ab = fused_obs_all_pm(
+            jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
+            w_dtype=w_store,
+            interpret=(w_impl == "fused_all_interpret"),
+        )
+        h_ll = h_ll.at[:, :, :L].add(h_add)
+        g_l = g_l.at[:, :L].add(g_add)
+        npairs = dr_s * (dr_s + 1) // 2
+        pi, qi = np.triu_indices(dr_s)
+        pair_of = np.zeros((dr_s, dr_s), dtype=np.int32)
+        pair_of[pi, qi] = np.arange(npairs, dtype=np.int32)
+        pair_of[qi, pi] = pair_of[pi, qi]
+        a_blocks = ab[jnp.asarray(pair_of.reshape(-1)), :n_r].reshape(
+            dr_s, dr_s, n_r
+        )
+        b_blocks = ab[npairs : npairs + dr_s, :n_r]
+        row_idx = (
+            jnp.asarray(fast.row_base)[:, None]
+            + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
+        )  # [n_r, dr_s]; fixed vars point at the pad row dr
+        a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(
+            jnp.transpose(a_blocks, (2, 0, 1))
+        )
+        b_r = b_r.at[row_idx].add(b_blocks.T)
+        return cost_sum, (a_rr, b_r, h_ll, g_l, w), wpart
     if info.w_pm is not None and w_impl in ("fused", "fused_interpret"):
         # Fully-fused obs-major leg: one kernel pass over the K-major jac
         # tiles emits h_ll, g_l AND the placed p-major W (the kernel is the
@@ -1530,6 +1581,7 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
             c = _assemble_fast_dual(
                 batch, variables, layout, info, fast0, elim_slots[0],
                 dtype, a_rr, b_r, h_ll, g_l, w,
+                w_store=_w_dtype(dtype) if w_dtype is None else w_dtype,
             )
             if c is not None:
                 total = total + c[0]

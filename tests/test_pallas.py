@@ -415,3 +415,87 @@ def test_pm_with_pallas_solve_end_to_end(monkeypatch):
     np.testing.assert_allclose(float(r_pm.best_cost), float(r_ref.best_cost),
                                rtol=1e-10)
     assert int(r_pm.num_iterations) == int(r_ref.num_iterations)
+
+def test_assemble_fused_all_matches_onehot(monkeypatch):
+    """The whole-system fused assembly (NLLSTPU_W_IMPL=fused_all_interpret)
+    must reproduce the default path's ENTIRE system — a_rr and b_r now come
+    from the in-kernel one-hot MXU contraction instead of the camera-major
+    second Jacobian evaluation — on a pinhole cm batch, including with
+    fixed cameras; the damped solve must match end to end."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build(unfixed=None):
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        c = compile_problem(
+            p, solver="schur",
+            schur_family=__import__("nllstpu").Euclidean(3),
+            unfixed=None if unfixed is None else cams[2:] + lmks,
+        )
+        return c, jax.jit(c.assemble)(p.stacked_variables())
+
+    for unfixed in (None, "fix2"):
+        monkeypatch.delenv("NLLSTPU_W_IMPL", raising=False)
+        c_ref, (cost_ref, sys_ref) = build(unfixed)
+        monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+        c_f, (cost_f, sys_f) = build(unfixed)
+        assert c_f.schur_info.w_pm is not None
+        np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
+        for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4],
+                              sys_ref[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14,
+                err_msg=name,
+            )
+        np.testing.assert_allclose(
+            _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+            rtol=1e-12, atol=1e-14,
+        )
+        x_ref = np.asarray(
+            c_ref.schur_info.ops().solve(sys_ref, jnp.asarray(1e-3))
+        )
+        x_f = np.asarray(c_f.schur_info.ops().solve(sys_f, jnp.asarray(1e-3)))
+        np.testing.assert_allclose(x_f, x_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_assemble_fused_all_bf16_w(monkeypatch):
+    """fused_all + NLLSTPU_W_DTYPE=bf16 on an f32 problem: W comes out of
+    the kernel already bf16 (no downcast pass) and matches the f32 W within
+    bf16 rounding; a_rr/b_r/h_ll/g_l stay full f32 precision."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float32, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        c = compile_problem(
+            p, solver="schur", schur_family=__import__("nllstpu").Euclidean(3)
+        )
+        return c, jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    monkeypatch.delenv("NLLSTPU_W_DTYPE", raising=False)
+    c32, (_, sys32) = build()
+    assert sys32[4].dtype == jnp.float32
+    monkeypatch.setenv("NLLSTPU_W_DTYPE", "bf16")
+    c16, (_, sys16) = build()
+    assert sys16[4].dtype == jnp.bfloat16
+    for a, b in zip(sys16[:4], sys32[:4]):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sys16[4]).astype(np.float32), np.asarray(sys32[4]),
+        rtol=1e-2, atol=1e-2,
+    )
