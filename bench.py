@@ -122,10 +122,13 @@ def worker(platform: str, iters: int, w_dtype: str = None):
         # round-2 on-chip A/B (3 interleaved rounds, 6 configs) put
         # onehot/xla/bf16 first at 75.0 it/s vs 64.9 for the f32 default,
         # with the converged best_cost bit-comparable to the f32 floor.
-        # The accuracy gate in main() (bf16_cost_ok) re-runs f32 if the
-        # bf16 best_cost degrades past BF16_COST_GATE x the committed f32
-        # cost.  The CPU leg stays f32 so vs_baseline compares like for
-        # like against scripts/cpu_ref.json.
+        # Round 3 flipped the TPU W_IMPL default to the whole-system fused
+        # kernel (fused_all): 193.8 vs 72.8 it/s over onehot in the
+        # 3-round interleaved A/B (bench_logs/r3_queue2.log), converged
+        # cost unchanged.  The accuracy gate in main() (bf16_cost_ok)
+        # re-runs f32 if the bf16 best_cost degrades past BF16_COST_GATE x
+        # the committed f32 cost.  The CPU leg stays f32 so vs_baseline
+        # compares like for like against scripts/cpu_ref.json.
         os.environ.setdefault("NLLSTPU_W_DTYPE", "bf16")
     jax.config.update("jax_default_matmul_precision", "highest")
     cache = os.path.join(_REPO, ".jax_cache")

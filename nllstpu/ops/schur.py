@@ -1276,14 +1276,21 @@ def _w_impl() -> str:
     one kernel pass; the camera-major Jacobian re-evaluation never
     happens); the pallas variants are TPU-only and silently fall back
     off-TPU.  "*_interpret" runs the kernel in interpreter mode for CPU
-    correctness tests."""
+    correctness tests.
+
+    Default is "fused_all" on TPU and "onehot" elsewhere: the round-3
+    on-chip A/B (bench_logs/r3_queue2.log, 3 interleaved rounds at 30 LM
+    iters) measured assemble 8.8 → 1.73 ms and end-to-end 72.8 → 193.8
+    LM it/s (2.66x) with the converged cost unchanged; problems that do
+    not qualify for the p-major layout (see ``_w_pm_data``) fall through
+    to the one-hot XLA path batch by batch regardless of the knob."""
     import os
 
-    impl = os.environ.get("NLLSTPU_W_IMPL", "onehot")
-    if (
-        impl in ("pallas", "fused", "fused_all")
-        and jax.default_backend() != "tpu"
-    ):
+    impl = os.environ.get("NLLSTPU_W_IMPL", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto":
+        return "fused_all" if on_tpu else "onehot"
+    if impl in ("pallas", "fused", "fused_all") and not on_tpu:
         return "onehot"
     return impl
 
