@@ -106,9 +106,20 @@ def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     and rejects its chained accumulator ("only constant accumulators
     supported", observed on-chip).  Instead g_e is embedded as row 0 of a
     zero-padded [8, TL] operand so the rhs rides a normal MXU matmul;
-    the caller reads column 0 of the [wc, 8] result."""
+    the caller reads column 0 of the [wc, 8] result.
+
+    Precision: f32 accumulations run the dots at HIGH (bf16x3, ~1e-6
+    relative — far below the bf16 W storage error this path always pairs
+    with, and half the MXU passes of HIGHEST, which round 3 measured as
+    the reason this kernel lost its phase A/B at 1.93-1.99 vs 1.46 ms
+    XLA); f64 keeps HIGHEST for the reference's 1e-15 targets."""
     i = pl.program_id(0)
     dt = hi_ref.dtype
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dt == jnp.float64
+        else jax.lax.Precision.HIGH
+    )
     w_rows = [w_ref[d].astype(dt) for d in range(dl)]  # [wc, TL]
     tile_l = w_ref.shape[-1]
     row0 = (
@@ -125,13 +136,13 @@ def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
         s_e = jax.lax.dot_general(
             y_e, w_rows[e_ix], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=dt.type,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [wc, wc]
         g_pad = jnp.where(row0, g_ref[e_ix : e_ix + 1, :], dt.type(0))
         r_e = jax.lax.dot_general(
             y_e, g_pad, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=dt.type,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [wc, 8]
         s_acc = s_e if s_acc is None else s_acc + s_e
         r_acc = r_e if r_acc is None else r_acc + r_e

@@ -55,7 +55,9 @@ def main():
     def build(impl, wdt):
         os.environ["NLLSTPU_W_DTYPE"] = wdt
         if impl == "onehot":
-            os.environ.pop("NLLSTPU_W_IMPL", None)
+            # Explicit: since round 3 the unset default resolves to
+            # fused_all on TPU.
+            os.environ["NLLSTPU_W_IMPL"] = "onehot"
         else:
             os.environ["NLLSTPU_W_IMPL"] = impl + SUFFIX
         c = compile_problem(
