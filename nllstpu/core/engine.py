@@ -293,8 +293,6 @@ def _gather_vals_cm(batch: CostBatch, variables: dict):
 def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
     """Masked total cost of one batch (reference type-grouped ``sum``,
     src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
-    vals = _gather_vals(batch, variables)
-
     if batch.batched == "cm":
         # Components-major whole-batch residual: fn gets [ambient, B] slots
         # and returns [nres, B].
@@ -303,6 +301,7 @@ def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
         sq = jnp.sum(r * r, axis=0)
         costs = 0.5 * batch.kernel.rho(sq)
         return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
+    vals = _gather_vals(batch, variables)
     if batch.batched:
         # Whole-batch residual function: [B]-major scalar-expanded math, no
         # vmap (avoids tiny-trailing-dim tiling waste on TPU).

@@ -1226,6 +1226,15 @@ def _w_pm_data(batches, info: "SchurInfo"):
     ):
         return None
     nrp = -(-f.n_r // 128) * 128
+    # VMEM budget: the placement/fused kernels hold the [dl, dr_s*nrp,
+    # TILE_L] W block in VMEM (fused_all adds an equal-size f32 accumulation
+    # scratch).  Past ~a few hundred reduced variables that no longer fits
+    # the ~16 MB VMEM — fall back to the standard layout (one-hot XLA path)
+    # rather than fail Mosaic compilation at trace time.
+    from .pallas.w_place import TILE_L
+
+    if info.dof_elim * dr_s * nrp * TILE_L * 4 * 2 > 12 * 2**20:
+        return None
     vids = np.nonzero(sel)[0].astype(np.int32)
     pm_of_std = np.empty(info.dim_reduced, dtype=np.int32)
     pm_of_std[rb[sel][:, None] + np.arange(dr_s)[None, :]] = (

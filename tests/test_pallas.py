@@ -499,3 +499,29 @@ def test_assemble_fused_all_bf16_w(monkeypatch):
         np.asarray(sys16[4]).astype(np.float32), np.asarray(sys32[4]),
         rtol=1e-2, atol=1e-2,
     )
+
+
+def test_w_pm_vmem_gate(monkeypatch):
+    """Problems whose reduced space is too wide for the fused kernels'
+    VMEM blocks must fall back to the standard W layout (w_pm None) even
+    when NLLSTPU_W_IMPL requests a pallas path — Mosaic would otherwise
+    fail at trace time on an oversized [dl, dr_s*nrp, TILE_L] block."""
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+
+    def build(ncam):
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=ncam, nlandmarks=40, prop_visible=2.0 / ncam,
+            noise=1e-3, dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        return compile_problem(
+            p, solver="schur", schur_family=nt.Euclidean(3)
+        )
+
+    assert build(5).schur_info.w_pm is not None  # nrp=128: fits
+    # nrp = 640 → dl*dr_s*nrp*TILE_L*4*2 ≈ 28 MB > the 12 MB budget.
+    assert build(520).schur_info.w_pm is None
