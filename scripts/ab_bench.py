@@ -65,6 +65,16 @@ def main():
     if not os.path.exists(cache_link):
         os.symlink(os.path.join(REPO, ".jax_cache"), cache_link)
 
+    # Every A/B leaves a committed artifact (bench_logs/) so perf claims in
+    # commit messages stay reproducible after /tmp logs rotate.
+    head_sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        text=True, cwd=REPO, check=True,
+    ).stdout.strip()
+    log_dir = os.path.join(REPO, "bench_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"ab_{head_sha}_vs_{sha}.json")
+
     a_rates, b_rates = [], []
     for i in range(args.rounds):
         for tree, rates, name in ((REPO, a_rates, "A=HEAD"), (wt, b_rates, f"B={sha}")):
@@ -74,18 +84,21 @@ def main():
                 rates.append(r)
     if a_rates and b_rates:
         ma, mb = statistics.median(a_rates), statistics.median(b_rates)
-        print(
-            json.dumps(
-                {
-                    "head_median": round(ma, 3),
-                    "ref": sha,
-                    "ref_median": round(mb, 3),
-                    "head_over_ref": round(ma / mb, 4),
-                    "head_runs": [round(r, 2) for r in a_rates],
-                    "ref_runs": [round(r, 2) for r in b_rates],
-                }
-            )
-        )
+        result = {
+            "head": head_sha,
+            "head_median": round(ma, 3),
+            "ref": sha,
+            "ref_median": round(mb, 3),
+            "head_over_ref": round(ma / mb, 4),
+            "head_runs": [round(r, 2) for r in a_rates],
+            "ref_runs": [round(r, 2) for r in b_rates],
+            "platform": args.platform,
+            "iters": args.iters,
+        }
+        print(json.dumps(result))
+        with open(log_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# written to {log_path}", file=sys.stderr)
     else:
         print(json.dumps({"error": "one side produced no measurement"}))
         sys.exit(1)
