@@ -293,11 +293,19 @@ def _balanced_fill(counts, n, total_extra):
 
 def _slice_batch(batch, sel, target, mask_np):
     """Shard sub-batch: rows ``sel`` of ``batch`` padded to ``target`` rows
-    (padding replicates row 0 with mask False)."""
+    (padding replicates row 0 with mask False).  Entries of ``sel`` equal
+    to -1 are in-place padding slots (row 0, mask False) — used by the
+    run-preserving obs-major routing to keep every shard's landmark-run
+    region exactly ``Lc·k`` rows even when the last shard owns fewer
+    landmarks."""
     b_pad = batch.n_padded
+    sel = np.asarray(sel, dtype=np.int64)
     pad_n = target - len(sel)
-    idx_rows = np.concatenate([sel, np.zeros(pad_n, dtype=np.int64)])
-    mask = np.concatenate([mask_np[sel], np.zeros(pad_n, dtype=bool)])
+    safe = np.where(sel < 0, 0, sel)
+    idx_rows = np.concatenate([safe, np.zeros(pad_n, dtype=np.int64)])
+    mask = np.concatenate(
+        [np.where(sel < 0, False, mask_np[safe]), np.zeros(pad_n, dtype=bool)]
+    )
     return dataclasses.replace(
         batch,
         idx=tuple(np.asarray(i)[idx_rows] for i in batch.idx),
@@ -406,9 +414,11 @@ class ShardedSchurCompiled:
                         obs_table=obs_table[0],
                         rvid=rvid[0],
                         cam_table=cam,
-                        # Dual/obs-major fields are shard-0 host data and do
-                        # not apply to the other shards' repadded batches.
-                        obs_k=None,
+                        # meta.obs_k is the SHARED run stride under the
+                        # positional routing (parallelize_schur), None
+                        # otherwise; the dual-sorted cam fields never
+                        # apply to shard repads.
+                        obs_k=meta.obs_k,
                         cam_batch=None,
                         cam_k=None,
                     )
@@ -584,7 +594,7 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         elim_ids[s, owned] = gids[owned] - s * lc
 
     batch_tpl, batch_args_host, fast_meta, fast_args_host = [], [], [], []
-    for b in compiled.batches:
+    for bi, b in enumerate(compiled.batches):
         mask_np = np.asarray(b.mask)
         elim_slots = [
             i
@@ -592,15 +602,47 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
             if family_name(m) == elim_fam
         ]
         b_rows = b.n_padded
-        if elim_slots:
-            e = elim_slots[0]
-            lid = gids[np.asarray(b.idx[e])]
-            lid = np.where(mask_np, lid, L)
-            sh = np.where(lid < L, lid // lc, -1)
+        g_fast = info.fast[bi] if bi < len(info.fast) else None
+        obs_k_shared = None
+        if (
+            not info.implicit
+            and elim_slots
+            and g_fast is not None
+            and g_fast.obs_k is not None
+        ):
+            # Run-preserving POSITIONAL routing: the global batch is
+            # obs-major (column l·k+j = landmark l's j-th cost, masked
+            # slots inside their run — ops/schur.obs_major_repack), so
+            # shard s owns the contiguous row block of its landmarks and
+            # every shard is itself obs-major with the same stride k.
+            # Landmark reductions then stay contiguous reshape+sums on
+            # every device — the old mask-null routing pulled masked
+            # slots out of their runs and forced the obs-table gather
+            # path per shard (round-3: the single biggest sharded-vs-
+            # single-device assembly gap).  Missing landmarks on the
+            # last shard become in-place -1 padding so the run region is
+            # exactly lc·k rows everywhere.
+            kk = g_fast.obs_k
+            rows = np.arange(b_rows, dtype=np.int64)
+            run_l = rows // kk
+            sels = []
+            for s in range(n):
+                lo, hi = s * lc, min((s + 1) * lc, L)
+                run_rows = rows[(rows < L * kk) & (run_l >= lo) & (run_l < hi)]
+                pad_slots = np.full((lc - (hi - lo)) * kk, -1, dtype=np.int64)
+                sels.append(np.concatenate([run_rows, pad_slots]))
+            extra_rows = rows[rows >= L * kk]
+            obs_k_shared = kk
         else:
-            sh = np.full(b_rows, -1, dtype=np.int64)
-        sels = [np.nonzero(sh == s)[0] for s in range(n)]
-        extra_rows = np.nonzero(sh < 0)[0]
+            if elim_slots:
+                e = elim_slots[0]
+                lid = gids[np.asarray(b.idx[e])]
+                lid = np.where(mask_np, lid, L)
+                sh = np.where(lid < L, lid // lc, -1)
+            else:
+                sh = np.full(b_rows, -1, dtype=np.int64)
+            sels = [np.nonzero(sh == s)[0] for s in range(n)]
+            extra_rows = np.nonzero(sh < 0)[0]
         fill = _balanced_fill([len(s) for s in sels], n, len(extra_rows))
         for s in range(n):
             sels[s] = np.concatenate(
@@ -660,7 +702,16 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
                     ]
                 )
                 rvids = np.stack([f.rvid for f in shard_fast])
-                meta = shard_fast[0]
+                # obs_k is shared across shards ONLY under the positional
+                # run-preserving routing above (shard-0's own detection may
+                # not transfer to the other shards' repadded batches —
+                # normalize it away otherwise).
+                meta = dataclasses.replace(
+                    shard_fast[0],
+                    obs_k=obs_k_shared,
+                    cam_batch=None,
+                    cam_k=None,
+                )
                 cams = None
                 if info.implicit and all(
                     f.cam_table is not None for f in shard_fast

@@ -257,3 +257,26 @@ def test_sharded_runner_cache_lru():
     cache = par.__dict__["_runner_cache"]
     assert len(cache) == schur_shard._SHARD_RUNNER_CACHE_SIZE
     assert opts_a not in cache and extra[-1] in cache
+
+
+def test_landmark_sharded_obs_major_routing():
+    """The direct sharded path must keep the obs-major run structure per
+    shard (meta.obs_k set): run-preserving positional routing keeps every
+    landmark's k-column run (masked slots included) on its owning device,
+    so per-device landmark reductions stay contiguous reshape+sums instead
+    of obs-table gathers.  41 landmarks / 8 devices exercises the -1
+    in-place padding (shard 6 owns 5 landmarks, shard 7 owns none)."""
+    p = _pinhole_problem()
+    compiled = compile_problem(p, solver="schur", schur_family=LMK)
+    assert compiled.schur_info.fast[0].obs_k is not None  # global obs-major
+    par = parallelize_schur(compiled, make_mesh(8))
+    assert par.fast_meta[0] is not None
+    assert par.fast_meta[0].obs_k == compiled.schur_info.fast[0].obs_k
+    # And the assembled system still matches the single-device one exactly
+    # (cost + reduced system; landmark blocks are covered by
+    # test_landmark_sharded_assembly_matches).
+    variables = p.stacked_variables()
+    c1, (a1, b1, *_) = jax.jit(compiled.assemble)(variables)
+    c2, (a2, b2, *_) = par.assemble(variables)
+    np.testing.assert_allclose(c1, c2, rtol=1e-12)
+    np.testing.assert_allclose(a1, a2, atol=1e-12)
