@@ -525,3 +525,41 @@ def test_w_pm_vmem_gate(monkeypatch):
     assert build(5).schur_info.w_pm is not None  # nrp=128: fits
     # nrp = 640 → dl*dr_s*nrp*TILE_L*4*2 ≈ 28 MB > the 12 MB budget.
     assert build(520).schur_info.w_pm is None
+
+
+def test_assemble_fused_all_robust_kernel(monkeypatch):
+    """fused_all with a Huber-robustified pinhole batch: the in-kernel
+    IRLS composition (rows scaled by rho', 2rho''*g0g0^T second-order term)
+    must match the one-hot path on a problem where the robust weights are
+    actually non-trivial (large noise drives some costs into the Huber
+    tail)."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=2e-2,
+            robust_width=1e-2, dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.05, seed=4)
+        c = compile_problem(
+            p, solver="schur", schur_family=__import__("nllstpu").Euclidean(3)
+        )
+        return c, jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    c_ref, (cost_ref, sys_ref) = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    c_f, (cost_f, sys_f) = build()
+    assert c_f.schur_info.w_pm is not None
+    np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
+    for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4], sys_ref[:4]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14, err_msg=name
+        )
+    np.testing.assert_allclose(
+        _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+        rtol=1e-12, atol=1e-14,
+    )
