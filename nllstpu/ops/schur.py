@@ -1588,11 +1588,20 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
             if family_name(m) == info.elim_family
         ]
         fast0 = info.fast[bi] if bi < len(info.fast) else None
+        # The whole-system fused kernel never touches the camera-major
+        # repack, so an obs-major batch with a kernel-placed W layout
+        # qualifies even without one — the landmark-sharded per-device
+        # batches are exactly that shape (parallel/schur_shard.py).
+        fused_all_ok = (
+            info.w_pm is not None
+            and not info.implicit
+            and _w_impl() in ("fused_all", "fused_all_interpret")
+        )
         if (
             len(elim_slots) == 1
             and fast0 is not None
             and fast0.obs_k is not None
-            and fast0.cam_batch is not None
+            and (fast0.cam_batch is not None or fused_all_ok)
         ):
             c = _assemble_fast_dual(
                 batch, variables, layout, info, fast0, elim_slots[0],

@@ -109,6 +109,14 @@ class ShardedSchurOps:
     dof_elim: int
     n_devices: int = 1
     axis: str = DATA_AXIS
+    #: None, or the static pm_of_std index map [Dr] when the per-device W
+    #: chunk is stored in the p-major landmark-minor kernel layout
+    #: ([dl, dr_s*NRp, Lc] — see ops/pallas/w_place.py).  The map is built
+    #: from global reduced offsets, so it is identical on every device;
+    #: reduced-space vectors scatter through it before touching W and the
+    #: psum-reduced [Dr, Dr]/[Dr] results gather back — exactly the
+    #: single-device SchurOps.pm contract, localized.
+    pm: Any = None
 
     @property
     def dim(self):
@@ -117,6 +125,19 @@ class ShardedSchurOps:
             self.dim_reduced
             + self.n_devices * self.num_elim_local * self.dof_elim
         )
+
+    def _to_w_basis(self, vec, w_cols):
+        if self.pm is None:
+            return vec
+        return (
+            jnp.zeros(w_cols, dtype=vec.dtype).at[jnp.asarray(self.pm)].set(vec)
+        )
+
+    def _from_w_basis(self, s_w, rhs_w):
+        if self.pm is None:
+            return s_w, rhs_w
+        idx = jnp.asarray(self.pm)
+        return s_w[idx][:, idx], rhs_w[idx]
 
     def _pad_eye(self, dtype):
         return _pad_eye_local(
@@ -150,7 +171,12 @@ class ShardedSchurOps:
         a_rr, _, h_ll, _, w = sys
         xr = x[: self.dim_reduced]
         xl = self._local_xl(x)
-        cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
+        if self.pm is not None:  # p-major local W [dl, wc, Lc]
+            cross = jnp.einsum(
+                "drl,r,ld->", w, self._to_w_basis(xr, w.shape[1]), xl
+            )
+        else:
+            cross = jnp.einsum("dlr,r,ld->", w, xr, xl)
         local = 2.0 * cross + jnp.einsum("ld,del,le->", xl, h_ll, xl)
         return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
 
@@ -158,27 +184,32 @@ class ShardedSchurOps:
         a_rr, b_r, h_ll, g_l, w = sys
         dl = self.dof_elim
         dtype = b_r.dtype
+        pm = self.pm is not None
         eye_l = jnp.eye(dl, dtype=dtype)
         eye_r = jnp.eye(self.dim_reduced, dtype=dtype)
         h_damped = h_ll + lam * eye_l[:, :, None] + self._pad_eye(dtype)
         h_inv = batched_inv_spd_cm(h_damped)
-        y = jnp.einsum("dlr,del->elr", w, h_inv)  # local W·H⁻¹
         prec = "highest" if dtype == jnp.float64 else "high"
+        if pm:  # landmark-minor local W [dl, wc, Lc]
+            y = jnp.einsum("drl,del->erl", w, h_inv)
+            corr_l = jnp.einsum("erl,esl->rs", y, w, precision=prec)
+            wy_l = jnp.einsum("erl,el->r", y, g_l)
+        else:  # components-major local W [dl, Lc, Dr]
+            y = jnp.einsum("dlr,del->elr", w, h_inv)  # local W·H⁻¹
+            corr_l = jnp.einsum("elr,els->rs", y, w, precision=prec)
+            wy_l = jnp.einsum("elr,el->r", y, g_l)
         # Only the [Dr, Dr] partial correction and [Dr] partial rhs cross
         # the ICI — W itself never moves.
-        corr, wy = jax.lax.psum(
-            (
-                jnp.einsum("elr,els->rs", y, w, precision=prec),
-                jnp.einsum("elr,el->r", y, g_l),
-            ),
-            self.axis,
-        )
+        corr, wy = jax.lax.psum((corr_l, wy_l), self.axis)
+        corr, wy = self._from_w_basis(corr, wy)
         s_mat = a_rr + lam * eye_r - corr
         rhs = b_r - wy
         xr = cholesky_solve(s_mat, rhs)  # replicated reduced solve
-        xl = jnp.einsum(
-            "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
-        )
+        if pm:
+            wx = jnp.einsum("drl,r->dl", w, self._to_w_basis(xr, w.shape[1]))
+        else:
+            wx = jnp.einsum("dlr,r->dl", w, xr)
+        xl = jnp.einsum("del,el->dl", h_inv, g_l - wx)
         return jnp.concatenate([xr, self._gather_elim(xl).reshape(-1)])
 
     def solve0_quad_grad(self, sys):
@@ -187,19 +218,32 @@ class ShardedSchurOps:
         column; only one extra scalar psum crosses the ICI."""
         a_rr, b_r, h_ll, g_l, w = sys
         dtype = b_r.dtype
+        pm = self.pm is not None
         h_damped = h_ll + self._pad_eye(dtype)
         h_inv = batched_inv_spd_cm(h_damped)
-        y = jnp.einsum("dlr,del->elr", w, h_inv)
         prec = "highest" if dtype == jnp.float64 else "high"
-        corr, wy = jax.lax.psum(
-            (
-                jnp.einsum("elr,els->rs", y, w, precision=prec),
-                jnp.einsum("elr,el->r", y, g_l),
-            ),
-            self.axis,
-        )
+        if pm:
+            y = jnp.einsum("drl,del->erl", w, h_inv)
+            corr_l = jnp.einsum("erl,esl->rs", y, w, precision=prec)
+            wy_l = jnp.einsum("erl,el->r", y, g_l)
+        else:
+            y = jnp.einsum("dlr,del->elr", w, h_inv)
+            corr_l = jnp.einsum("elr,els->rs", y, w, precision=prec)
+            wy_l = jnp.einsum("elr,el->r", y, g_l)
+        corr, wy = jax.lax.psum((corr_l, wy_l), self.axis)
+        corr, wy = self._from_w_basis(corr, wy)
         xr = cholesky_solve(a_rr - corr, b_r - wy)
-        wt = jnp.einsum("dlr,rk->kdl", w, jnp.stack([xr, b_r], axis=1))
+        if pm:
+            stacked = jnp.stack(
+                [
+                    self._to_w_basis(xr, w.shape[1]),
+                    self._to_w_basis(b_r, w.shape[1]),
+                ],
+                axis=1,
+            )
+            wt = jnp.einsum("drl,rk->kdl", w, stacked)
+        else:
+            wt = jnp.einsum("dlr,rk->kdl", w, jnp.stack([xr, b_r], axis=1))
         xl = jnp.einsum("del,el->dl", h_inv, g_l - wt[0])
         local = 2.0 * jnp.sum(wt[1] * g_l) + jnp.einsum(
             "dl,del,el->", g_l, h_ll, g_l
@@ -336,6 +380,13 @@ class ShardedSchurCompiled:
     num_elim: int  # real L
     num_elim_local: int  # Lc
     n_devices: int
+    #: None, or the (n_r, nrp, dr_s, pm_of_std) tuple when each device's
+    #: local W chunk is kernel-placed in the p-major landmark-minor layout
+    #: ([dl, dr_s*NRp, Lc]): requires the run-preserving obs-major routing
+    #: (every shard is itself obs-major) and a global compile that
+    #: qualified for SchurInfo.w_pm.  The pm map is built from global
+    #: reduced offsets — identical on every device.
+    w_pm: Any = None
 
     @property
     def layout(self):
@@ -382,6 +433,7 @@ class ShardedSchurCompiled:
             num_elim_local=self.num_elim_local,
             dof_elim=i.dof_elim,
             n_devices=self.n_devices,
+            pm=None if self.w_pm is None else self.w_pm[3],
         )
 
     # -- local (inside-shard_map) computations -----------------------------
@@ -430,7 +482,9 @@ class ShardedSchurCompiled:
             fast=tuple(fast),
             elim_sort=(),  # pallas sorted runs don't apply to shard repads
             wpart_fam=i.wpart_fam,  # static per-batch structure is unchanged
-            w_pm=None,  # sharded solve consumes the standard W layout
+            # Kernel-placed p-major local W when the run-preserving routing
+            # qualified (parallelize_schur); standard layout otherwise.
+            w_pm=self.w_pm,
         )
 
     def _local_assemble(self, variables, batch_args, elim_ids, fast_args):
@@ -476,6 +530,13 @@ class ShardedSchurCompiled:
                 "assemble() is not exposed for the implicit sharded system; "
                 "use solve_once()/run()"
             )
+        # Standard layout: w [dl, Lp, Dr] sharded on axis 1; kernel-placed
+        # p-major layout: w [dl, dr_s*NRp, Lp] sharded on axis 2.
+        w_spec = (
+            P(None, DATA_AXIS)
+            if self.w_pm is None
+            else P(None, None, DATA_AXIS)
+        )
         f = jax.shard_map(
             self._local_assemble,
             mesh=self.mesh,
@@ -487,9 +548,10 @@ class ShardedSchurCompiled:
                     P(),
                     P(None, None, DATA_AXIS),
                     P(None, DATA_AXIS),
-                    P(None, DATA_AXIS),
+                    w_spec,
                 ),
             ),
+            check_vma=False,
         )
         return f(variables, self.batch_args, self.elim_ids, self.fast_args)
 
@@ -509,6 +571,10 @@ class ShardedSchurCompiled:
             mesh=self.mesh,
             in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P()),
+            # pallas_call inside shard_map requires vma annotations under
+            # the new varying-mesh-axes checker; disable it (the psum
+            # placement is explicit in the local functions).
+            check_vma=False,
         )
         return f(
             variables, lam, self.batch_args, self.elim_ids, self.fast_args
@@ -564,6 +630,7 @@ class ShardedSchurCompiled:
             mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P(), P()),
+            check_vma=False,
         )
         return jax.jit(
             lambda v: f(v, self.batch_args, self.elim_ids, self.fast_args)
@@ -593,6 +660,15 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         owned = (gids >= s * lc) & (gids < min((s + 1) * lc, L))
         elim_ids[s, owned] = gids[owned] - s * lc
 
+    # Per-device kernel-placed W (p-major layout): requires the global
+    # compile to have qualified for SchurInfo.w_pm, the whole-system fused
+    # impl (the only kernel that works without a camera-major repack), and
+    # — checked per batch below — the run-preserving obs-major routing.
+    pm_ok = (
+        info.w_pm is not None
+        and not info.implicit
+        and schur._w_impl() in ("fused_all", "fused_all_interpret")
+    )
     batch_tpl, batch_args_host, fast_meta, fast_args_host = [], [], [], []
     for bi, b in enumerate(compiled.batches):
         mask_np = np.asarray(b.mask)
@@ -643,6 +719,8 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
                 sh = np.full(b_rows, -1, dtype=np.int64)
             sels = [np.nonzero(sh == s)[0] for s in range(n)]
             extra_rows = np.nonzero(sh < 0)[0]
+        if elim_slots and obs_k_shared is None:
+            pm_ok = False  # coupling batch lost its run structure
         fill = _balanced_fill([len(s) for s in sels], n, len(extra_rows))
         for s in range(n):
             sels[s] = np.concatenate(
@@ -763,6 +841,7 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         num_elim=L,
         num_elim_local=lc,
         n_devices=n,
+        w_pm=info.w_pm if pm_ok else None,
     )
 
 
