@@ -108,18 +108,15 @@ def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     zero-padded [8, TL] operand so the rhs rides a normal MXU matmul;
     the caller reads column 0 of the [wc, 8] result.
 
-    Precision: f32 accumulations run the dots at HIGH (bf16x3, ~1e-6
-    relative — far below the bf16 W storage error this path always pairs
-    with, and half the MXU passes of HIGHEST, which round 3 measured as
-    the reason this kernel lost its phase A/B at 1.93-1.99 vs 1.46 ms
-    XLA); f64 keeps HIGHEST for the reference's 1e-15 targets."""
+    Precision: HIGHEST (full f32 multi-pass).  Mosaic rejects HIGH
+    ("Unsupported dot precision: HIGH", observed on-chip in round 3 when
+    a bf16x3 pass was tried to close this kernel's phase-A/B loss of
+    1.93-1.99 vs 1.46 ms XLA) and an unqualified f32 dot lowers to ONE
+    bf16 pass (~4e-3 relative error) — so the kernel stays opt-in and the
+    XLA pm-layout solve remains the default."""
     i = pl.program_id(0)
     dt = hi_ref.dtype
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if dt == jnp.float64
-        else jax.lax.Precision.HIGH
-    )
+    prec = jax.lax.Precision.HIGHEST
     w_rows = [w_ref[d].astype(dt) for d in range(dl)]  # [wc, TL]
     tile_l = w_ref.shape[-1]
     row0 = (

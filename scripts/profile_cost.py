@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 if os.environ.get("NLLSTPU_PLATFORM"):
@@ -104,6 +105,43 @@ def main():
         return consume(out)
 
     timeit("gather_rowT", gather_rowT)
+
+    def gather_slot(acc, slot):
+        v = perturb(acc)
+        m, idx = batch.manifolds[slot], batch.idx[slot]
+        arr = v[family_name(m)]
+        flat = arr.reshape(arr.shape[0], -1).T
+        return consume([flat[:, idx]])
+
+    for slot, m in enumerate(batch.manifolds):
+        timeit(
+            f"gather[{slot}:{type(m).__name__}]",
+            lambda acc, s=slot: gather_slot(acc, s),
+        )
+
+    # Broadcast-runs alternative for the eliminated slot of an obs-major
+    # batch: gather once per landmark, broadcast over the run.
+    fast0 = compiled.schur_info.fast[0]
+    if fast0 is not None and fast0.obs_k is not None:
+        kk = fast0.obs_k
+        e = 1 - fast0.r_slot
+        L = compiled.schur_info.num_elim
+        lmk_vars = np.asarray(batch.idx[e])[: L * kk : kk]  # [L]
+        tail = np.asarray(batch.idx[e])[L * kk :]
+
+        def gather_bcast(acc):
+            v = perturb(acc)
+            m = batch.manifolds[e]
+            arr = v[family_name(m)]
+            flat = arr.reshape(arr.shape[0], -1).T  # [ambient, n]
+            runs = flat[:, jnp.asarray(lmk_vars)]  # [ambient, L]
+            runs = jnp.broadcast_to(
+                runs[:, :, None], runs.shape + (kk,)
+            ).reshape(runs.shape[0], L * kk)
+            rest = flat[:, jnp.asarray(tail)]
+            return consume([jnp.concatenate([runs, rest], axis=1)])
+
+        timeit("gather_bcast", gather_bcast)
 
     def resid_only(acc):
         g = jax.tree.map(
