@@ -277,26 +277,48 @@ def _gather_vals(batch: CostBatch, variables: dict):
     return tuple(arr[idx] for arr, idx in zip(arrs, batch.idx))
 
 
-def _gather_vals_cm(batch: CostBatch, variables: dict):
+def _gather_vals_cm(batch: CostBatch, variables: dict, runs=None):
     """Components-major gathers: per slot ``[ambient, B]``.  Gathering from
     a transposed ``[ambient, n]`` family array puts the batch on the lane
     dimension, so the whole residual computation runs on well-tiled [B]
-    vectors (the [B, *shape] layout pads tiny trailing dims ~50x on TPU)."""
+    vectors (the [B, *shape] layout pads tiny trailing dims ~50x on TPU).
+
+    ``runs = (slot, L, k)`` marks an obs-major batch (column ``l·k + j`` =
+    landmark ``l``'s j-th cost, ops/schur.obs_major_repack): slot ``slot``
+    is then gathered once per landmark ([ambient, L]) and broadcast over
+    the run — replacing a B-wide lane gather with an L-wide one plus a
+    free broadcast.  Masked pad slots inside a run receive the run's
+    landmark value instead of the row-0 copy the plain gather yields;
+    every consumer zeroes masked contributions (d1/d2/mask), so only
+    dead values change."""
     out = []
-    for m, idx in zip(batch.manifolds, batch.idx):
+    for slot_i, (m, idx) in enumerate(zip(batch.manifolds, batch.idx)):
         arr = variables[family_name(m)]
         flat = arr.reshape(arr.shape[0], -1).T  # [ambient, n] — n is small
-        out.append(flat[:, idx])
+        if runs is not None and slot_i == runs[0]:
+            _, L, k = runs
+            amb = flat.shape[0]
+            head = flat[:, idx[: L * k : k]]  # [ambient, L]
+            head = jnp.broadcast_to(
+                head[:, :, None], (amb, L, k)
+            ).reshape(amb, L * k)
+            if idx.shape[0] > L * k:
+                head = jnp.concatenate(
+                    [head, flat[:, idx[L * k :]]], axis=1
+                )
+            out.append(head)
+        else:
+            out.append(flat[:, idx])
     return tuple(out)
 
 
-def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
+def batch_cost(batch: CostBatch, variables: dict, dtype, runs=None) -> jnp.ndarray:
     """Masked total cost of one batch (reference type-grouped ``sum``,
     src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
     if batch.batched == "cm":
         # Components-major whole-batch residual: fn gets [ambient, B] slots
         # and returns [nres, B].
-        gath = _gather_vals_cm(batch, variables)
+        gath = _gather_vals_cm(batch, variables, runs=runs)
         r = batch.fn(batch.params, *gath)
         sq = jnp.sum(r * r, axis=0)
         costs = 0.5 * batch.kernel.rho(sq)
@@ -318,10 +340,11 @@ def batch_cost(batch: CostBatch, variables: dict, dtype) -> jnp.ndarray:
     return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
 
 
-def total_cost(batches, variables: dict, dtype) -> jnp.ndarray:
+def total_cost(batches, variables: dict, dtype, runs_list=None) -> jnp.ndarray:
     total = jnp.zeros((), dtype=dtype)
-    for b in batches:
-        total = total + batch_cost(b, variables, dtype)
+    for bi, b in enumerate(batches):
+        runs = runs_list[bi] if runs_list else None
+        total = total + batch_cost(b, variables, dtype, runs=runs)
     return total
 
 
@@ -420,7 +443,7 @@ def batch_grad_hess_cm(batch: CostBatch, variables: dict, layout: Layout, dtype)
     return cost_sum, g.T, jnp.moveaxis(h, 0, -1), rows
 
 
-def batch_res_jac_cm(batch: CostBatch, variables: dict, dtype):
+def batch_res_jac_cm(batch: CostBatch, variables: dict, dtype, runs=None):
     """Raw components-major residual data of a ``batched='cm'`` batch:
     ``(cost_sum, r [n, B], jac [n, S, B], g0 [S, B], d1 [B], d2 [B])`` with
     ``g0 = Jᵀr`` unweighted and (d1, d2) = (ρ′, ρ″).  Consumers compose the
@@ -430,7 +453,7 @@ def batch_res_jac_cm(batch: CostBatch, variables: dict, dtype):
     assembly cost).  Returns None for non-cm batches."""
     if batch.batched != "cm":
         return None
-    gath = _gather_vals_cm(batch, variables)
+    gath = _gather_vals_cm(batch, variables, runs=runs)
     r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
     sq = jnp.sum(r * r, axis=0)
     rho, d1, d2 = batch.kernel.rho_dc(sq)

@@ -55,7 +55,28 @@ class CompiledProblem:
     cg_ops: Any = None  # nllstpu.ops.cg.CGOps when the matrix-free backend is active
 
     def cost(self, variables):
-        return engine.total_cost(self.batches, variables, self.dtype)
+        return engine.total_cost(
+            self.batches, variables, self.dtype, runs_list=self._cost_runs()
+        )
+
+    def _cost_runs(self):
+        """Per-batch obs-major run structure (slot, L, k) for the
+        broadcast-runs gather (engine._gather_vals_cm): the eliminated
+        slot of an obs-major cm batch is gathered once per landmark and
+        broadcast over its run instead of a B-wide lane gather."""
+        si = self.schur_info
+        out = [None] * len(self.batches)
+        if si is None:
+            return out
+        for bi, f in enumerate(si.fast or ()):
+            b = self.batches[bi]
+            if (
+                f is not None
+                and f.obs_k is not None
+                and getattr(b, "batched", None) == "cm"
+            ):
+                out[bi] = (1 - f.r_slot, si.num_elim, f.obs_k)
+        return out
 
     def assemble(self, variables):
         if self.schur_info is not None:

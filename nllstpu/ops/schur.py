@@ -1326,7 +1326,10 @@ def _assemble_fast_dual(
 
     Returns ``(cost, sys)`` or None when the batch is not components-major
     batched (caller falls back)."""
-    raw = engine.batch_res_jac_cm(batch, variables, dtype)
+    raw = engine.batch_res_jac_cm(
+        batch, variables, dtype,
+        runs=(e, info.num_elim, fast.obs_k),
+    )
     if raw is None:
         return None
     dr, L, dl = info.dim_reduced, info.num_elim, info.dof_elim
@@ -1525,8 +1528,13 @@ def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
                        a_rr, b_r, h_ll, g_l, w):
     """Camera-major leg of the dual-sorted assembly: a_rr and b_r as pure
     reshape-sums over camera runs (cost NOT re-counted; the Jacobian is
-    evaluated a second time in camera order — docstring above)."""
-    raw2 = engine.batch_res_jac_cm(fast.cam_batch, variables, dtype)
+    evaluated a second time in camera order — docstring above).  The
+    camera slot gather broadcasts over the camera runs (one gather per
+    camera instead of per cost)."""
+    raw2 = engine.batch_res_jac_cm(
+        fast.cam_batch, variables, dtype,
+        runs=(fast.r_slot, fast.n_r, fast.cam_k),
+    )
     _, _, jac2, g02, d1_2, d2_2 = raw2
     m2 = jnp.asarray(fast.cam_batch.mask).astype(dtype)
     d1m2 = d1_2 * m2

@@ -504,8 +504,27 @@ class ShardedSchurCompiled:
         return c, (a_rr, b_r, h_ll, g_l, w)
 
     def _local_cost(self, variables, batch_args):
-        c = engine.total_cost(self._rebuild(batch_args), variables, self.dtype)
+        c = engine.total_cost(
+            self._rebuild(batch_args), variables, self.dtype,
+            runs_list=self._cost_runs(),
+        )
         return jax.lax.psum(c, DATA_AXIS)
+
+    def _cost_runs(self):
+        """Per-batch LOCAL obs-major run structure for the broadcast-runs
+        gather (engine._gather_vals_cm): valid under the run-preserving
+        positional routing (meta.obs_k shared across shards)."""
+        out = []
+        for b, meta in zip(self.batch_tpl, self.fast_meta):
+            if (
+                meta is not None
+                and meta.obs_k is not None
+                and getattr(b, "batched", None) == "cm"
+            ):
+                out.append((1 - meta.r_slot, self.num_elim_local, meta.obs_k))
+            else:
+                out.append(None)
+        return out
 
     # -- public jitted entry points ----------------------------------------
 
