@@ -406,6 +406,14 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
     )
     if flat_lm:
         ops = ctx.ops()
+        fused_trial = getattr(opts, "fused_trial", None)
+        if fused_trial is None:
+            # Auto: on TPU the full assemble costs less than a cost pass
+            # divided by the typical LM accept rate (see Options docstring),
+            # so trials assemble directly and accepted iterations skip the
+            # re-assemble.  CPU keeps the reference-shaped schedule (and
+            # bit-exact trial costs with hand Jacobians).
+            fused_trial = jax.default_backend() == "tpu"
         _, sys0 = assemble_fn(vars0)
         state = dict(
             state,
@@ -423,7 +431,10 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
             )
             x = -ops.solve(sys, lam)
             nv = ctx.apply(st["variables"], x)
-            c = ctx.cost(nv)
+            if fused_trial:
+                c, sys_trial = assemble_fn(nv)
+            else:
+                c = ctx.cost(nv)
             maxstep = jnp.max(jnp.abs(x))
             # The nested machine's inner-loop exit condition.
             inner_accept = (~(c > st["bestcost"])) | (maxstep < opts.dstep)
@@ -469,12 +480,21 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 trace = jnp.where(
                     inner_accept, trace.at[iternum - 1].set(c), trace
                 )
-            # Re-assemble only when the loop will actually continue: total
-            # assembles == completed iterations, like the nested machine.
             cont = inner_accept & (bits == 0)
-            sys_next = jax.lax.cond(
-                cont, lambda v: assemble_fn(v)[1], lambda v: sys, nv
-            )
+            if fused_trial:
+                # The trial already assembled its system: accepted trips
+                # adopt it, rejected trips keep the current one — no
+                # separate re-assemble exists in this machine.
+                sys_next = _tree_select(inner_accept, sys_trial, sys)
+                ngrad_next = st["ngrad"] + 1
+            else:
+                # Re-assemble only when the loop will actually continue:
+                # total assembles == completed iterations, like the nested
+                # machine.
+                sys_next = jax.lax.cond(
+                    cont, lambda v: assemble_fn(v)[1], lambda v: sys, nv
+                )
+                ngrad_next = st["ngrad"] + jnp.int32(cont)
             return dict(
                 variables=_tree_select(inner_accept, nv, st["variables"]),
                 varbest=varbest,
@@ -493,7 +513,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 iternum=jnp.where(inner_accept, iternum, st["iternum"]),
                 converged=jnp.where(inner_accept, bits, jnp.int32(0)),
                 ncost=st["ncost"] + 1,
-                ngrad=st["ngrad"] + jnp.int32(cont),
+                ngrad=ngrad_next,
                 nsolve=st["nsolve"] + 1,
                 t0=st["t0"],
                 trace=trace,

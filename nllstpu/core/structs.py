@@ -107,6 +107,17 @@ class Options:
     # validated depth budget even with chunked CG.  None = on; False
     # forces the nested machine.
     flat_lm: Any = None
+    # Fully-jitted flat LM only: evaluate each damping trial with a FULL
+    # assemble instead of a cost-only pass, so an accepted trial's system
+    # is already built and the per-iteration re-assemble disappears.  Wins
+    # whenever assemble < cost / accept_rate (bench scale: assemble
+    # 1.73 ms vs cost 0.97 ms at ~70% accepts → ~0.6 ms/iter saved); loses
+    # under heavy rejection.  Trial costs come from the assemble's cost
+    # output — identical values on the autodiff path, may differ in ulps
+    # from the cost-only pass with a hand Jacobian whose residual is
+    # computed differently.  ``gradient_computations`` then counts one assemble
+    # per trial.  None = auto (enabled on TPU); False/True force.
+    fused_trial: Any = None
     # Implicit (schur_cg) only: cluster-Jacobi preconditioning (Ceres
     # CLUSTER_JACOBI analogue) with this many consecutive cameras per
     # cluster — the exact diagonal CLUSTER blocks of S, capturing

@@ -639,3 +639,66 @@ def test_giant_gate_routes_optimize_to_stepped(monkeypatch):
     r = nt.optimize(p, opts)
     assert np.isfinite(r.time_gradient)  # stepped driver measures phases
     assert r.best_cost <= r.start_cost
+
+
+def test_flat_lm_fused_trial_matches():
+    """Options(fused_trial=True): LM trials evaluate a full assemble whose
+    cost output drives the accept decision; the trajectory must match the
+    cost-only machine exactly on the autodiff path (affine BA — the trial
+    cost is the same residual evaluation either way)."""
+    import nllstpu as nt
+    from nllstpu.models.ba import make_affine_ba, perturb_ba
+
+    def run(fused):
+        p, cams, lmks = make_affine_ba(6, 30, 0.6)
+        perturb_ba(p, lmks, 0.05, seed=9)
+        return nt.optimize(
+            p,
+            nt.Options(
+                solver="schur", schur_family=nt.Euclidean(3),
+                iterator=nt.LEVENBERG_MARQUARDT, max_iters=25,
+                fused_trial=fused,
+            ),
+        )
+
+    r_ref = run(False)
+    r_f = run(True)
+    assert int(r_f.num_iterations) == int(r_ref.num_iterations)
+    assert int(r_f.cost_computations) == int(r_ref.cost_computations)
+    np.testing.assert_allclose(
+        float(r_f.best_cost), float(r_ref.best_cost), rtol=1e-12
+    )
+    # fused: one assemble per trial (both counters also include the
+    # pre-loop initial evaluation); cost-only: one assemble per completed
+    # iteration.
+    assert int(r_f.gradient_computations) == int(r_f.cost_computations)
+    assert int(r_ref.gradient_computations) <= int(r_ref.cost_computations)
+
+
+def test_flat_lm_fused_trial_pinhole_converges():
+    """fused_trial with the hand-Jacobian pinhole batch (trial costs may
+    differ in ulps from the cost-only pass): still converges to the same
+    basin."""
+    import nllstpu as nt
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def run(fused):
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=6, nlandmarks=40, prop_visible=0.6, noise=1e-3,
+            dtype=jnp.float64, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=7)
+        return nt.optimize(
+            p,
+            nt.Options(
+                solver="schur", schur_family=nt.Euclidean(3),
+                iterator=nt.LEVENBERG_MARQUARDT, max_iters=25,
+                fused_trial=fused,
+            ),
+        )
+
+    r_ref = run(False)
+    r_f = run(True)
+    np.testing.assert_allclose(
+        float(r_f.best_cost), float(r_ref.best_cost), rtol=1e-8
+    )
