@@ -408,12 +408,19 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
         ops = ctx.ops()
         fused_trial = getattr(opts, "fused_trial", None)
         if fused_trial is None:
-            # Auto: on TPU the full assemble costs less than a cost pass
-            # divided by the typical LM accept rate (see Options docstring),
-            # so trials assemble directly and accepted iterations skip the
-            # re-assemble.  CPU keeps the reference-shaped schedule (and
-            # bit-exact trial costs with hand Jacobians).
-            fused_trial = jax.default_backend() == "tpu"
+            import os
+
+            env = os.environ.get("NLLSTPU_FUSED_TRIAL")
+            if env is not None:
+                fused_trial = env not in ("0", "false", "off")
+            else:
+                # Auto: on TPU the full assemble costs less than a cost
+                # pass divided by the typical LM accept rate (see Options
+                # docstring), so trials assemble directly and accepted
+                # iterations skip the re-assemble.  CPU keeps the
+                # reference-shaped schedule (and bit-exact trial costs
+                # with hand Jacobians).
+                fused_trial = jax.default_backend() == "tpu"
         _, sys0 = assemble_fn(vars0)
         state = dict(
             state,
