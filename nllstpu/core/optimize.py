@@ -411,16 +411,16 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
             import os
 
             env = os.environ.get("NLLSTPU_FUSED_TRIAL")
-            if env is not None:
-                fused_trial = env not in ("0", "false", "off")
-            else:
-                # Auto: on TPU the full assemble costs less than a cost
-                # pass divided by the typical LM accept rate (see Options
-                # docstring), so trials assemble directly and accepted
-                # iterations skip the re-assemble.  CPU keeps the
-                # reference-shaped schedule (and bit-exact trial costs
-                # with hand Jacobians).
-                fused_trial = jax.default_backend() == "tpu"
+            # Default OFF everywhere: the on-chip A/B (bench_logs/
+            # r3_queue5.log, 2 interleaved rounds) measured 193-197 it/s
+            # fused vs 213-216 cost-only — the per-trip saving (3.19 vs
+            # 3.48 ms) was eaten by a worse damping trajectory (1.58 vs
+            # 1.43 trips/iter; TPU-f32 reduction-order noise in the trial
+            # cost perturbs the λ adaptation).  Kept as an opt-in for
+            # problems whose assemble/cost ratio is smaller.
+            fused_trial = (
+                env not in ("0", "false", "off") if env is not None else False
+            )
         _, sys0 = assemble_fn(vars0)
         state = dict(
             state,

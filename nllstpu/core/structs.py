@@ -109,14 +109,14 @@ class Options:
     flat_lm: Any = None
     # Fully-jitted flat LM only: evaluate each damping trial with a FULL
     # assemble instead of a cost-only pass, so an accepted trial's system
-    # is already built and the per-iteration re-assemble disappears.  Wins
-    # whenever assemble < cost / accept_rate (bench scale: assemble
-    # 1.73 ms vs cost 0.97 ms at ~70% accepts → ~0.6 ms/iter saved); loses
-    # under heavy rejection.  Trial costs come from the assemble's cost
-    # output — identical values on the autodiff path, may differ in ulps
-    # from the cost-only pass with a hand Jacobian whose residual is
-    # computed differently.  ``gradient_computations`` then counts one assemble
-    # per trial.  None = auto (enabled on TPU); False/True force.
+    # is already built and the per-iteration re-assemble disappears.  The
+    # per-trip arithmetic favors it whenever assemble < cost/accept_rate,
+    # but the round-3 on-chip A/B measured a net LOSS at bench scale
+    # (193-197 vs 213-216 it/s): TPU-f32 reduction-order noise in the
+    # trial cost perturbs the λ adaptation into more rejected trips.  Off
+    # by default (None = off, or the NLLSTPU_FUSED_TRIAL env override);
+    # opt-in for problems with a smaller assemble/cost ratio.
+    # ``gradient_computations`` then counts one assemble per trial.
     fused_trial: Any = None
     # Implicit (schur_cg) only: cluster-Jacobi preconditioning (Ceres
     # CLUSTER_JACOBI analogue) with this many consecutive cameras per
