@@ -563,3 +563,79 @@ def test_assemble_fused_all_robust_kernel(monkeypatch):
         _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
         rtol=1e-12, atol=1e-14,
     )
+
+
+def test_assemble_fused_all_dl2(monkeypatch):
+    """fused_all kernel generality at dl=2 (2-D landmarks, Euclidean(4+2)
+    affine observations, hand cm Jacobian): h_ll/g_l/W/a_rr/b_r must match
+    the one-hot path — the kernel's unrolled loops are generic over
+    (n, dl, dr_s), pinned here at a shape no other test covers."""
+    import jax
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+
+    rng = np.random.default_rng(11)
+    ncam, nlmk = 4, 20
+    cam0 = rng.standard_normal((ncam, 6)) * 0.2 + np.array(
+        [1.0, 0, 0, 1.0, 0, 0]
+    )
+    lmk0 = rng.standard_normal((nlmk, 2))
+
+    def residual(meas, cam, lmk):
+        # cm layout: cam [6, B], lmk [2, B], meas [B, 2] -> r [2, B]
+        m = meas.T
+        r1 = cam[0] * lmk[0] + cam[1] * lmk[1] + cam[4] - m[0]
+        r2 = cam[2] * lmk[0] + cam[3] * lmk[1] + cam[5] - m[1]
+        return jnp.stack([r1, r2])
+
+    def jacobian(meas, cam, lmk):
+        r = residual(meas, cam, lmk)
+        b = r.shape[-1]
+        z = jnp.zeros((b,), r.dtype)
+        o = jnp.ones((b,), r.dtype)
+        # columns: cam tangent (6) then lmk tangent (2)
+        j1 = jnp.stack([lmk[0], lmk[1], z, z, o, z, cam[0], cam[1]])
+        j2 = jnp.stack([z, z, lmk[0], lmk[1], z, o, cam[2], cam[3]])
+        return r, jnp.stack([j1, j2])
+
+    ci0, li0, meas0 = [], [], []
+    for lj in range(nlmk):
+        for cj in range(ncam):
+            ci0.append(cj)
+            li0.append(lj)
+            a = cam0[cj]
+            A = np.array([[a[0], a[1]], [a[2], a[3]]])
+            meas0.append(A @ lmk0[lj] + a[4:] + 0.01 * rng.standard_normal(2))
+
+    def build():
+        p = nt.Problem(dtype=jnp.float64)
+        cams = [p.add_variable(nt.Euclidean(6), c) for c in cam0]
+        lmks = [p.add_variable(nt.Euclidean(2), l) for l in lmk0]
+        ci = [cams[c].index for c in ci0]
+        li = [lmks[l].index for l in li0]
+        meas = meas0
+        p.add_cost_batch(
+            residual,
+            [(nt.Euclidean(6), np.array(ci)), (nt.Euclidean(2), np.array(li))],
+            params=np.array(meas),
+            jacobian=jacobian,
+            batched="cm",
+        )
+        c = compile_problem(p, solver="schur", schur_family=nt.Euclidean(2))
+        return c, jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    c_ref, (cost_ref, sys_ref) = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    c_f, (cost_f, sys_f) = build()
+    assert c_f.schur_info.w_pm is not None
+    np.testing.assert_allclose(cost_f, cost_ref, rtol=1e-14)
+    for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4], sys_ref[:4]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13, err_msg=name
+        )
+    np.testing.assert_allclose(
+        _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+        rtol=1e-12, atol=1e-13,
+    )
