@@ -6,6 +6,7 @@ Usage:  python scripts/profile_lm.py [ncam] [nlmk] [vis]
 Timings are readback-fenced with perturbed inputs (see CLAUDE.md for why
 both matter on tunneled TPU backends).
 """
+import os
 import sys
 import time
 
@@ -13,8 +14,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# The env var alone is overridden by sitecustomize (CLAUDE.md).
+if os.environ.get("NLLSTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["NLLSTPU_PLATFORM"])
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import nllstpu as nt
 from nllstpu.core.optimize import compile_problem, run_loop
@@ -37,7 +46,9 @@ def main():
     vars0 = problem.stacked_variables()
     print(problem)
 
-    for iterator in (nt.GRADIENT_DESCENT, nt.NEWTON, nt.LEVENBERG_MARQUARDT):
+    for iterator in (
+        nt.GRADIENT_DESCENT, nt.NEWTON, nt.DOGLEG, nt.LEVENBERG_MARQUARDT,
+    ):
         opts = nt.Options(
             iterator=iterator, max_iters=15, rel_dcost=0.0, abs_dcost=0.0,
             dstep=1e-12, max_fails=1 << 30,
