@@ -46,6 +46,25 @@ class Manifold:
         """Return ``x ⊞ delta`` where ``delta`` has shape ``[dof]``."""
         raise NotImplementedError
 
+    def retract_cm(self, x_cm, delta_cm):
+        """Components-major batched retract: ``x_cm [ambient, B]``,
+        ``delta_cm [dof, B]`` → ``[ambient, B]``.  Used by the synthesized
+        components-major Jacobian (``Problem.add_cost_batch(batched='cm')``
+        without a hand Jacobian): the autodiff tangent pushes through this
+        — exactly the reference's duals-through-``update`` contract
+        (src/autodiff.jl:57-61), vectorized.  The default vmaps the scalar
+        retract over the batch axis (correct everywhere; batch-minor vmap
+        is not the fast layout, so manifolds with cm-native math should
+        override — Euclidean does)."""
+        import jax
+
+        amb = self.ambient
+
+        def one(x, d):
+            return self.retract(x.reshape(self.shape), d).reshape(amb)
+
+        return jax.vmap(one, in_axes=(-1, -1), out_axes=-1)(x_cm, delta_cm)
+
     @property
     def ambient(self) -> int:
         """Number of scalars in the stored representation."""
@@ -72,6 +91,9 @@ class Euclidean(Manifold):
 
     def retract(self, x, delta):
         return x + delta
+
+    def retract_cm(self, x_cm, delta_cm):
+        return x_cm + delta_cm
 
 
 @dataclasses.dataclass(frozen=True)

@@ -119,6 +119,44 @@ def _group_key(kind, fn, kernel, families, params_struct, jacobian=None,
     return (kind, fn, kernel, families, params_struct, jacobian, batched)
 
 
+def _auto_cm_jacobian(fn, manifolds):
+    """Synthesize a components-major ``jacobian(params, *vals_cm) ->
+    (r [n, B], jac [n, S, B])`` for a cm-batched residual ``fn`` when no
+    hand Jacobian is supplied: one ``jax.linearize`` of (fn ∘ retract_cm)
+    at the zero tangent, then one linear (jvp) pass per tangent column —
+    every cost's column-j derivative rides the same broadcast basis
+    tangent, so the whole batch stays components-major with no vmap.  This
+    is the reference's duals-through-``update`` autodiff (src/autodiff.jl)
+    in the lane-optimal TPU layout; hand Jacobians remain cheaper (one
+    pass instead of S) and take precedence."""
+    import jax
+
+    dofs = [m.dof for m in manifolds]
+
+    def jac_fn(params, *vals_cm):
+        b = vals_cm[0].shape[-1]
+        dtype = vals_cm[0].dtype
+
+        def g(*tangents):
+            newv = tuple(
+                m.retract_cm(v, t)
+                for m, v, t in zip(manifolds, vals_cm, tangents)
+            )
+            return jnp.atleast_2d(fn(params, *newv))
+
+        zeros = tuple(jnp.zeros((d, b), dtype) for d in dofs)
+        r, lin = jax.linearize(g, *zeros)
+        cols = []
+        for slot, d in enumerate(dofs):
+            for j in range(d):
+                tans = [jnp.zeros_like(z) for z in zeros]
+                tans[slot] = tans[slot].at[j].set(dtype.type(1))
+                cols.append(lin(*tans))
+        return r, jnp.stack(cols, axis=1)  # [n, S, B]
+
+    return jac_fn
+
+
 @dataclasses.dataclass
 class CostBatch:
     """Finalized, padded struct-of-arrays batch of one cost type."""
@@ -367,7 +405,10 @@ class Problem:
                 raise ValueError(
                     "batched=True supports plain residual costs only"
                 )
-            if jacobian is None:
+            if jacobian is None and batched != "cm":
+                # cm batches synthesize one at finalization
+                # (_auto_cm_jacobian); row-major batched fns have no
+                # generic tangent hookup.
                 raise ValueError(
                     "batched=True requires a (batched) hand jacobian"
                 )
@@ -489,7 +530,11 @@ class Problem:
                     params=params,
                     mask=mask,
                     n=n,
-                    jacobian=g.jacobian,
+                    jacobian=(
+                        g.jacobian
+                        if g.jacobian is not None or g.batched != "cm"
+                        else _auto_cm_jacobian(g.fn, g.families)
+                    ),
                     batched=g.batched,
                 )
             )

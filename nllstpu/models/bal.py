@@ -52,6 +52,42 @@ def snavely_residual(measurement, camera, point):
     return f * distortion * xp - measurement
 
 
+def snavely_residual_cm(measurement, camera_cm, point_cm):
+    """Components-major Snavely residual: ``camera_cm [9, B]``,
+    ``point_cm [3, B]``, ``measurement [B, 2]`` → ``[2, B]``.  Every
+    intermediate is a [B] vector (the lane-optimal TPU layout); the
+    Jacobian is synthesized by ``_auto_cm_jacobian`` (linearize + 12
+    basis-tangent passes), so this single function gives real BAL
+    problems the full dual-sorted / fused-kernel assembly path."""
+    w0, w1, w2 = camera_cm[0], camera_cm[1], camera_cm[2]
+    t0, t1, t2 = camera_cm[3], camera_cm[4], camera_cm[5]
+    f, k1, k2 = camera_cm[6], camera_cm[7], camera_cm[8]
+    x0, x1, x2 = point_cm[0], point_cm[1], point_cm[2]
+    # Rodrigues, smooth at w = 0 (same guarded series as _rodrigues_rotate).
+    tt = w0 * w0 + w1 * w1 + w2 * w2
+    small = tt < 1e-14
+    tts = jnp.where(small, jnp.ones_like(tt), tt)
+    theta = jnp.sqrt(tts)
+    cos_t = jnp.where(small, 1.0 - tt / 2.0, jnp.cos(theta))
+    sinc = jnp.where(small, 1.0 - tt / 6.0, jnp.sin(theta) / theta)
+    omc = jnp.where(small, 0.5 - tt / 24.0, (1.0 - cos_t) / tts)
+    wx = w1 * x2 - w2 * x1
+    wy = w2 * x0 - w0 * x2
+    wz = w0 * x1 - w1 * x0
+    wdx = w0 * x0 + w1 * x1 + w2 * x2
+    p0 = x0 * cos_t + wx * sinc + w0 * wdx * omc + t0
+    p1 = x1 * cos_t + wy * sinc + w1 * wdx * omc + t1
+    p2 = x2 * cos_t + wz * sinc + w2 * wdx * omc + t2
+    inv = 1.0 / p2
+    xp0 = -p0 * inv
+    xp1 = -p1 * inv
+    r2 = xp0 * xp0 + xp1 * xp1
+    distortion = 1.0 + r2 * (k1 + k2 * r2)
+    m = measurement.T
+    return jnp.stack([f * distortion * xp0 - m[0],
+                      f * distortion * xp1 - m[1]])
+
+
 def load_bal(path: str) -> dict:
     """Parse a BAL text file into arrays: cameras [C,9], points [P,3],
     cam_idx [K], pt_idx [K], observations [K,2]."""
@@ -76,19 +112,34 @@ def load_bal(path: str) -> dict:
     return parsed
 
 
-def make_bal_problem(data: dict, dtype=None, robust_width=None) -> tuple:
+def make_bal_problem(data: dict, dtype=None, robust_width=None,
+                     batched="cm") -> tuple:
     """Build a Problem from parsed BAL arrays; returns
-    ``(problem, camera_handles, point_handles)``."""
+    ``(problem, camera_handles, point_handles)``.
+
+    ``batched="cm"`` (default) uses the components-major residual with a
+    synthesized cm Jacobian — real BAL data then takes the dual-sorted /
+    fused-kernel assembly path on TPU; ``batched=False`` keeps the
+    per-cost vmapped formulation (the reference-shaped baseline)."""
     p = Problem(dtype=dtype)
     cameras = p.add_variables(CAM, data["cameras"])
     points = p.add_variables(PT, data["points"])
     kernel = Huber(robust_width) if robust_width else None
-    p.add_cost_batch(
-        snavely_residual,
-        slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
-        params=np.asarray(data["observations"]),
-        kernel=kernel,
-    )
+    if batched == "cm":
+        p.add_cost_batch(
+            snavely_residual_cm,
+            slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
+            params=np.asarray(data["observations"]),
+            kernel=kernel,
+            batched="cm",
+        )
+    else:
+        p.add_cost_batch(
+            snavely_residual,
+            slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
+            params=np.asarray(data["observations"]),
+            kernel=kernel,
+        )
     return p, cameras, points
 
 

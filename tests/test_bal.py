@@ -143,3 +143,74 @@ def test_native_loader_adversarial_text(tmp_path):
     # And the 17-digit values round-trip the original doubles exactly.
     np.testing.assert_array_equal(nat["cameras"], cams)
     np.testing.assert_array_equal(nat["observations"], obs)
+
+
+def test_bal_cm_matches_per_cost():
+    """The components-major BAL formulation (synthesized cm Jacobian via
+    linearize + basis tangents) must match the per-cost vmapped path:
+    identical cost, matching assembled Schur system, and the same
+    converged optimum."""
+    import jax
+    import jax.numpy as jnp
+    from nllstpu.core.optimize import compile_problem
+
+    data = bal.make_synthetic_bal(6, 48, obs_per_point=4, noise=1e-3)
+
+    def build(batched):
+        p, cams, pts = bal.make_bal_problem(data, batched=batched)
+        perturb_ba(p, pts, 0.01, seed=7)
+        return p
+
+    p_cm, p_ref = build("cm"), build(False)
+    c_cm = compile_problem(p_cm, solver="schur", schur_family=bal.PT)
+    c_ref = compile_problem(p_ref, solver="schur", schur_family=bal.PT)
+    assert c_cm.batches[0].batched == "cm"
+    v_cm, v_ref = p_cm.stacked_variables(), p_ref.stacked_variables()
+    np.testing.assert_allclose(
+        float(jax.jit(c_cm.cost)(v_cm)), float(jax.jit(c_ref.cost)(v_ref)),
+        rtol=1e-13,
+    )
+    _, sys_cm = jax.jit(c_cm.assemble)(v_cm)
+    _, sys_ref = jax.jit(c_ref.assemble)(v_ref)
+    for name, a, b in zip("a_rr b_r h_ll g_l w".split(), sys_cm, sys_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-11, err_msg=name
+        )
+    r_cm = nt.optimize(p_cm, nt.Options(solver="schur", schur_family=bal.PT))
+    r_ref = nt.optimize(p_ref, nt.Options(solver="schur", schur_family=bal.PT))
+    np.testing.assert_allclose(
+        float(r_cm.best_cost), float(r_ref.best_cost), rtol=1e-9
+    )
+
+
+def test_bal_cm_fused_all_kernel(monkeypatch):
+    """Real-data composition: BAL cm batch (synthesized Jacobian, dr_s=9
+    Snavely cameras) through the whole-system fused kernel
+    (NLLSTPU_W_IMPL=fused_all_interpret) matches the one-hot path."""
+    import jax
+    from nllstpu.core.optimize import compile_problem
+
+    data = bal.make_synthetic_bal(5, 40, obs_per_point=4, noise=1e-3)
+
+    def build():
+        p, cams, pts = bal.make_bal_problem(data)
+        perturb_ba(p, pts, 0.01, seed=7)
+        return p, compile_problem(p, solver="schur", schur_family=bal.PT)
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    p1, c_ref = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    p2, c_f = build()
+    assert c_f.schur_info.w_pm is not None
+    cost_ref, sys_ref = jax.jit(c_ref.assemble)(p1.stacked_variables())
+    cost_f, sys_f = jax.jit(c_f.assemble)(p2.stacked_variables())
+    np.testing.assert_allclose(float(cost_f), float(cost_ref), rtol=1e-13)
+    for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4], sys_ref[:4]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
+        )
+    n_r, nrp, dr_s, pm_of_std = c_f.schur_info.w_pm
+    w_std = np.asarray(sys_f[4]).transpose(0, 2, 1)[:, :, pm_of_std]
+    np.testing.assert_allclose(
+        w_std, np.asarray(sys_ref[4]), rtol=1e-10, atol=1e-12
+    )
