@@ -88,6 +88,105 @@ def snavely_residual_cm(measurement, camera_cm, point_cm):
                       f * distortion * xp1 - m[1]])
 
 
+def snavely_jacobian_cm(measurement, camera_cm, point_cm):
+    """Hand components-major Snavely residual + analytic Jacobian:
+    returns ``(r [2, B], J [2, 12, B])`` (tangent columns: camera
+    [w, t, f, k1, k2], then point).
+
+    One pass instead of the 12 linear passes of the synthesized
+    ``_auto_cm_jacobian`` (core/problem.py) — real-BAL assembly cost then
+    matches the hand pinhole bench path.  Derivation: with Q = G·P where
+    G = ∂res/∂xp = f·(D·I + 2(k1+2k2·r²)·xp·xpᵀ) and
+    P = ∂xp/∂p = (1/p₂)·[[−1,0,−xp₀],[0,−1,−xp₁]], each residual row's
+    gradient q gives  J_t = q,  J_X = a·q + s·(q×w) + c·(q·w)·w  (= q·R),
+    J_w = s·(X×q) + c·(w·X)·q + c·(q·w)·X
+          + [−s·(q·X) + A·(q·(w×X)) + B₂·(w·X)(q·w)]·w,
+    with a = cosθ, s = sincθ, c = (1−cosθ)/θ², A = (a−s)/θ²,
+    B₂ = (s−2c)/θ² (guarded series below θ² = 1e-14, matching the
+    residual's branches).  Verified against the synthesized Jacobian in
+    tests/test_bal.py."""
+    w0, w1, w2 = camera_cm[0], camera_cm[1], camera_cm[2]
+    t0, t1, t2 = camera_cm[3], camera_cm[4], camera_cm[5]
+    f, k1, k2 = camera_cm[6], camera_cm[7], camera_cm[8]
+    x0, x1, x2 = point_cm[0], point_cm[1], point_cm[2]
+    tt = w0 * w0 + w1 * w1 + w2 * w2
+    small = tt < 1e-14
+    tts = jnp.where(small, jnp.ones_like(tt), tt)
+    theta = jnp.sqrt(tts)
+    a = jnp.where(small, 1.0 - tt / 2.0, jnp.cos(theta))
+    s = jnp.where(small, 1.0 - tt / 6.0, jnp.sin(theta) / theta)
+    c = jnp.where(small, 0.5 - tt / 24.0, (1.0 - a) / tts)
+    # d(sinc)/d(θ²) = (a−s)/(2θ²); d(omc)/d(θ²) = (s−2c)/(2θ²).
+    big_a = jnp.where(small, -1.0 / 3.0 + tt / 30.0, (a - s) / tts)
+    big_b = jnp.where(small, -1.0 / 12.0 + tt / 180.0, (s - 2.0 * c) / tts)
+    wx = w1 * x2 - w2 * x1
+    wy = w2 * x0 - w0 * x2
+    wz = w0 * x1 - w1 * x0
+    wdx = w0 * x0 + w1 * x1 + w2 * x2
+    p0 = x0 * a + wx * s + w0 * wdx * c + t0
+    p1 = x1 * a + wy * s + w1 * wdx * c + t1
+    p2 = x2 * a + wz * s + w2 * wdx * c + t2
+    inv = 1.0 / p2
+    xp0 = -p0 * inv
+    xp1 = -p1 * inv
+    r2 = xp0 * xp0 + xp1 * xp1
+    dist = 1.0 + r2 * (k1 + k2 * r2)
+    m = measurement.T
+    res = jnp.stack([f * dist * xp0 - m[0], f * dist * xp1 - m[1]])
+    # Q = G·P per residual row.
+    dd2 = 2.0 * (k1 + 2.0 * k2 * r2)
+    g00 = f * (dist + dd2 * xp0 * xp0)
+    g01 = f * dd2 * xp0 * xp1
+    g11 = f * (dist + dd2 * xp1 * xp1)
+    q00 = -inv * g00
+    q01 = -inv * g01
+    q02 = -inv * (g00 * xp0 + g01 * xp1)
+    q10 = -inv * g01
+    q11 = -inv * g11
+    q12 = -inv * (g01 * xp0 + g11 * xp1)
+
+    def row(q0, q1, q2):
+        qdw = q0 * w0 + q1 * w1 + q2 * w2
+        qdx = q0 * x0 + q1 * x1 + q2 * x2
+        qdwx = q0 * wx + q1 * wy + q2 * wz  # q·(w×X)
+        # X×q
+        xq0 = x1 * q2 - x2 * q1
+        xq1 = x2 * q0 - x0 * q2
+        xq2 = x0 * q1 - x1 * q0
+        # q×w
+        qw0 = q1 * w2 - q2 * w1
+        qw1 = q2 * w0 - q0 * w2
+        qw2 = q0 * w1 - q1 * w0
+        coef = -s * qdx + big_a * qdwx + big_b * wdx * qdw
+        jw = [
+            s * xq0 + c * (wdx * q0 + qdw * x0) + coef * w0,
+            s * xq1 + c * (wdx * q1 + qdw * x1) + coef * w1,
+            s * xq2 + c * (wdx * q2 + qdw * x2) + coef * w2,
+        ]
+        jx = [
+            a * q0 + s * qw0 + c * qdw * w0,
+            a * q1 + s * qw1 + c * qdw * w1,
+            a * q2 + s * qw2 + c * qdw * w2,
+        ]
+        return jw, jx
+
+    jw0, jx0 = row(q00, q01, q02)
+    jw1, jx1 = row(q10, q11, q12)
+    row0 = jnp.stack(
+        jw0
+        + [q00, q01, q02, dist * xp0, f * r2 * xp0, f * r2 * r2 * xp0]
+        + jx0,
+        axis=0,
+    )
+    row1 = jnp.stack(
+        jw1
+        + [q10, q11, q12, dist * xp1, f * r2 * xp1, f * r2 * r2 * xp1]
+        + jx1,
+        axis=0,
+    )
+    return res, jnp.stack([row0, row1], axis=0)  # [2, 12, B]
+
+
 def load_bal(path: str) -> dict:
     """Parse a BAL text file into arrays: cameras [C,9], points [P,3],
     cam_idx [K], pt_idx [K], observations [K,2]."""
@@ -113,14 +212,16 @@ def load_bal(path: str) -> dict:
 
 
 def make_bal_problem(data: dict, dtype=None, robust_width=None,
-                     batched="cm") -> tuple:
+                     batched="cm", hand_jacobian=True) -> tuple:
     """Build a Problem from parsed BAL arrays; returns
     ``(problem, camera_handles, point_handles)``.
 
-    ``batched="cm"`` (default) uses the components-major residual with a
-    synthesized cm Jacobian — real BAL data then takes the dual-sorted /
-    fused-kernel assembly path on TPU; ``batched=False`` keeps the
-    per-cost vmapped formulation (the reference-shaped baseline)."""
+    ``batched="cm"`` (default) uses the components-major residual with the
+    hand analytic Jacobian (``hand_jacobian=False`` falls back to the
+    synthesized 12-pass cm Jacobian) — real BAL data then takes the
+    dual-sorted / fused-kernel assembly path on TPU; ``batched=False``
+    keeps the per-cost vmapped formulation (the reference-shaped
+    baseline)."""
     p = Problem(dtype=dtype)
     cameras = p.add_variables(CAM, data["cameras"])
     points = p.add_variables(PT, data["points"])
@@ -132,6 +233,7 @@ def make_bal_problem(data: dict, dtype=None, robust_width=None,
             params=np.asarray(data["observations"]),
             kernel=kernel,
             batched="cm",
+            jacobian=snavely_jacobian_cm if hand_jacobian else None,
         )
     else:
         p.add_cost_batch(

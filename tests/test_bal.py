@@ -183,6 +183,51 @@ def test_bal_cm_matches_per_cost():
     )
 
 
+def test_snavely_hand_jacobian_matches_synthesized():
+    """The hand analytic cm Snavely Jacobian must match the synthesized
+    (linearize + 12 basis-tangent passes) one, including at the tiny-angle
+    series branch and with strong distortion."""
+    import jax.numpy as jnp
+    from nllstpu.core.problem import _auto_cm_jacobian
+
+    rng = np.random.default_rng(5)
+    b = 64
+    cams = rng.standard_normal((9, b))
+    cams[:3] *= 0.8  # exercise the large-angle branch
+    cams[:3, :8] *= 1e-9  # and the θ²<1e-14 series branch
+    cams[6] = 300.0 + 200.0 * rng.random(b)
+    cams[7] = rng.standard_normal(b) * 1e-2
+    cams[8] = rng.standard_normal(b) * 1e-3
+    pts = rng.standard_normal((3, b))
+    pts[2] += 6.0
+    meas = rng.standard_normal((b, 2)) * 5.0
+    auto = _auto_cm_jacobian(bal.snavely_residual_cm, (bal.CAM, bal.PT))
+    r_a, j_a = auto(jnp.asarray(meas), jnp.asarray(cams), jnp.asarray(pts))
+    r_h, j_h = bal.snavely_jacobian_cm(
+        jnp.asarray(meas), jnp.asarray(cams), jnp.asarray(pts)
+    )
+    np.testing.assert_allclose(np.asarray(r_h), np.asarray(r_a), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(j_h), np.asarray(j_a), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_bal_hand_jacobian_end_to_end():
+    """make_bal_problem's default (hand Jacobian) converges to the same
+    optimum as the synthesized-Jacobian build."""
+    data = bal.make_synthetic_bal(6, 48, obs_per_point=4, noise=1e-3)
+
+    def run(hand):
+        p, cams, pts = bal.make_bal_problem(data, hand_jacobian=hand)
+        perturb_ba(p, pts, 0.01, seed=7)
+        return nt.optimize(p, nt.Options(solver="schur", schur_family=bal.PT))
+
+    r_hand, r_auto = run(True), run(False)
+    np.testing.assert_allclose(
+        float(r_hand.best_cost), float(r_auto.best_cost), rtol=1e-9
+    )
+
+
 def test_bal_cm_fused_all_kernel(monkeypatch):
     """Real-data composition: BAL cm batch (synthesized Jacobian, dr_s=9
     Snavely cameras) through the whole-system fused kernel
