@@ -1181,27 +1181,35 @@ def build_schur_info(
 def _w_pm_data(batches, info: "SchurInfo"):
     """P-major dense-W layout data (SchurInfo.w_pm), or None.
 
-    Enabled only when ``NLLSTPU_W_IMPL=pallas`` AND exactly one batch
-    touches the eliminated family AND that batch runs the dual-sorted cm
-    fast path AND the reduced space is exactly the coupled family's
-    unfixed-variable grid — then the Pallas placement kernel is the SOLE
-    W writer and every consumer permutation is well-defined (see
-    ops/pallas/w_place.py).  Anything else keeps the standard layout."""
-    if _w_impl() not in (
+    Enabled only when a pallas W implementation is selected AND exactly one
+    W-PRODUCING batch (≥2 slots, one of them eliminated) touches the
+    eliminated family AND that batch runs the dual-sorted cm fast path AND
+    the reduced space is exactly the coupled family's unfixed-variable
+    grid — then the Pallas placement kernel is the SOLE W writer and every
+    consumer permutation is well-defined (see ops/pallas/w_place.py).
+    Single-slot eliminated-family batches (point priors) contribute
+    h_ll/g_l only — never W — so any number of them ride along; the same
+    holds for pure-reduced batches (camera priors, pose-graph edges).
+    ``fused_all`` never runs the camera-major leg, so the camera repack
+    (which bails on real-data camera-degree skew) is not required there.
+    Anything else keeps the standard layout."""
+    impl = _w_impl()
+    if impl not in (
         "pallas", "pallas_interpret", "fused", "fused_interpret",
         "fused_all", "fused_all_interpret",
     ):
         return None
     if info.num_elim == 0 or info.dim_reduced == 0:
         return None
-    touching = [
+    w_producing = [
         bi
         for bi, b in enumerate(batches)
-        if any(family_name(m) == info.elim_family for m in b.manifolds)
+        if len(b.manifolds) > 1
+        and any(family_name(m) == info.elim_family for m in b.manifolds)
     ]
-    if len(touching) != 1:
+    if len(w_producing) != 1:
         return None
-    bi = touching[0]
+    bi = w_producing[0]
     b = batches[bi]
     f = info.fast[bi] if bi < len(info.fast) else None
     eslots = [
@@ -1211,9 +1219,13 @@ def _w_pm_data(batches, info: "SchurInfo"):
     ]
     if (
         len(eslots) != 1
+        or len(b.manifolds) != 2
         or f is None
         or f.obs_k is None
-        or f.cam_batch is None
+        or (
+            f.cam_batch is None
+            and impl not in ("fused_all", "fused_all_interpret")
+        )
         or getattr(b, "batched", None) != "cm"
     ):
         return None

@@ -501,6 +501,122 @@ def test_assemble_fused_all_bf16_w(monkeypatch):
     )
 
 
+def _prior_residual_cm(params, v_cm):
+    return v_cm - params.T
+
+
+def test_fused_all_keeps_w_pm_with_priors(monkeypatch):
+    """Real-BA composition: a BAL problem PLUS a point-prior batch (touches
+    the eliminated family, single slot — h_ll/g_l only) PLUS a camera-prior
+    batch (pure reduced) must keep the fused/p-major path for the
+    observation batch, and the full assembled system must match the one-hot
+    build."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models import bal
+    from nllstpu.models.ba import perturb_ba
+
+    data = bal.make_synthetic_bal(5, 40, obs_per_point=4, noise=1e-3)
+
+    def build():
+        p, cams, pts = bal.make_bal_problem(data, dtype=jnp.float64)
+        rng = np.random.default_rng(4)
+        p.add_cost_batch(
+            _prior_residual_cm,
+            slots=[(bal.PT, np.arange(0, 40, 3, dtype=np.int32))],
+            params=data["points"][::3] + rng.standard_normal((14, 3)) * 0.01,
+            batched="cm",
+        )
+        p.add_cost_batch(
+            _prior_residual_cm,
+            slots=[(bal.CAM, np.arange(5, dtype=np.int32))],
+            params=data["cameras"] * 1.001,
+            batched="cm",
+        )
+        perturb_ba(p, pts, 0.01, seed=7)
+        c = compile_problem(p, solver="schur", schur_family=bal.PT)
+        return p, c, jax.jit(c.assemble)(p.stacked_variables())
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    p1, c_ref, (cost_ref, sys_ref) = build()
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    p2, c_f, (cost_f, sys_f) = build()
+    assert c_f.schur_info.w_pm is not None  # priors must not kill the path
+    np.testing.assert_allclose(float(cost_f), float(cost_ref), rtol=1e-13)
+    for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4], sys_ref[:4]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
+        )
+    np.testing.assert_allclose(
+        _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+        rtol=1e-10, atol=1e-12,
+    )
+    # End to end: both builds converge to the same optimum.
+    import nllstpu as nt
+
+    r_f = nt.optimize(p2, nt.Options(solver="schur", schur_family=bal.PT))
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    r_ref = nt.optimize(p1, nt.Options(solver="schur", schur_family=bal.PT))
+    np.testing.assert_allclose(
+        float(r_f.best_cost), float(r_ref.best_cost), rtol=1e-9
+    )
+
+
+def test_fused_all_keeps_w_pm_with_camera_skew(monkeypatch):
+    """Skewed obs-per-camera degree distributions (real BAL) bail the
+    camera-major repack; fused_all never uses it, so the p-major fused
+    path must stay on and match the one-hot system."""
+    import jax
+
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models import bal
+    from nllstpu.models.ba import perturb_ba
+
+    # Heavily skewed camera degrees: camera 0 sees almost every point.
+    rng = np.random.default_rng(8)
+    ncam, npt, opp = 16, 40, 2
+    data = bal.make_synthetic_bal(ncam, npt, obs_per_point=opp)
+    prob = np.array([0.55] + [0.45 / (ncam - 1)] * (ncam - 1))
+    for j in range(npt):
+        cams = rng.choice(ncam, size=opp, replace=False, p=prob)
+        data["cam_idx"][j * opp : (j + 1) * opp] = cams
+    # Regenerate observations from ground truth for the new cam_idx.
+    data = dict(data)
+
+    def reproject(d):
+        cams_cm = jnp.asarray(d["cameras"][d["cam_idx"]].T)
+        pts_cm = jnp.asarray(d["points"][d["pt_idx"]].T)
+        zero = jnp.zeros((d["cam_idx"].shape[0], 2))
+        return np.asarray(bal.snavely_residual_cm(zero, cams_cm, pts_cm).T)
+
+    data["observations"] = reproject(data)
+
+    def build():
+        p, cams, pts = bal.make_bal_problem(data, dtype=jnp.float64)
+        perturb_ba(p, pts, 0.01, seed=7)
+        return p, compile_problem(p, solver="schur", schur_family=bal.PT)
+
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "fused_all_interpret")
+    p2, c_f = build()
+    fast = c_f.schur_info.fast[0]
+    assert fast.cam_batch is None  # the skew killed the camera repack...
+    assert c_f.schur_info.w_pm is not None  # ...but not the fused path
+    cost_f, sys_f = jax.jit(c_f.assemble)(p2.stacked_variables())
+    monkeypatch.setenv("NLLSTPU_W_IMPL", "onehot")
+    p1, c_ref = build()
+    cost_ref, sys_ref = jax.jit(c_ref.assemble)(p1.stacked_variables())
+    np.testing.assert_allclose(float(cost_f), float(cost_ref), rtol=1e-13)
+    for name, a, b in zip("a_rr b_r h_ll g_l".split(), sys_f[:4], sys_ref[:4]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
+        )
+    np.testing.assert_allclose(
+        _pm_to_std(sys_f, c_f.schur_info), np.asarray(sys_ref[4]),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
 def test_w_pm_vmem_gate(monkeypatch):
     """Problems whose reduced space is too wide for the fused kernels'
     VMEM blocks must fall back to the standard W layout (w_pm None) even
