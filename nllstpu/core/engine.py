@@ -80,11 +80,20 @@ def resolve_unfixed(problem: Problem, unfixed) -> dict:
     return masks
 
 
-def build_layout(problem: Problem, unfixed=None, batches=None, order_last=None) -> Layout:
+def build_layout(problem: Problem, unfixed=None, batches=None, order_last=None,
+                 order_key=None) -> Layout:
     """``order_last`` (a family name) forces that family's tangent block to
     the end of the global vector — the Schur solver requires the eliminated
     family to occupy the trailing block so the reduced/eliminated split is a
-    contiguous slice."""
+    contiguous slice.
+
+    ``order_key`` optionally maps a family name to a per-variable sort key
+    array: that family's unfixed variables are laid out in DESCENDING key
+    order (stable) instead of index order.  The Schur backend uses this to
+    relabel eliminated variables by observation count so skewed (real-BAL)
+    degree distributions become contiguous run-length buckets — the layout
+    is the single source of truth for the id order, so every downstream
+    consumer (elim_ids, W columns, step slices) stays consistent for free."""
     masks = resolve_unfixed(problem, unfixed)
     offsets = {}
     running = 0
@@ -94,6 +103,16 @@ def build_layout(problem: Problem, unfixed=None, batches=None, order_last=None) 
     for name in names:
         man = problem.manifold_of(name)
         mask = np.asarray(masks[name], dtype=bool)
+        key = None if order_key is None else order_key.get(name)
+        if key is not None:
+            # Descending-key stable order among the unfixed variables.
+            order = np.argsort(-np.asarray(key), kind="stable")
+            order = order[mask[order]]  # unfixed only, in key order
+            off = np.full(mask.shape[0], -1, dtype=np.int32)
+            off[order] = running + np.arange(order.shape[0], dtype=np.int32) * man.dof
+            running += int(order.shape[0]) * man.dof
+            offsets[name] = off
+            continue
         # Vectorized offset assignment: a per-variable Python loop costs
         # seconds of pure host time per compile at BAL scale (1M landmarks).
         rank = np.cumsum(mask) - 1  # rank of each free var within family
@@ -283,30 +302,36 @@ def _gather_vals_cm(batch: CostBatch, variables: dict, runs=None):
     dimension, so the whole residual computation runs on well-tiled [B]
     vectors (the [B, *shape] layout pads tiny trailing dims ~50x on TPU).
 
-    ``runs = (slot, L, k)`` marks an obs-major batch (column ``l·k + j`` =
-    landmark ``l``'s j-th cost, ops/schur.obs_major_repack): slot ``slot``
-    is then gathered once per landmark ([ambient, L]) and broadcast over
-    the run — replacing a B-wide lane gather with an L-wide one plus a
-    free broadcast.  Masked pad slots inside a run receive the run's
-    landmark value instead of the row-0 copy the plain gather yields;
-    every consumer zeroes masked contributions (d1/d2/mask), so only
-    dead values change."""
+    ``runs = (slot, buckets)`` marks an obs-major batch (column
+    ``col_base + (l − l_base)·k + j`` = the j-th cost of landmark ``l`` in
+    that bucket, ops/schur.obs_major_repack; uniform problems have one
+    bucket): slot ``slot`` is then gathered once per landmark ([ambient,
+    L_b] per bucket) and broadcast over the run — replacing a B-wide lane
+    gather with a run-count-wide one plus a free broadcast.  Masked pad
+    slots inside a run receive the run's landmark value instead of the
+    row-0 copy the plain gather yields; every consumer zeroes masked
+    contributions (d1/d2/mask), so only dead values change."""
     out = []
     for slot_i, (m, idx) in enumerate(zip(batch.manifolds, batch.idx)):
         arr = variables[family_name(m)]
         flat = arr.reshape(arr.shape[0], -1).T  # [ambient, n] — n is small
         if runs is not None and slot_i == runs[0]:
-            _, L, k = runs
             amb = flat.shape[0]
-            head = flat[:, idx[: L * k : k]]  # [ambient, L]
-            head = jnp.broadcast_to(
-                head[:, :, None], (amb, L, k)
-            ).reshape(amb, L * k)
-            if idx.shape[0] > L * k:
-                head = jnp.concatenate(
-                    [head, flat[:, idx[L * k :]]], axis=1
+            parts = []
+            pos = 0
+            for (l0, lb, kb, c0) in runs[1]:
+                if c0 > pos:  # gap between bucket regions: plain gather
+                    parts.append(flat[:, idx[pos:c0]])
+                head = flat[:, idx[c0 : c0 + lb * kb : kb]]  # [ambient, L_b]
+                parts.append(
+                    jnp.broadcast_to(
+                        head[:, :, None], (amb, lb, kb)
+                    ).reshape(amb, lb * kb)
                 )
-            out.append(head)
+                pos = c0 + lb * kb
+            if idx.shape[0] > pos:
+                parts.append(flat[:, idx[pos:]])
+            out.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1))
         else:
             out.append(flat[:, idx])
     return tuple(out)

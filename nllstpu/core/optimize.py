@@ -68,14 +68,15 @@ class CompiledProblem:
         out = [None] * len(self.batches)
         if si is None:
             return out
+        from ..ops.schur import _fast_buckets
+
         for bi, f in enumerate(si.fast or ()):
             b = self.batches[bi]
-            if (
-                f is not None
-                and f.obs_k is not None
-                and getattr(b, "batched", None) == "cm"
-            ):
-                out[bi] = (1 - f.r_slot, si.num_elim, f.obs_k)
+            if f is None or getattr(b, "batched", None) != "cm":
+                continue
+            buckets = _fast_buckets(f, si)
+            if buckets is not None:
+                out[bi] = (1 - f.r_slot, buckets)
         return out
 
     def assemble(self, variables):
@@ -180,6 +181,42 @@ def _auto_dense_or_cg(problem, batches, layout):
     return "cg" if nnz * 64 < 25 * d * (d - 40) else "dense"
 
 
+def _auto_schur_family(problem, batches, layout):
+    """Detect the bipartite-eliminable ("landmark") family so plain
+    ``optimize(p)`` lands on the Schur backend without the user knowing the
+    term: a small-dof family that (a) no cost touches more than once —
+    the Schur structural requirement, reference src/problem.jl:185 — (b)
+    dominates the tangent space (eliminating it shrinks the solve the
+    most), and (c) leaves a non-empty reduced system.  Pairwise-coupled
+    families (pose-graph edges: two slots of the same family per cost)
+    disqualify themselves via (a).  Returns the Manifold or None."""
+    counts = {name: 0 for name in problem.family_names()}
+    for b in batches:
+        per = {}
+        for m in b.manifolds:
+            per[family_name(m)] = per.get(family_name(m), 0) + 1
+        for name, k in per.items():
+            if k > 1:
+                counts[name] = -1  # structurally ineligible
+    best = None
+    for name in problem.family_names():
+        if counts[name] < 0:
+            continue
+        man = problem.manifold_of(name)
+        if man.dof > 3:
+            continue  # points/scalars only — closed-form block inverses
+        offs = np.asarray(layout.offsets[name])
+        n_unfixed = int((offs < layout.dof_total).sum())
+        fam_dof = n_unfixed * man.dof
+        if n_unfixed < 64 or fam_dof * 2 < layout.dof_total:
+            continue
+        if layout.dof_total - fam_dof <= 0:
+            continue  # nothing left to reduce onto
+        if best is None or fam_dof > best[0]:
+            best = (fam_dof, man)
+    return None if best is None else best[1]
+
+
 def compile_problem(
     problem: Problem, unfixed=None, solver: str = "dense", schur_family=None
 ) -> CompiledProblem:
@@ -198,16 +235,36 @@ def compile_problem(
         else:
             layout = engine.build_layout(problem, unfixed, batches=batches)
             solver = _auto_dense_or_cg(problem, batches, layout)
+            if solver == "cg":
+                cand = _auto_schur_family(problem, batches, layout)
+                if cand is not None:
+                    solver, schur_family = "schur", cand
     manifolds = {name: problem.manifold_of(name) for name in problem.family_names()}
     if solver in ("schur", "schur_cg"):
         if schur_family is None:
             raise ValueError(f"solver={solver!r} requires schur_family")
         from ..ops import schur
 
-        layout = engine.build_layout(
-            problem, unfixed, batches=batches, order_last=family_name(schur_family)
-        )
         implicit = solver == "schur_cg"
+        # Degree-skew detection: real-BAL track-length distributions are
+        # long-tailed, and padding every landmark's run to the max length
+        # blows the obs-major compute budget.  When skewed, relabel the
+        # eliminated variables in DESCENDING observation count via the
+        # layout (single source of truth for id order) so the repack can
+        # bucket them into contiguous power-of-two degree classes
+        # (ops/schur.obs_major_repack).  Uniform problems keep index order
+        # — the round-1..3 layout, bit-identical.
+        from ..ops.schur import _OBS_MAJOR_MAX_RATIO, elim_degree_counts
+
+        counts = elim_degree_counts(batches, problem, schur_family)
+        order_key = None
+        if counts.size and counts.sum() > 0:
+            if counts.size * counts.max() > _OBS_MAJOR_MAX_RATIO * counts.sum():
+                order_key = {family_name(schur_family): counts}
+        layout = engine.build_layout(
+            problem, unfixed, batches=batches,
+            order_last=family_name(schur_family), order_key=order_key,
+        )
         if not implicit:
             # The direct elimination stores W densely: [L, Dr, dl].  Past a
             # memory budget, fall back to the implicit (matrix-free) reduced
@@ -228,10 +285,10 @@ def compile_problem(
         pre = schur.build_schur_info(
             problem, layout, schur_family, implicit=implicit
         )
-        batches = schur.repack_batches_for_schur(batches, pre)
+        batches, obs_meta = schur.repack_batches_for_schur(batches, pre)
         info = schur.build_schur_info(
             problem, layout, schur_family, implicit=implicit,
-            batches=batches,
+            batches=batches, obs_meta=obs_meta,
         )
         return CompiledProblem(
             manifolds=manifolds,
@@ -285,13 +342,17 @@ def _termination_bits(cost, dcost, bestcost, maxstep, fails, iternum, opts):
 # ---------------------------------------------------------------------------
 
 
-def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0):
-    """Generic jitted outer-optimization loop over an arbitrary variables
-    pytree (the reference's ``optimizeinternal!``, src/optimize.jl:109-180).
-    Used both for the full multivariate solve and — vmapped — for the
-    per-variable alternation solves."""
+def _loop_machine(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options):
+    """Build the jitted outer-loop machine as ``(init, cond, body, finish)``
+    over a state dict — the reference's ``optimizeinternal!``
+    (src/optimize.jl:109-180) as a resumable state machine.  ``run_loop``
+    composes the pieces into one ``lax.while_loop``; the chunked driver
+    (``_run_jit``) instead runs host-resumable chunks so the wall-clock
+    budget ``max_time`` is ALWAYS enforced (at chunk granularity) without
+    per-iteration host callbacks — closing the reference-semantics gap
+    where a fully-jitted solve honored only ``max_iters``
+    (src/optimize.jl:160-163)."""
     dtype = ctx.dtype
-    c0 = cost_fn(vars0)
 
     # Opt-in wall-clock termination inside the jitted loop: an ordered
     # io_callback reads the host monotonic clock once per outer iteration.
@@ -308,10 +369,6 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
 
         def _now():
             return np.float32(time.monotonic() - _t_base)
-
-        t0 = io_callback(_now, _t_sds, ordered=True)
-    else:
-        t0 = jnp.float32(0)
 
     # Opt-in per-iteration printout from INSIDE the jitted loop — reference
     # ``printoutcallback`` parity (src/callbacks.jl:39-60) without forcing
@@ -362,27 +419,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 ordered=True,
             )
 
-        _emit_row(0, c0, c0, 0.0, iterators.init_data(dtype, opts))
-
-    state = dict(
-        variables=vars0,
-        varbest=vars0,
-        bestcost=c0,
-        lastcost=c0,
-        itdata=iterators.init_data(dtype, opts),
-        fails=jnp.int32(0),
-        iternum=jnp.int32(0),
-        converged=jnp.int32(0),
-        ncost=jnp.int32(1),
-        ngrad=jnp.int32(0),
-        nsolve=jnp.int32(0),
-        t0=t0,
-        trace=(
-            jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
-            if opts.store_trajectory
-            else jnp.zeros((0,), dtype=dtype)
-        ),
-    )
+    store_traj = bool(opts.store_trajectory)
 
     def cond(st):
         return st["converged"] == 0
@@ -421,13 +458,61 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
             fused_trial = (
                 env not in ("0", "false", "off") if env is not None else False
             )
-        _, sys0 = assemble_fn(vars0)
+
+    def init(vars0):
+        c0 = cost_fn(vars0)
+        if use_timer:
+            from jax.experimental import io_callback
+
+            t0 = io_callback(_now, _t_sds, ordered=True)
+        else:
+            t0 = jnp.float32(0)
+        if use_print:
+            _emit_row(0, c0, c0, 0.0, iterators.init_data(dtype, opts))
         state = dict(
-            state,
-            sys=sys0,
-            mu=jnp.asarray(2.0, dtype),
-            ngrad=jnp.int32(1),  # the pre-loop assemble above
+            variables=vars0,
+            varbest=vars0,
+            bestcost=c0,
+            lastcost=c0,
+            startcost=c0,
+            itdata=iterators.init_data(dtype, opts),
+            fails=jnp.int32(0),
+            iternum=jnp.int32(0),
+            converged=jnp.int32(0),
+            ncost=jnp.int32(1),
+            ngrad=jnp.int32(0),
+            nsolve=jnp.int32(0),
+            t0=t0,
+            trace=(
+                jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
+                if store_traj
+                else jnp.zeros((0,), dtype=dtype)
+            ),
+            # Per-iteration step 2-norms + (with the io_callback timer)
+            # iteration-end times — reference CostTrajectory fidelity
+            # (src/callbacks.jl:85-107) from inside the jitted loop.
+            trace_step=(
+                jnp.full((opts.max_iters,), jnp.nan, dtype=dtype)
+                if store_traj
+                else jnp.zeros((0,), dtype=dtype)
+            ),
+            trace_time=(
+                jnp.full((opts.max_iters,), jnp.nan, dtype=jnp.float32)
+                if (store_traj and use_timer)
+                else jnp.zeros((0,), dtype=jnp.float32)
+            ),
         )
+        if flat_lm:
+            _, sys0 = assemble_fn(vars0)
+            state = dict(
+                state,
+                sys=sys0,
+                mu=jnp.asarray(2.0, dtype),
+                ngrad=jnp.int32(1),  # the pre-loop assemble above
+            )
+        return state
+
+    if flat_lm:
 
         def body_flat(st):
             sys = st["sys"]
@@ -483,10 +568,23 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                     emit=jnp.int32(inner_accept),
                 )
             trace = st["trace"]
-            if opts.store_trajectory:
+            trace_step = st["trace_step"]
+            trace_time = st["trace_time"]
+            if store_traj:
                 trace = jnp.where(
                     inner_accept, trace.at[iternum - 1].set(c), trace
                 )
+                trace_step = jnp.where(
+                    inner_accept,
+                    trace_step.at[iternum - 1].set(jnp.linalg.norm(x)),
+                    trace_step,
+                )
+                if use_timer:
+                    trace_time = jnp.where(
+                        inner_accept,
+                        trace_time.at[iternum - 1].set(now - st["t0"]),
+                        trace_time,
+                    )
             cont = inner_accept & (bits == 0)
             if fused_trial:
                 # The trial already assembled its system: accepted trips
@@ -507,6 +605,7 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 varbest=varbest,
                 bestcost=jnp.where(inner_accept, bestcost, st["bestcost"]),
                 lastcost=jnp.where(inner_accept, c, st["lastcost"]),
+                startcost=st["startcost"],
                 itdata=dict(
                     itdata,
                     lm_lambda=jnp.where(
@@ -524,17 +623,23 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 nsolve=st["nsolve"] + 1,
                 t0=st["t0"],
                 trace=trace,
+                trace_step=trace_step,
+                trace_time=trace_time,
                 sys=sys_next,
             )
 
-        final = jax.lax.while_loop(cond, body_flat, state)
-        final = {k: v for k, v in final.items() if k not in ("sys", "mu")}
-        out_vars = _tree_select(
-            ~(final["bestcost"] >= final["lastcost"]),
-            final["varbest"],
-            final["variables"],
-        )
-        return dict(final, variables=out_vars, startcost=c0)
+        def finish(final):
+            final = {
+                k: v for k, v in final.items() if k not in ("sys", "mu")
+            }
+            out_vars = _tree_select(
+                ~(final["bestcost"] >= final["lastcost"]),
+                final["varbest"],
+                final["variables"],
+            )
+            return dict(final, variables=out_vars)
+
+        return init, cond, body_flat, finish
 
     def body(st):
         _, sys = assemble_fn(st["variables"])
@@ -563,13 +668,19 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
                 iternum, c, st["bestcost"], jnp.linalg.norm(x), itdata
             )
         trace = st["trace"]
-        if opts.store_trajectory:
+        trace_step = st["trace_step"]
+        trace_time = st["trace_time"]
+        if store_traj:
             trace = trace.at[iternum - 1].set(c)
+            trace_step = trace_step.at[iternum - 1].set(jnp.linalg.norm(x))
+            if use_timer:
+                trace_time = trace_time.at[iternum - 1].set(now - st["t0"])
         return dict(
             variables=nv,
             varbest=varbest,
             bestcost=bestcost,
             lastcost=c,
+            startcost=st["startcost"],
             itdata=itdata,
             fails=fails,
             iternum=iternum,
@@ -579,16 +690,32 @@ def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0)
             nsolve=st["nsolve"] + ns,
             t0=st["t0"],
             trace=trace,
+            trace_step=trace_step,
+            trace_time=trace_time,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
-    # Roll back to the best variables if the last ones are worse — NaN-safe
-    # like the reference's ``!(bestcost >= cost)`` (src/optimize.jl:173-176):
-    # a NaN final cost must also trigger the rollback.
-    out_vars = _tree_select(
-        ~(final["bestcost"] >= final["lastcost"]), final["varbest"], final["variables"]
-    )
-    return dict(final, variables=out_vars, startcost=c0)
+    def finish(final):
+        # Roll back to the best variables if the last ones are worse —
+        # NaN-safe like the reference's ``!(bestcost >= cost)``
+        # (src/optimize.jl:173-176): a NaN final cost must also trigger the
+        # rollback.
+        out_vars = _tree_select(
+            ~(final["bestcost"] >= final["lastcost"]),
+            final["varbest"],
+            final["variables"],
+        )
+        return dict(final, variables=out_vars)
+
+    return init, cond, body, finish
+
+
+def run_loop(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options, vars0):
+    """Generic jitted outer-optimization loop over an arbitrary variables
+    pytree (the reference's ``optimizeinternal!``, src/optimize.jl:109-180).
+    Used both for the full multivariate solve and — vmapped — for the
+    per-variable alternation solves."""
+    init, cond, body, finish = _loop_machine(assemble_fn, cost_fn, ctx, opts)
+    return finish(jax.lax.while_loop(cond, body, init(vars0)))
 
 
 #: Fully-jitted implicit programs above this many (padded) observations get
@@ -613,25 +740,50 @@ _GIANT_IMPLICIT_CG_CHUNK = 25
 GIANT_FULLJIT_OBS_LIMIT = 500_000
 
 
-def _make_jit_runner(compiled: CompiledProblem, opts: Options):
-    import os
+class _JitRunner:
+    """Compiled-loop driver with host-resumable chunks.
 
-    if (
-        compiled.schur_info is not None
-        and compiled.schur_info.implicit
-        and getattr(opts, "cg_fixed_iters", None) is None
-        and getattr(opts, "cg_chunk_iters", None) is None
-        and os.environ.get("NLLSTPU_CG_FIXED_ITERS") is None
-        and os.environ.get("NLLSTPU_CG_CHUNK_ITERS") is None
-        and sum(b.n_padded for b in compiled.batches) > GIANT_IMPLICIT_OBS_LIMIT
-    ):
-        opts = dataclasses.replace(
-            opts, cg_chunk_iters=_GIANT_IMPLICIT_CG_CHUNK
-        )
-    ctx = compiled.ctx(opts)
+    ``start(vars0, iter_stop)`` initializes and runs the loop until
+    convergence or ``iter_stop`` completed iterations; ``resume(state,
+    iter_stop)`` continues it.  Both return ``(state, outputs)`` where
+    ``outputs = (variables, trace, trace_step, trace_time, packed)`` are
+    the finished results as of that chunk — a run that converges within
+    its first chunk (the common case) never traces ``resume`` at all, so
+    the always-on wall-clock enforcement costs nothing until a run is
+    actually long."""
 
-    def run(vars0):
-        final = run_loop(compiled.assemble, compiled.cost, ctx, opts, vars0)
+    def __init__(self, compiled: CompiledProblem, opts: Options):
+        import os
+
+        if (
+            compiled.schur_info is not None
+            and compiled.schur_info.implicit
+            and getattr(opts, "cg_fixed_iters", None) is None
+            and getattr(opts, "cg_chunk_iters", None) is None
+            and os.environ.get("NLLSTPU_CG_FIXED_ITERS") is None
+            and os.environ.get("NLLSTPU_CG_CHUNK_ITERS") is None
+            and sum(b.n_padded for b in compiled.batches)
+            > GIANT_IMPLICIT_OBS_LIMIT
+        ):
+            opts = dataclasses.replace(
+                opts, cg_chunk_iters=_GIANT_IMPLICIT_CG_CHUNK
+            )
+        self.compiled = compiled
+        self.opts = opts
+        self._machine = None
+        self._start = None
+        self._resume = None
+
+    def _pieces(self):
+        if self._machine is None:
+            ctx = self.compiled.ctx(self.opts)
+            self._machine = _loop_machine(
+                self.compiled.assemble, self.compiled.cost, ctx, self.opts
+            )
+        return self._machine
+
+    @staticmethod
+    def _outputs(final):
         # Pack all result scalars into one array: a single device readback
         # (slow/fragile transports; see CLAUDE.md).
         packed = jnp.stack(
@@ -645,9 +797,42 @@ def _make_jit_runner(compiled: CompiledProblem, opts: Options):
                 final["nsolve"].astype(jnp.float64),
             ]
         )
-        return final["variables"], final["trace"], packed
+        return (
+            final["variables"],
+            final["trace"],
+            final["trace_step"],
+            final["trace_time"],
+            packed,
+        )
 
-    return jax.jit(run)
+    def start(self, vars0, iter_stop):
+        if self._start is None:
+            init, cond, body, finish = self._pieces()
+
+            def _start(v0, stop):
+                st = jax.lax.while_loop(
+                    lambda s: cond(s) & (s["iternum"] < stop), body, init(v0)
+                )
+                return st, self._outputs(finish(st))
+
+            self._start = jax.jit(_start)
+        return self._start(vars0, jnp.int32(iter_stop))
+
+    def resume(self, state, iter_stop):
+        if self._resume is None:
+            init, cond, body, finish = self._pieces()
+
+            def _resume(st, stop):
+                st = jax.lax.while_loop(
+                    lambda s: cond(s) & (s["iternum"] < stop), body, st
+                )
+                return st, self._outputs(finish(st))
+
+            # Donate the incoming state: chunk N's state is dead once
+            # chunk N+1 starts, and the dense-W system buffer in the flat
+            # LM state is large.
+            self._resume = jax.jit(_resume, donate_argnums=(0,))
+        return self._resume(state, jnp.int32(iter_stop))
 
 
 def _unfixed_cache_key(unfixed):
@@ -691,7 +876,7 @@ class _RunnerEntry:
 
     def runner(self):
         if self._runner is None:
-            self._runner = _make_jit_runner(self.compiled, self.opts)
+            self._runner = _JitRunner(self.compiled, self.opts)
         return self._runner
 
 
@@ -725,20 +910,80 @@ def _cached_entry(problem, opts, unfixed) -> _RunnerEntry:
     return entry
 
 
+#: First-chunk iteration budget of the chunked jit driver: one host
+#: round-trip per this many iterations caps the ``max_time`` enforcement
+#: overhead at well under 1% while guaranteeing at least this much progress
+#: even when compilation alone exceeds the budget (mirrors the stepped
+#: driver, which likewise checks the clock only after a full iteration).
+_JIT_TIME_CHUNK = 32
+
+
 def _run_jit(problem, entry: _RunnerEntry, opts) -> Result:
     t0 = time.perf_counter()
     runner = entry.runner()
     vars0 = problem.stacked_variables()
     t1 = time.perf_counter()
-    out_vars, trace, packed = runner(vars0)
-    stats = np.asarray(packed)  # single readback fences execution
+    # Wall-clock budget enforcement (reference src/optimize.jl:160-163 —
+    # ALWAYS on there): with a finite ``max_time`` the loop runs in
+    # host-resumable chunks and the clock is checked between chunks; the
+    # opt-in ``jit_max_time`` io_callback path keeps per-iteration
+    # precision inside one program.  ``max_time=inf`` runs one program.
+    chunked = np.isfinite(opts.max_time) and not getattr(
+        opts, "jit_max_time", False
+    )
+    timed_out = False
+    if not chunked:
+        state, outs = runner.start(vars0, opts.max_iters)
+        stats = np.asarray(outs[-1])  # single readback fences execution
+    else:
+        iter_stop = min(_JIT_TIME_CHUNK, opts.max_iters)
+        state, outs = runner.start(vars0, iter_stop)
+        stats = np.asarray(outs[-1])
+        t_chunk = time.perf_counter()
+        prev_done = 0
+        while stats[2] == 0:  # chunk budget hit, not converged
+            elapsed = time.perf_counter() - t0
+            if elapsed > opts.max_time:
+                timed_out = True
+                break
+            # Size the next chunk from the LAST chunk's per-iteration rate
+            # (excludes compile time after the first chunk), aiming at
+            # ~half the remaining budget per chunk so the overshoot past
+            # max_time stays small while long runs pay only a handful of
+            # host round-trips.
+            done = int(stats[3])
+            per_iter = max(
+                (time.perf_counter() - t_chunk) / max(done - prev_done, 1),
+                1e-6,
+            )
+            remaining = opts.max_time - elapsed
+            grow = int(np.clip(remaining / per_iter * 0.5, 8, 4096))
+            prev_done = done
+            iter_stop = min(done + grow, opts.max_iters)
+            t_chunk = time.perf_counter()
+            state, outs = runner.resume(state, iter_stop)
+            stats = np.asarray(outs[-1])
+    out_vars, trace, trace_step, trace_time, _ = outs
     t2 = time.perf_counter()
     problem.set_values(out_vars)
     n_iter = int(stats[3])
+    termination = int(stats[2]) | (
+        structs.TERM_MAX_TIME if timed_out else 0
+    )
     trajectory = None
     if opts.store_trajectory:
         costs = np.asarray(trace)[:n_iter]
-        trajectory = CostTrajectory(costs=list(costs), times_ns=[], trajectory=[])
+        tt = np.asarray(trace_time)
+        times_ns = (
+            [int(v * 1e9) for v in tt[:n_iter]] if tt.size else []
+        )
+        steps = np.asarray(trace_step)[:n_iter]
+        trajectory = CostTrajectory(
+            costs=list(costs),
+            times_ns=times_ns,
+            trajectory=[],
+            step_norms=list(steps),
+        )
     return Result(
         start_cost=float(stats[0]),
         best_cost=float(stats[1]),
@@ -751,7 +996,7 @@ def _run_jit(problem, entry: _RunnerEntry, opts) -> Result:
         time_cost=float("nan"),
         time_gradient=float("nan"),
         time_solver=float("nan"),
-        termination=int(stats[2]),
+        termination=termination,
         num_iterations=n_iter,
         cost_computations=int(stats[4]),
         gradient_computations=int(stats[5]),
@@ -1074,7 +1319,11 @@ def optimize(
     reported shifted into the user bits of ``Result.termination``.
     """
     options = options or Options()
-    if callback is not None or options.store_trajectory:
+    # ``store_trajectory=True`` keeps full reference fidelity (per-phase
+    # times, full step vectors) on the stepped driver; ``"jit"`` records
+    # costs + step norms (+ times with ``jit_max_time``) from inside the
+    # compiled loop at full jit-driver speed.
+    if callback is not None or options.store_trajectory is True:
         compiled = compile_problem(
             problem, unfixed, solver=options.solver, schur_family=options.schur_family
         )

@@ -50,11 +50,23 @@ class Options:
 
     ``solver`` selects the linear-system backend: ``"dense"`` (full dense
     normal equations), ``"schur"`` (landmark-eliminated reduced system; needs
-    ``schur_family``), or ``"auto"``.  ``max_time`` is enforced in stepped
-    (callback-driven) mode; the fully-jitted loop bounds work by
-    ``max_iters`` unless ``jit_max_time=True`` opts into a host-clock
-    check (one ``io_callback`` round-trip per outer iteration — cheap on
-    CPU, ~tens of ms on tunneled TPU backends, so off by default).
+    ``schur_family``), ``"auto"`` (the reference's dense/sparse heuristic,
+    plus bipartite-family detection that auto-selects Schur for BA-shaped
+    problems), ``"schur_cg"``, or ``"cg"``.
+
+    ``max_time`` is ALWAYS enforced (reference src/optimize.jl:160-163):
+    the stepped driver checks the clock every iteration; the fully-jitted
+    driver runs host-resumable chunks and checks between chunks (a run
+    that converges inside its first chunk pays nothing).
+    ``jit_max_time=True`` upgrades the jitted driver to per-iteration
+    precision via an ordered ``io_callback`` host-clock read (cheap on
+    CPU, ~tens of ms per iteration on tunneled TPU backends).
+
+    ``store_trajectory``: ``True`` records the full reference-fidelity
+    :class:`CostTrajectory` (per-iteration costs, wall times and step
+    vectors) on the stepped driver; ``"jit"`` records costs + step norms
+    (+ times when combined with ``jit_max_time``) from INSIDE the
+    fully-jitted loop at full speed.
     """
 
     rel_dcost: float = 1e-15
@@ -191,8 +203,17 @@ class Result:
 @dataclasses.dataclass
 class CostTrajectory:
     """Per-iteration cost/time/step record (reference ``CostTrajectory``,
-    src/callbacks.jl:85-107)."""
+    src/callbacks.jl:85-107).
+
+    The stepped driver fills ``costs``/``times_ns``/``trajectory`` (full
+    step vectors) exactly like the reference.  The jitted driver
+    (``store_trajectory="jit"``) records ``costs`` and ``step_norms`` from
+    inside the compiled loop; ``times_ns`` additionally requires the
+    per-iteration host clock (``jit_max_time=True``) and ``trajectory``
+    stays empty (storing max_iters full step vectors on-device is the
+    stepped driver's job)."""
 
     costs: list = dataclasses.field(default_factory=list)
     times_ns: list = dataclasses.field(default_factory=list)
     trajectory: list = dataclasses.field(default_factory=list)
+    step_norms: list = dataclasses.field(default_factory=list)

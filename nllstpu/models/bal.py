@@ -300,6 +300,91 @@ def make_synthetic_bal(ncameras=16, npoints=256, obs_per_point=4, seed=1,
     )
 
 
+def make_realistic_bal(ncameras=49, npoints=2048, seed=1, noise=0.0,
+                       track_alpha=2.3, max_track=None, cam_skew=1.0) -> dict:
+    """Synthetic BAL data with **realistic degree distributions** — the
+    shapes that real BAL files (Ladybug/Trafalgar/Venice) exhibit and that
+    ``make_synthetic_bal``'s uniform ``obs_per_point`` does not:
+
+    * **long-tail track lengths**: per-point observation counts follow a
+      discrete power law P(k) ∝ k^-``track_alpha`` on [2, ``max_track``]
+      (real BAL means are ~4 obs/point with maxima 10-30x that), and
+    * **skewed camera degrees**: each track anchors at a camera drawn from
+      a lognormal(σ=``cam_skew``) popularity distribution and covers a
+      contiguous camera window (trajectory-style co-visibility), so
+      obs-per-camera spreads over an order of magnitude.
+
+    Measurements are generated from ground truth (zero-cost optimum, the
+    reference's fixture pattern, test/optimizeba.jl:29).  This is the
+    regression fixture for the Schur fast paths' *skew* handling — the
+    bucketed obs-major layout and the camera-repack-free fused assembly."""
+    rng = np.random.default_rng(seed)
+    if max_track is None:
+        max_track = min(ncameras, 48)
+    max_track = min(max_track, ncameras)
+
+    # Discrete power-law track lengths via inverse-CDF sampling.
+    ks = np.arange(2, max_track + 1)
+    pk = ks.astype(np.float64) ** (-track_alpha)
+    pk /= pk.sum()
+    track_len = rng.choice(ks, size=npoints, p=pk)
+
+    # Lognormal camera popularity; anchor camera per track.
+    cam_w = rng.lognormal(mean=0.0, sigma=cam_skew, size=ncameras)
+    cam_w /= cam_w.sum()
+    anchor = rng.choice(ncameras, size=npoints, p=cam_w)
+
+    # Contiguous camera window per track (mod ncameras): distinct cameras.
+    pt_idx = np.repeat(np.arange(npoints, dtype=np.int32), track_len)
+    within = np.concatenate([np.arange(k) for k in track_len])
+    cam_idx = ((np.repeat(anchor, track_len) + within) % ncameras).astype(
+        np.int32
+    )
+
+    # Geometry: ring cameras, central point cloud (same as
+    # make_synthetic_bal — every camera sees every point, so visibility is
+    # purely the sampled graph above).
+    cameras = np.zeros((ncameras, 9))
+    for i in range(ncameras):
+        ang = 2 * np.pi * i / ncameras
+        cameras[i, :3] = rng.standard_normal(3) * 0.05
+        center = np.array([4 * np.cos(ang), 4 * np.sin(ang), 1.0])
+        cameras[i, 3:6] = -center
+        cameras[i, 6] = 500.0 + rng.random() * 100
+        cameras[i, 7:9] = rng.standard_normal(2) * 1e-7
+    points = rng.standard_normal((npoints, 3)) * 0.5
+    points[:, 2] += 10.0
+
+    w = cameras[cam_idx, :3]
+    t = cameras[cam_idx, 3:6]
+    x = points[pt_idx]
+    theta = np.linalg.norm(w, axis=1, keepdims=True)
+    theta = np.where(theta < 1e-12, 1e-12, theta)
+    axis = w / theta
+    cos_t = np.cos(theta)
+    sin_t = np.sin(theta)
+    p = (
+        x * cos_t
+        + np.cross(axis, x) * sin_t
+        + axis * (np.sum(axis * x, axis=1, keepdims=True) * (1 - cos_t))
+        + t
+    )
+    xp = -p[:, :2] / p[:, 2:3]
+    r2 = np.sum(xp * xp, axis=1, keepdims=True)
+    f = cameras[cam_idx, 6:7]
+    k1 = cameras[cam_idx, 7:8]
+    k2 = cameras[cam_idx, 8:9]
+    obs = f * (1.0 + r2 * (k1 + k2 * r2)) * xp
+    obs = obs + rng.standard_normal(obs.shape) * noise
+    return dict(
+        cameras=cameras,
+        points=points,
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        observations=obs,
+    )
+
+
 def write_bal(path: str, data: dict):
     """Write arrays back to the BAL text format (for loader round-trip
     tests and interchange)."""

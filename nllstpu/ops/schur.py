@@ -268,8 +268,15 @@ class SchurCGOps:
     # Per-wpart obs-major run length (see obs_major_repack): the CG
     # matvec's landmark reductions become contiguous reshape + minor-axis
     # sums and the ``W u`` expansion a broadcast — no gathers in the CG
-    # loop.  None entries use the obs-table / scatter paths.
+    # loop.  None entries use the obs-table / scatter paths.  UNIFORM runs
+    # only — the cluster-Jacobi layout requires it; run structure proper
+    # lives in ``wpart_buckets``.
     wpart_obs_k: tuple = ()
+    # Per-wpart obs-major run buckets (((l_base, L_b, k_b, col_base), ...)
+    # or None): marks a components-major [Sr, dl, B] w_blk whose landmark
+    # reductions are bucketed reshape-sums (uniform batches are one
+    # bucket; skewed real-BAL layouts several).
+    wpart_buckets: tuple = ()
     # Cluster-Jacobi preconditioner (Ceres CLUSTER_JACOBI analogue): group
     # this many consecutive reduced variables per cluster and precondition
     # with the exact [cdim, cdim] diagonal CLUSTER blocks of S — capturing
@@ -344,17 +351,21 @@ class SchurCGOps:
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
         for i, wp in enumerate(wparts):
             vg = vp[wp.rows_r]  # [B, Sr]
-            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
-            if ok is not None:
-                # Obs-major runs: landmark l owns columns [l·K, (l+1)·K).
-                # Masked/dustbin columns contribute zero because their
-                # rows_r point at the zero pad of ``vp``.  w_blk is stored
+            bks = (
+                self.wpart_buckets[i] if i < len(self.wpart_buckets) else None
+            )
+            if bks is not None:
+                # Obs-major run buckets: landmark l of bucket (l0, L_b, K_b,
+                # c0) owns columns c0 + (l−l0)·K_b + j.  Masked/dustbin
+                # columns contribute zero because their rows_r point at the
+                # zero pad of ``vp``; extras (fixed-landmark costs, beyond
+                # the buckets) have no W rows at all.  w_blk is stored
                 # components-major [Sr, dl, B] for obs-major wparts.
-                L = self.num_elim
                 q = jnp.einsum("sdb,bs->db", wp.w_blk, vg)  # cm [dl, B]
-                u = u.at[:, :L].add(
-                    q[:, : L * ok].reshape(-1, L, ok).sum(axis=-1)
-                )
+                for (l0, lb, kb, c0) in bks:
+                    u = u.at[:, l0 : l0 + lb].add(
+                        q[:, c0 : c0 + lb * kb].reshape(-1, lb, kb).sum(-1)
+                    )
                 continue
             if wp.starts is not None and self.segment_impl.startswith("pallas"):
                 from .pallas.segment_sum import CHUNK, segment_block_sum
@@ -393,18 +404,31 @@ class SchurCGOps:
         )
         y = jnp.zeros(self.dim_reduced + self.pad + 1, dtype=u.dtype)
         for i, wp in enumerate(wparts):
-            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
-            if ok is not None:
-                # Obs-major: the gather u[:, lid] is a broadcast over the K
-                # run slots; masked columns (and the extra region beyond
-                # L·K) are zeroed via the lid dustbin mask.  w_blk is
-                # components-major [Sr, dl, B] here.
+            bks = (
+                self.wpart_buckets[i] if i < len(self.wpart_buckets) else None
+            )
+            if bks is not None:
+                # Obs-major: the gather u[:, lid] is a broadcast over the
+                # run slots of each bucket; masked columns (and the extras
+                # region beyond the buckets) are zeroed via the lid dustbin
+                # mask.  w_blk is components-major [Sr, dl, B] here.
                 L = self.num_elim
                 b_tot = wp.lid.shape[0]
-                ug = jnp.broadcast_to(
-                    u[:, :, None], (u.shape[0], L, ok)
-                ).reshape(u.shape[0], L * ok)
-                ug = jnp.pad(ug, ((0, 0), (0, b_tot - L * ok)))
+                parts, pos = [], 0
+                for (l0, lb, kb, c0) in bks:
+                    if c0 > pos:
+                        parts.append(
+                            jnp.zeros((u.shape[0], c0 - pos), dtype=u.dtype)
+                        )
+                    parts.append(
+                        jnp.broadcast_to(
+                            u[:, l0 : l0 + lb, None],
+                            (u.shape[0], lb, kb),
+                        ).reshape(u.shape[0], lb * kb)
+                    )
+                    pos = c0 + lb * kb
+                ug = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+                ug = jnp.pad(ug, ((0, 0), (0, b_tot - pos)))
                 ug = ug * (wp.lid < L)[None, :]
                 t = jnp.einsum("sdb,db->bs", wp.w_blk, ug)  # [B, Sr]
             else:
@@ -468,10 +492,13 @@ class SchurCGOps:
             if fi is None or wp.rvid is None:
                 continue
             name, offs, dof = self.fam_offsets[fi]
-            ok = self.wpart_obs_k[i] if i < len(self.wpart_obs_k) else None
+            cm_blk = (
+                i < len(self.wpart_buckets)
+                and self.wpart_buckets[i] is not None
+            )
             # w_blk layout: cm [Sr, dl, B] for obs-major wparts, batch-major
             # [B, Sr, dl] otherwise.
-            b_axis, s_axis = (-1, 0) if ok is not None else (0, 1)
+            b_axis, s_axis = (-1, 0) if cm_blk else (0, 1)
             if (
                 wp.w_blk.shape[s_axis] != dof
                 or wp.rvid.shape[0] != wp.w_blk.shape[b_axis]
@@ -479,7 +506,7 @@ class SchurCGOps:
                 continue  # per-shard repads: shapes no longer line up
             # cm [dl, dl, B]; masked costs hit the zero pad column.
             hi = h_inv_p[:, :, wp.lid]
-            if ok is not None:
+            if cm_blk:
                 m = jnp.einsum("pdb,deb,qeb->bpq", wp.w_blk, hi, wp.w_blk)
             else:
                 m = jnp.einsum("bpd,deb,bqe->bpq", wp.w_blk, hi, wp.w_blk)
@@ -739,6 +766,17 @@ class _FastBatch:
     # Jacobian twice (~1ms vs ~4ms of one-hot matmuls at bench scale).
     cam_batch: Any = None
     cam_k: int = None
+    # Bucketed obs-major layout (skewed/real-BAL degree distributions):
+    # tuple of ``(l_base, L_b, k_b, col_base)`` runs — landmark ``l`` in
+    # ``[l_base, l_base + L_b)`` owns columns ``col_base + (l − l_base)·k_b
+    # + j``.  Landmark ids are relabeled degree-descending at layout time
+    # (engine.build_layout order_key) so each power-of-two degree class is
+    # a contiguous id range; heavy landmarks (> _OBS_BUCKET_K_CAP obs) get
+    # extra full-K chunk buckets over the same (prefix) id range, whose
+    # partial sums simply accumulate.  None for uniform batches (single
+    # implicit bucket ``(0, L, obs_k, 0)``).
+    buckets: tuple = None
+    extra_base: int = None  # first fixed-landmark-extras column (buckets only)
 
 
 @dataclasses.dataclass
@@ -763,9 +801,12 @@ class SchurInfo:
     # Per-wpart fam_offsets index of the (single) reduced slot's family, for
     # the Schur-Jacobi preconditioner; None = correction unavailable.
     wpart_fam: tuple = ()
-    # Per-wpart obs-major run length (None = not obs-major); lets the CG
-    # matvec run gather-free (see SchurCGOps.wpart_obs_k).
+    # Per-wpart obs-major run length (None = not obs-major / not uniform);
+    # cluster-Jacobi requires uniform runs (see SchurCGOps.wpart_obs_k).
     wpart_obs_k: tuple = ()
+    # Per-wpart obs-major run buckets (see SchurCGOps.wpart_buckets); set
+    # exactly when the dual assembly path built a cm-layout wpart.
+    wpart_buckets: tuple = ()
     # P-major dense-W layout (NLLSTPU_W_IMPL=pallas and the problem
     # qualifies): (n_r, nrp, dr_s, pm_of_std [Dr]) where W column
     # ``p*nrp + v`` holds what the standard layout stores at
@@ -795,6 +836,7 @@ class SchurInfo:
                 fam_offsets=self.fam_offsets,
                 wpart_fam=self.wpart_fam,
                 wpart_obs_k=self.wpart_obs_k,
+                wpart_buckets=self.wpart_buckets,
                 segment_impl=segment_impl,
                 fixed_iters=int(fixed) if fixed else None,
                 chunk_iters=int(chunk) if chunk else None,
@@ -812,29 +854,80 @@ _FAST_MAX_K = 512
 _FAST_MAX_CAM_K = 8192
 #: Obs-major repack guard: max padded-columns-to-real-costs compute ratio.
 _OBS_MAJOR_MAX_RATIO = 2.5
+#: Bucketed layout: per-bucket run-length cap (bounds the fused kernels'
+#: VMEM jac block and unroll depth); heavier landmarks get chunk buckets.
+_OBS_BUCKET_K_CAP = 128
+
+
+class ObsBuckets(NamedTuple):
+    """Bucketed obs-major column layout (see ``_FastBatch.buckets``)."""
+
+    buckets: tuple  # ((l_base, L_b, k_b, col_base), ...)
+    extra_base: int  # first column of the fixed-landmark extras region
+    uniform_k: Any  # run length when single-bucket-covering-all-L, else None
+
+
+def _plan_obs_buckets(counts):
+    """Bucket plan over DESCENDING per-landmark counts: power-of-two degree
+    classes (contiguous id ranges by monotonicity) plus full-K_CAP chunk
+    buckets over the heavy prefix.  Returns a list of
+    ``(l_base, L_b, k_b, obs_offset)`` where ``obs_offset`` is the first
+    observation index of each landmark carried by that bucket."""
+    L = counts.shape[0]
+    cap = _OBS_BUCKET_K_CAP
+    plan = []
+    # Chunk buckets j = 1.. over the heavy prefix {l : c_l > j·cap}.
+    j = 1
+    while True:
+        h = int(np.sum(counts > j * cap))
+        if h == 0:
+            break
+        plan.append((0, h, cap, j * cap))
+        j += 1
+    # Power-of-two classes over min(c, cap) for all landmarks with c > 0.
+    base = np.minimum(counts, cap)
+    cls = np.where(base > 0, 2 ** np.ceil(np.log2(np.maximum(base, 1))), 0)
+    cls = cls.astype(np.int64)
+    start = 0
+    while start < L and cls[start] > 0:
+        k_b = int(cls[start])
+        end = start + int(np.sum(cls[start:] == k_b))
+        plan.append((start, end - start, k_b, 0))
+        start = end
+    return plan
 
 
 def obs_major_repack(batch, info: "SchurInfo"):
     """Host-side reorder + pad of a BA-shaped batch into landmark-run
-    ("obs-major") column order: column ``l·K + j`` holds the j-th cost of
-    landmark ``l`` (mask False beyond its count); real costs whose landmark
-    is fixed are appended after ``L·K``.  Landmark-keyed reductions over an
-    obs-major batch are a reshape + minor-axis sum — no gather at all.  TPU
-    gathers along the minor (lane) axis were profiled as the dominant
-    assembly cost, and batch-major gathers stream (8, 128)-padded tiles; the
-    batch *order* is the one free axis.  This is the TPU-native descendant
-    of the reference's ``reordercostsforschur!`` (src/problem.jl:177-199),
-    which likewise sorts costs by their single Schur variable.
+    ("obs-major") column order: column ``col_base + (l − l_base)·K_b + j``
+    holds the j-th cost of landmark ``l`` in its bucket (mask False beyond
+    its count); real costs whose landmark is fixed are appended after the
+    buckets.  Landmark-keyed reductions over an obs-major batch are a
+    reshape + minor-axis sum — no gather at all.  TPU gathers along the
+    minor (lane) axis were profiled as the dominant assembly cost, and
+    batch-major gathers stream (8, 128)-padded tiles; the batch *order* is
+    the one free axis.  This is the TPU-native descendant of the
+    reference's ``reordercostsforschur!`` (src/problem.jl:177-199), which
+    likewise sorts costs by their single Schur variable.
 
-    Returns the repacked batch, or None when the batch shape doesn't
-    qualify (multi-slot costs, no landmarks, excessive padding)."""
+    Uniform degree distributions get ONE bucket ``(0, L, K, 0)`` (the
+    round-1..3 layout, bit-identical).  Skewed (real-BAL) distributions —
+    where padding every landmark to the max track length would blow the
+    ``_OBS_MAJOR_MAX_RATIO`` compute budget — get power-of-two degree-class
+    buckets instead (≤ 2x padding within each class), which REQUIRES the
+    landmark ids to be degree-descending (contiguous classes): the Schur
+    compile relabels them via ``build_layout(order_key=...)``.
+
+    Returns ``(repacked_batch, ObsBuckets)`` or ``(None, None)`` when the
+    batch shape doesn't qualify (multi-slot costs, no landmarks, excessive
+    padding even after bucketing)."""
     elim_slots = [
         i
         for i, m in enumerate(batch.manifolds)
         if family_name(m) == info.elim_family
     ]
     if len(elim_slots) != 1 or len(batch.manifolds) != 2 or info.num_elim == 0:
-        return None
+        return None, None
     e = elim_slots[0]
     mask = np.asarray(batch.mask)
     L = info.num_elim
@@ -842,18 +935,57 @@ def obs_major_repack(batch, info: "SchurInfo"):
     lid = np.where(mask, lid, L)
     extra = np.nonzero(mask & (lid == L))[0]  # real costs, fixed landmark
     rows_sorted, skey, counts, pos, k = _group_rows(lid, L)
-    total = L * k + len(extra)
-    if k > _FAST_MAX_K or total > _OBS_MAJOR_MAX_RATIO * max(batch.n, 1):
-        return None
-    cols = skey * k + pos
-    b_new = -(-total // 8) * 8  # tile-friendly trailing pad
-    take = np.zeros(b_new, dtype=np.int64)
-    newmask = np.zeros(b_new, dtype=bool)
-    take[cols] = rows_sorted
-    newmask[cols] = True
+    uniform_total = L * k + len(extra)
+    if (
+        k <= _FAST_MAX_K
+        and uniform_total <= _OBS_MAJOR_MAX_RATIO * max(batch.n, 1)
+    ):
+        # Uniform-ish: single bucket, the legacy layout.
+        cols = skey * k + pos
+        b_new = -(-uniform_total // 8) * 8  # tile-friendly trailing pad
+        take = np.zeros(b_new, dtype=np.int64)
+        newmask = np.zeros(b_new, dtype=bool)
+        take[cols] = rows_sorted
+        newmask[cols] = True
+        if len(extra):
+            take[L * k : L * k + len(extra)] = extra
+            newmask[L * k : L * k + len(extra)] = True
+        meta = ObsBuckets(
+            buckets=((0, L, k, 0),), extra_base=L * k, uniform_k=k
+        )
+        return _apply_take(batch, take, newmask), meta
+    # Skewed: bucketed layout.  Requires degree-descending landmark ids
+    # (contiguous power-of-two classes) — compile_problem relabels them;
+    # bail when it didn't (e.g. direct build_schur_info callers).
+    if np.any(np.diff(counts) > 0):
+        return None, None
+    plan = _plan_obs_buckets(counts)
+    total = sum(lb * kb for (_, lb, kb, _) in plan) + len(extra)
+    if total > _OBS_MAJOR_MAX_RATIO * max(batch.n, 1):
+        return None, None
+    # Per-cost position within its landmark's run: obs j of landmark l goes
+    # to the bucket whose [obs_offset, obs_offset + k_b) window contains j.
+    take = np.zeros(-(-total // 8) * 8, dtype=np.int64)
+    newmask = np.zeros(take.shape[0], dtype=bool)
+    col_base = 0
+    buckets = []
+    for (l0, lb, kb, ob) in plan:
+        in_b = (skey >= l0) & (skey < l0 + lb) & (pos >= ob) & (pos < ob + kb)
+        cols = col_base + (skey[in_b] - l0) * kb + (pos[in_b] - ob)
+        take[cols] = rows_sorted[in_b]
+        newmask[cols] = True
+        buckets.append((l0, lb, kb, col_base))
+        col_base += lb * kb
     if len(extra):
-        take[L * k : L * k + len(extra)] = extra
-        newmask[L * k : L * k + len(extra)] = True
+        take[col_base : col_base + len(extra)] = extra
+        newmask[col_base : col_base + len(extra)] = True
+    meta = ObsBuckets(
+        buckets=tuple(buckets), extra_base=col_base, uniform_k=None
+    )
+    return _apply_take(batch, take, newmask), meta
+
+
+def _apply_take(batch, take, newmask):
     return dataclasses.replace(
         batch,
         idx=tuple(np.asarray(i)[take] for i in batch.idx),
@@ -866,8 +998,35 @@ def obs_major_repack(batch, info: "SchurInfo"):
 
 def repack_batches_for_schur(batches, info: "SchurInfo"):
     """Apply :func:`obs_major_repack` where it qualifies, passing the rest
-    through unchanged."""
-    return [obs_major_repack(b, info) or b for b in batches]
+    through unchanged.  Returns ``(batches, metas)`` with per-batch
+    :class:`ObsBuckets` (None where not repacked)."""
+    out, metas = [], []
+    for b in batches:
+        nb, meta = obs_major_repack(b, info)
+        out.append(nb if nb is not None else b)
+        metas.append(meta)
+    return out, metas
+
+
+def elim_degree_counts(batches, problem, elim_manifold):
+    """Per-variable observation counts of the (candidate) eliminated family
+    over all W-producing batches — the ``order_key`` for the degree-sorted
+    landmark relabel (see :func:`obs_major_repack`)."""
+    elim_fam = family_name(elim_manifold)
+    fam = problem._families.get(elim_fam)
+    n = fam.n if fam is not None else 0
+    counts = np.zeros(n, dtype=np.int64)
+    for b in batches:
+        eslots = [
+            i
+            for i, m in enumerate(b.manifolds)
+            if family_name(m) == elim_fam
+        ]
+        if len(eslots) != 1 or len(b.manifolds) < 2:
+            continue
+        idx = np.asarray(b.idx[eslots[0]])[np.asarray(b.mask)]
+        counts += np.bincount(idx, minlength=n)
+    return counts
 
 
 def _onehot_chunks(n_r, rows_per_chunk_elems, b):
@@ -875,10 +1034,13 @@ def _onehot_chunks(n_r, rows_per_chunk_elems, b):
     return [(start, min(chunk, n_r - start)) for start in range(0, n_r, chunk)]
 
 
-def _fast_batch_data(batch, layout, info):
+def _fast_batch_data(batch, layout, info, meta=None):
     """Precompute the fast-path tables for one batch, or None when the batch
     shape doesn't qualify (multi-slot costs, oversized one-hot, extreme
-    observation skew)."""
+    observation skew).  ``meta`` (an :class:`ObsBuckets` from the repack
+    that produced this batch) marks a bucketed obs-major layout — landmark
+    reductions then run per bucket and the dense observation table is not
+    needed (nor buildable within its skew guard)."""
     elim_slots = [
         i
         for i, m in enumerate(batch.manifolds)
@@ -899,22 +1061,32 @@ def _fast_batch_data(batch, layout, info):
     lid[~mask] = info.num_elim
     if info.num_elim == 0:
         return None
-    sorted_rows, sorted_lid, counts, pos, k = _group_rows(lid, info.num_elim)
-    if k > _FAST_MAX_K or info.num_elim * k > 8 * max(len(sorted_rows), 1):
-        return None
-    obs_table = np.full((info.num_elim, k), b_pad, dtype=np.int32)
-    obs_table[sorted_lid, pos] = sorted_rows
 
-    # Obs-major detection (see obs_major_repack): the table is exactly the
-    # contiguous pattern l·K + j ⇒ landmark reductions need no gather.
-    contiguous = np.where(
-        np.arange(k)[None, :] < counts[:, None],
-        np.arange(info.num_elim)[:, None] * k + np.arange(k)[None, :],
-        b_pad,
-    )
-    obs_k = k if (
-        info.num_elim * k <= b_pad and np.array_equal(obs_table, contiguous)
-    ) else None
+    obs_table = None
+    obs_k = None
+    buckets = extra_base = None
+    if meta is not None and meta.uniform_k is None:
+        buckets, extra_base = meta.buckets, meta.extra_base
+    else:
+        sorted_rows, sorted_lid, counts, pos, k = _group_rows(
+            lid, info.num_elim
+        )
+        if k > _FAST_MAX_K or info.num_elim * k > 8 * max(len(sorted_rows), 1):
+            return None
+        obs_table = np.full((info.num_elim, k), b_pad, dtype=np.int32)
+        obs_table[sorted_lid, pos] = sorted_rows
+
+        # Obs-major detection (see obs_major_repack): the table is exactly
+        # the contiguous pattern l·K + j ⇒ landmark reductions need no
+        # gather.
+        contiguous = np.where(
+            np.arange(k)[None, :] < counts[:, None],
+            np.arange(info.num_elim)[:, None] * k + np.arange(k)[None, :],
+            b_pad,
+        )
+        obs_k = k if (
+            info.num_elim * k <= b_pad and np.array_equal(obs_table, contiguous)
+        ) else None
 
     off_r = np.asarray(layout.offsets[rfam])
     rvid = np.asarray(batch.idx[r_slot]).astype(np.int32).copy()
@@ -937,6 +1109,8 @@ def _fast_batch_data(batch, layout, info):
         obs_k=obs_k,
         cam_batch=cam_batch,
         cam_k=cam_k,
+        buckets=buckets,
+        extra_base=extra_base,
     )
 
 
@@ -1035,12 +1209,15 @@ def _make_wpart(info, bi, batch, w_blk, rows_r, lid, fast=None, rvid=None):
             b_pad = batch.n_padded
             inv = np.full(b_pad + 1, b_pad, dtype=np.int32)
             inv[perm_np] = np.arange(b_pad, dtype=np.int32)
-            obs_np = np.where(obs_np < b_pad, inv[np.minimum(obs_np, b_pad)], b_pad)
+            if obs_np is not None:
+                obs_np = np.where(
+                    obs_np < b_pad, inv[np.minimum(obs_np, b_pad)], b_pad
+                )
             if cam_np is not None:
                 cam_np = np.where(
                     cam_np < b_pad, inv[np.minimum(cam_np, b_pad)], b_pad
                 )
-        obs = jnp.asarray(obs_np)
+        obs = None if obs_np is None else jnp.asarray(obs_np)
         cam = None if cam_np is None else jnp.asarray(cam_np)
         row_base = jnp.asarray(fast.row_base)
     if sorted_ok:
@@ -1092,9 +1269,19 @@ def _elim_sort_data(batch, layout, info):
     return perm, starts
 
 
+def _fast_buckets(fast, info):
+    """Obs-major run buckets of a fast batch (single implicit bucket for the
+    uniform layout), or None when the batch is not obs-major packed."""
+    if fast.buckets is not None:
+        return fast.buckets
+    if fast.obs_k is not None:
+        return ((0, info.num_elim, fast.obs_k, 0),)
+    return None
+
+
 def build_schur_info(
     problem, layout: engine.Layout, elim_manifold, implicit: bool = False,
-    batches=None,
+    batches=None, obs_meta=None,
 ) -> SchurInfo:
     """Derive the reduced/eliminated split from a layout built with the
     eliminated family ordered last (see ``build_layout(order_last=...)``)."""
@@ -1127,8 +1314,10 @@ def build_schur_info(
         pad=layout.pad,
     )
     if batches is not None:
+        metas = obs_meta if obs_meta is not None else [None] * len(batches)
         info.fast = tuple(
-            _fast_batch_data(b, layout, info) for b in batches
+            _fast_batch_data(b, layout, info, meta=m)
+            for b, m in zip(batches, metas)
         )
         if not implicit:
             info.w_pm = _w_pm_data(batches, info)
@@ -1141,7 +1330,7 @@ def build_schur_info(
                 None
                 if (bi < len(info.fast)
                     and info.fast[bi] is not None
-                    and info.fast[bi].obs_k is not None)
+                    and _fast_buckets(info.fast[bi], info) is not None)
                 else _elim_sort_data(b, layout, info)
                 for bi, b in enumerate(batches)
             )
@@ -1152,6 +1341,7 @@ def build_schur_info(
             fam_index = {name: i for i, (name, _, _) in enumerate(fam_offsets)}
             wpart_fam = []
             wpart_obs_k = []
+            wpart_buckets = []
             for bi, b in enumerate(batches):
                 eslots = [
                     i
@@ -1161,13 +1351,18 @@ def build_schur_info(
                 if len(eslots) != 1:
                     continue
                 # Must mirror the dual-path trigger in assemble_schur: the
-                # cm wpart layout exists only when the dual path built it.
+                # cm wpart layout exists only when the dual path built it
+                # (obs-major cm batch).
                 f = info.fast[bi] if bi < len(info.fast) else None
-                wpart_obs_k.append(
-                    f.obs_k
-                    if (f is not None and f.cam_batch is not None)
-                    else None
+                dual = (
+                    f is not None
+                    and getattr(b, "batched", None) == "cm"
+                    and _fast_buckets(f, info) is not None
                 )
+                wpart_buckets.append(
+                    _fast_buckets(f, info) if dual else None
+                )
+                wpart_obs_k.append(f.obs_k if dual else None)
                 if len(b.manifolds) == 2:
                     rfam = family_name(b.manifolds[1 - eslots[0]])
                     wpart_fam.append(fam_index.get(rfam))
@@ -1175,6 +1370,7 @@ def build_schur_info(
                     wpart_fam.append(None)
             info.wpart_fam = tuple(wpart_fam)
             info.wpart_obs_k = tuple(wpart_obs_k)
+            info.wpart_buckets = tuple(wpart_buckets)
     return info
 
 
@@ -1217,15 +1413,16 @@ def _w_pm_data(batches, info: "SchurInfo"):
         for i, m in enumerate(b.manifolds)
         if family_name(m) == info.elim_family
     ]
+    fused_all = impl in ("fused_all", "fused_all_interpret")
+    obs_major = f is not None and (
+        f.obs_k is not None or (f.buckets is not None and fused_all)
+    )
     if (
         len(eslots) != 1
         or len(b.manifolds) != 2
         or f is None
-        or f.obs_k is None
-        or (
-            f.cam_batch is None
-            and impl not in ("fused_all", "fused_all_interpret")
-        )
+        or not obs_major
+        or (f.cam_batch is None and not fused_all)
         or getattr(b, "batched", None) != "cm"
     ):
         return None
@@ -1245,7 +1442,12 @@ def _w_pm_data(batches, info: "SchurInfo"):
     # rather than fail Mosaic compilation at trace time.
     from .pallas.w_place import TILE_L
 
-    if info.dof_elim * dr_s * nrp * TILE_L * 4 * 2 > 12 * 2**20:
+    vmem = info.dof_elim * dr_s * nrp * TILE_L * 4 * 2
+    # Jac/g0 VMEM blocks scale with the per-bucket run length (bounded by
+    # _OBS_BUCKET_K_CAP for bucketed layouts); assume nres ≤ 4.
+    k_max = f.obs_k or max(kb for (_, _, kb, _) in f.buckets)
+    vmem += 5 * (dr_s + info.dof_elim) * k_max * TILE_L * 4
+    if vmem > 12 * 2**20:
         return None
     vids = np.nonzero(sel)[0].astype(np.int32)
     pm_of_std = np.empty(info.dim_reduced, dtype=np.int32)
@@ -1256,21 +1458,27 @@ def _w_pm_data(batches, info: "SchurInfo"):
 
 
 def _w_dtype(dtype):
-    """Storage dtype for the dense W coupling (``NLLSTPU_W_DTYPE=bf16``
-    opt-in).  W dominates the direct solve's HBM traffic (~330 MB of
-    ~500 MB per LM iteration at bench scale: one write + ~3.4 streamed
-    reads across the damped attempts); storing it in bfloat16 halves those
-    bytes while every contraction consuming it still accumulates in f32
-    (the MXU takes bf16 operands natively).  The ~2⁻⁸ relative W error
-    only perturbs the step direction — LM's accept/reject loop absorbs it
-    — but it is far above the reference's f64 1e-15 cost targets, so the
-    knob is ignored for f64 problems and off by default."""
+    """Storage dtype for the dense W coupling (``NLLSTPU_W_DTYPE`` ∈
+    {auto, bf16, f32}).  W dominates the direct solve's HBM traffic
+    (~330 MB of ~500 MB per LM iteration at bench scale: one write + ~3.4
+    streamed reads across the damped attempts); storing it in bfloat16
+    halves those bytes while every contraction consuming it still
+    accumulates in f32 (the MXU takes bf16 operands natively).  The ~2⁻⁸
+    relative W error only perturbs the step direction — LM's
+    accept/reject loop absorbs it, and the round-3/4 on-chip benches
+    measured the converged cost unchanged — so bf16 is the DEFAULT on TPU
+    for f32 problems (``auto``); ``f32`` opts out.  It is far above the
+    reference's f64 1e-15 cost targets, so f64 problems always keep f64;
+    off-TPU ``auto`` stays f32 (no bandwidth win on CPU, and CPU carries
+    the reference-parity test suite)."""
     import os
 
-    if (
-        os.environ.get("NLLSTPU_W_DTYPE", "f32") == "bf16"
-        and dtype == jnp.float32
-    ):
+    if dtype != jnp.float32:
+        return dtype
+    knob = os.environ.get("NLLSTPU_W_DTYPE", "auto")
+    if knob == "bf16":
+        return jnp.bfloat16
+    if knob == "auto" and jax.default_backend() == "tpu":
         return jnp.bfloat16
     return dtype
 
@@ -1316,6 +1524,31 @@ def _w_impl() -> str:
     return impl
 
 
+def _onehot_reduced_tail(jac, g0, d1m, d2m, rvid, robust_block, sel_r, fast,
+                         row_idx, dtype, a_rr, b_r):
+    """a_rr/b_r contributions of a column range via the chunked one-hot MXU
+    contraction over the reduced-variable id (dustbin rvid drops masked and
+    fixed-camera costs); lands with the unique row_base scatter."""
+    ha = robust_block(jac, g0, d1m, d2m, sel_r, sel_r)  # [Sr, Sr, B]
+    gr = g0[sel_r] * d1m  # [Sr, B]
+    bsz = rvid.shape[0]
+    a_parts, b_parts = [], []
+    for cstart, width in _onehot_chunks(fast.n_r, _FAST_MAX_ONEHOT, bsz):
+        oh = (
+            (cstart + jnp.arange(width, dtype=jnp.int32))[:, None]
+            == rvid[None, :]
+        ).astype(dtype)  # [width, B]
+        a_parts.append(
+            jnp.einsum("vb,pqb->vpq", oh, ha, precision="highest")
+        )
+        b_parts.append(jnp.einsum("vb,pb->vp", oh, gr, precision="highest"))
+    a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(
+        jnp.concatenate(a_parts, axis=0)
+    )
+    b_r = b_r.at[row_idx].add(jnp.concatenate(b_parts, axis=0))
+    return a_rr, b_r
+
+
 def _assemble_fast_dual(
     batch, variables, layout, info, fast, e, dtype,
     a_rr, b_r, h_ll, g_l, w, w_store=None,
@@ -1338,9 +1571,10 @@ def _assemble_fast_dual(
 
     Returns ``(cost, sys)`` or None when the batch is not components-major
     batched (caller falls back)."""
+    buckets = _fast_buckets(fast, info)
     raw = engine.batch_res_jac_cm(
         batch, variables, dtype,
-        runs=(e, info.num_elim, fast.obs_k),
+        runs=(e, buckets),
     )
     if raw is None:
         return None
@@ -1369,8 +1603,16 @@ def _assemble_fast_dual(
     d1m = d1 * mval
     d2m = 2.0 * d2 * mval
 
-    def runs(x):
-        return x[..., : L * k].reshape(x.shape[:-1] + (L, k))
+    def runs_sum(x, out):
+        """Accumulate per-landmark run sums of ``x [..., B]`` into ``out``
+        (landmark-minor) via bucketed reshape + minor-axis sums — the
+        static bucket slices keep every reduction contiguous."""
+        for (l0, lb, kb, c0) in buckets:
+            seg = x[..., c0 : c0 + lb * kb].reshape(
+                x.shape[:-1] + (lb, kb)
+            ).sum(axis=-1)
+            out = out.at[..., l0 : l0 + lb].add(seg)
+        return out
 
     wpart = None
     identity_rows = False
@@ -1392,25 +1634,52 @@ def _assemble_fast_dual(
         # in the storage dtype — the bf16 downcast pass disappears) AND the
         # per-camera a_rr/b_r blocks via an in-kernel one-hot MXU
         # contraction — the camera-major leg's second Jacobian evaluation
-        # (_fast_dual_cam_leg) never happens.
+        # (_fast_dual_cam_leg) never happens.  Bucketed (skewed-degree)
+        # batches run one kernel pass per bucket — partial run sums and the
+        # per-camera ab contributions simply accumulate, and the chunked
+        # heavy-landmark buckets overlap-add into the same W rows.
         from .pallas.fused_obs import fused_obs_all_pm
 
         nres, stot = jac.shape[0], jac.shape[1]
-        jac_t = (
-            jac[:, :, : L * k].reshape(nres, stot, L, k).transpose(0, 1, 3, 2)
-        )
-        g0_t = g0[:, : L * k].reshape(stot, L, k).transpose(0, 2, 1)
-        d1_t = d1m[: L * k].reshape(L, k).T
-        d2_t = d2m[: L * k].reshape(L, k).T
-        vc_k = jnp.asarray(fast.rvid)[: L * k].reshape(L, k).T
         n_r = fast.n_r
-        h_add, g_add, w, ab = fused_obs_all_pm(
-            jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
-            w_dtype=w_store,
-            interpret=(w_impl == "fused_all_interpret"),
-        )
-        h_ll = h_ll.at[:, :, :L].add(h_add)
-        g_l = g_l.at[:, :L].add(g_add)
+        nrp = info.w_pm[1]
+        rvid_j = jnp.asarray(fast.rvid)
+        ab = None
+        if len(buckets) == 1:
+            w_buf = None  # kernel output used directly
+        else:
+            w_buf = jnp.zeros(
+                (dl, dr_s * nrp, L), dtype=w_store or dtype
+            )
+        for (l0, lb, kb, c0) in buckets:
+            sl = slice(c0, c0 + lb * kb)
+            jac_t = (
+                jac[:, :, sl].reshape(nres, stot, lb, kb).transpose(0, 1, 3, 2)
+            )
+            g0_t = g0[:, sl].reshape(stot, lb, kb).transpose(0, 2, 1)
+            d1_t = d1m[sl].reshape(lb, kb).T
+            d2_t = d2m[sl].reshape(lb, kb).T
+            vc_k = rvid_j[sl].reshape(lb, kb).T
+            h_add, g_add, w_b, ab_b = fused_obs_all_pm(
+                jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
+                w_dtype=w_store,
+                interpret=(w_impl == "fused_all_interpret"),
+            )
+            h_ll = h_ll.at[:, :, l0 : l0 + lb].add(h_add)
+            g_l = g_l.at[:, l0 : l0 + lb].add(g_add)
+            ab = ab_b if ab is None else ab + ab_b
+            if w_buf is None:
+                w = w_b
+            else:
+                # bf16 W accumulates exactly here: bucket l-ranges within
+                # the pow2 classes are disjoint; only the rare heavy-chunk
+                # buckets overlap, and those land on f32-assembled kernel
+                # outputs downcast once each — one rounding per chunk.
+                w_buf = w_buf.at[:, :, l0 : l0 + lb].add(
+                    w_b.astype(w_buf.dtype)
+                )
+        if w_buf is not None:
+            w = w_buf
         npairs = dr_s * (dr_s + 1) // 2
         pi, qi = np.triu_indices(dr_s)
         pair_of = np.zeros((dr_s, dr_s), dtype=np.int32)
@@ -1428,6 +1697,20 @@ def _assemble_fast_dual(
             jnp.transpose(a_blocks, (2, 0, 1))
         )
         b_r = b_r.at[row_idx].add(b_blocks.T)
+        # Extras region (real costs whose landmark is FIXED, packed after
+        # the buckets by obs_major_repack): no h_ll/g_l/W rows — those are
+        # dustbinned — but their camera a_rr/b_r contributions are real and
+        # the kernels never see these columns.  Chunked one-hot over the
+        # (tiny) tail; pad columns ride along as dustbin rvid.
+        eb = fast.extra_base
+        if eb is None and fast.obs_k is not None:
+            eb = L * fast.obs_k
+        if eb is not None and eb < jac.shape[-1]:
+            a_rr, b_r = _onehot_reduced_tail(
+                jac[:, :, eb:], g0[:, eb:], d1m[eb:], d2m[eb:],
+                rvid_j[eb:], robust_block, sel_r, fast, row_idx, dtype,
+                a_rr, b_r,
+            )
         return cost_sum, (a_rr, b_r, h_ll, g_l, w), wpart
     if info.w_pm is not None and w_impl in ("fused", "fused_interpret"):
         # Fully-fused obs-major leg: one kernel pass over the K-major jac
@@ -1457,8 +1740,8 @@ def _assemble_fast_dual(
         ), wpart
 
     he = robust_block(jac, g0, d1m, d2m, sel_e, sel_e)
-    h_ll = h_ll.at[:, :, :L].add(jnp.sum(runs(he), axis=-1))
-    g_l = g_l.at[:, :L].add(jnp.sum(runs(g0[sel_e] * d1m), axis=-1))
+    h_ll = runs_sum(he, h_ll)
+    g_l = runs_sum(g0[sel_e] * d1m, g_l)
 
     if info.implicit:
         # Implicit: keep the per-cost coupling blocks components-major
@@ -1502,38 +1785,64 @@ def _assemble_fast_dual(
                 interpret=(w_impl == "pallas_interpret"),
             )  # [dl, dr_s*nrp, L] landmark-minor p-major
         else:
-            # W: one-hot MXU contraction over the K run slots (per-slot
+            # W: one-hot MXU contraction over the run slots (per-slot
             # scatters and one combined scatter both measured 5x slower —
             # TPU scatters rewrite the full 75MB W buffer), landing with a
             # permutation scatter of unique rows — or a plain contiguous add
             # when every camera is unfixed (the permutation is the identity).
-            we = runs(robust_block(jac, g0, d1m, d2m, sel_r, sel_e))
-            vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
-            w_parts = []
-            for cstart, width in _onehot_chunks(n_r, _FAST_MAX_ONEHOT, L * k):
-                oh_w = (
-                    vc[:, :, None]
-                    == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
-                ).astype(dtype)  # [L, K, width]
-                w_parts.append(
-                    jnp.einsum("pdlk,lkv->dlvp", we, oh_w, precision="highest")
+            # One contraction per bucket; chunked heavy landmarks simply
+            # accumulate into the same W rows.
+            we_full = robust_block(jac, g0, d1m, d2m, sel_r, sel_e)
+            rvid_np = jnp.asarray(fast.rvid)
+            for (l0, lb, kb, c0) in buckets:
+                we = we_full[:, :, c0 : c0 + lb * kb].reshape(
+                    dr_s, dl, lb, kb
                 )
-            w_blocks = jnp.concatenate(w_parts, axis=2)
-            if identity_rows:
-                w = w.at[:, :L, : n_r * dr_s].add(
-                    w_blocks.reshape(dl, L, n_r * dr_s)
-                )
-            else:
-                w_add = jnp.zeros((dl, L, w.shape[-1]), dtype=dtype)
-                w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
-                    w_blocks.reshape(dl, L, n_r * dr_s)
-                )
-                w = w.at[:, :L].add(w_add)
+                vc = rvid_np[c0 : c0 + lb * kb].reshape(lb, kb)
+                w_parts = []
+                for cstart, width in _onehot_chunks(
+                    n_r, _FAST_MAX_ONEHOT, lb * kb
+                ):
+                    oh_w = (
+                        vc[:, :, None]
+                        == (cstart + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+                    ).astype(dtype)  # [L_b, K_b, width]
+                    w_parts.append(
+                        jnp.einsum(
+                            "pdlk,lkv->dlvp", we, oh_w, precision="highest"
+                        )
+                    )
+                w_blocks = jnp.concatenate(w_parts, axis=2)
+                if identity_rows:
+                    w = w.at[:, l0 : l0 + lb, : n_r * dr_s].add(
+                        w_blocks.reshape(dl, lb, n_r * dr_s)
+                    )
+                else:
+                    w_add = jnp.zeros((dl, lb, w.shape[-1]), dtype=dtype)
+                    w_add = w_add.at[:, :, jnp.asarray(row_flat)].add(
+                        w_blocks.reshape(dl, lb, n_r * dr_s)
+                    )
+                    w = w.at[:, l0 : l0 + lb].add(w_add)
 
-    return cost_sum, _fast_dual_cam_leg(
-        fast, variables, dtype, robust_block, sel_r, dr_s,
-        a_rr, b_r, h_ll, g_l, w,
-    ), wpart
+    if fast.cam_batch is not None:
+        return cost_sum, _fast_dual_cam_leg(
+            fast, variables, dtype, robust_block, sel_r, dr_s,
+            a_rr, b_r, h_ll, g_l, w,
+        ), wpart
+    # No camera-major repack (skewed camera degrees, or a bucketed batch):
+    # a_rr/b_r via the chunked one-hot MXU contraction over the SAME
+    # obs-major Jacobian — no second Jacobian evaluation, one transient
+    # [width, B] one-hot per chunk (extras and pad columns ride along via
+    # the dustbin rvid).
+    row_idx = (
+        jnp.asarray(fast.row_base)[:, None]
+        + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
+    )  # [n_r, dr_s]; fixed vars point at the pad row dr
+    a_rr, b_r = _onehot_reduced_tail(
+        jac, g0, d1m, d2m, jnp.asarray(fast.rvid), robust_block, sel_r,
+        fast, row_idx, dtype, a_rr, b_r,
+    )
+    return cost_sum, (a_rr, b_r, h_ll, g_l, w), wpart
 
 
 def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
@@ -1545,7 +1854,7 @@ def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
     camera instead of per cost)."""
     raw2 = engine.batch_res_jac_cm(
         fast.cam_batch, variables, dtype,
-        runs=(fast.r_slot, fast.n_r, fast.cam_k),
+        runs=(fast.r_slot, ((0, fast.n_r, fast.cam_k, 0),)),
     )
     _, _, jac2, g02, d1_2, d2_2 = raw2
     m2 = jnp.asarray(fast.cam_batch.mask).astype(dtype)
@@ -1601,27 +1910,36 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
     )
     wparts = []
     total = jnp.zeros((), dtype=dtype)
+    wi = -1  # index into info.wpart_* (single-elim-slot batches, in order)
 
     for bi, batch in enumerate(batches):
         elim_slots = [
             i for i, m in enumerate(batch.manifolds)
             if family_name(m) == info.elim_family
         ]
+        if len(elim_slots) == 1:
+            wi += 1
         fast0 = info.fast[bi] if bi < len(info.fast) else None
-        # The whole-system fused kernel never touches the camera-major
-        # repack, so an obs-major batch with a kernel-placed W layout
-        # qualifies even without one — the landmark-sharded per-device
-        # batches are exactly that shape (parallel/schur_shard.py).
-        fused_all_ok = (
-            info.w_pm is not None
-            and not info.implicit
-            and _w_impl() in ("fused_all", "fused_all_interpret")
-        )
+        buckets0 = _fast_buckets(fast0, info) if fast0 is not None else None
+        # Every obs-major cm batch takes the dual path — a_rr/b_r come from
+        # the camera-major leg when the repack qualified, from the
+        # in-kernel one-hot of the whole-system fused kernel, or from the
+        # chunked one-hot fallback (skewed camera degrees never disqualify
+        # the obs-major leg).  The implicit backend takes it exactly when
+        # build_schur_info mirrored a cm wpart layout for this batch
+        # (SchurCGOps.wpart_buckets) — the sharded local infos pin that
+        # mirror empty because their ops consume batch-major wparts.
         if (
             len(elim_slots) == 1
             and fast0 is not None
-            and fast0.obs_k is not None
-            and (fast0.cam_batch is not None or fused_all_ok)
+            and buckets0 is not None
+            and (
+                not info.implicit
+                or (
+                    wi < len(info.wpart_buckets)
+                    and info.wpart_buckets[wi] is not None
+                )
+            )
         ):
             c = _assemble_fast_dual(
                 batch, variables, layout, info, fast0, elim_slots[0],
@@ -1722,26 +2040,30 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
             a_rr = a_rr.at[row_idx[:, :, None], row_idx[:, None, :]].add(a_blocks)
             b_r = b_r.at[row_idx].add(b_blocks)
 
-            k = fast.obs_k or fast.obs_table.shape[1]
-            if fast.obs_k is not None:
-                # Obs-major batch: landmark l's costs occupy columns
-                # [l·k, (l+1)·k) — runs are a pure reshape, NO gather.
+            k = fast.obs_k or (
+                fast.obs_table.shape[1] if fast.obs_table is not None else None
+            )
+            fbuckets = _fast_buckets(fast, info)
+            if fbuckets is not None:
+                # Obs-major batch: each bucket's landmark runs are a pure
+                # reshape, NO gather (uniform batches are one bucket).
                 # Padding columns hold garbage (copied row-0 values) and
                 # must be zeroed via the mask; the camera one-hot needs no
                 # masking (masked rvid is the all-zero dustbin column).
                 mval = jnp.asarray(batch.mask).astype(dtype)
 
-                def landmark_runs(x, masked=True):
+                def landmark_runs_add(x, out, masked=True):
                     if masked:
                         x = x * mval
-                    return x[..., : L * k].reshape(x.shape[:-1] + (L, k))
+                    for (l0, lb, kb, c0) in fbuckets:
+                        seg = x[..., c0 : c0 + lb * kb].reshape(
+                            x.shape[:-1] + (lb, kb)
+                        ).sum(axis=-1)
+                        out = out.at[..., l0 : l0 + lb].add(seg)
+                    return out
 
-                h_ll = h_ll.at[:, :, :L].add(
-                    jnp.sum(landmark_runs(h_le_cm), axis=-1)
-                )
-                g_l = g_l.at[:, :L].add(
-                    jnp.sum(landmark_runs(g_e_cm), axis=-1)
-                )
+                h_ll = landmark_runs_add(h_le_cm, h_ll)
+                g_l = landmark_runs_add(g_e_cm, g_l)
             else:
                 tk = jnp.asarray(fast.obs_table.reshape(-1))
 
@@ -1766,15 +2088,42 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
                     )
                 )
             else:
-                if fast.obs_k is not None:
-                    wc = landmark_runs(w_blk_cm, masked=False)
-                    vc = jnp.asarray(fast.rvid)[: L * k].reshape(L, k)
-                else:
-                    wc = table_gather_cm(w_blk_cm)  # [Sr, dl, L, K]
-                    vc = jnp.take(
-                        jnp.asarray(fast.rvid), tk, mode="fill",
-                        fill_value=fast.n_r,
-                    ).reshape(L, k)
+                if fbuckets is not None:
+                    # Masked costs need no zeroing here: their rvid is the
+                    # all-zero dustbin one-hot column.
+                    rvid_j = jnp.asarray(fast.rvid)
+                    flat_rows = row_idx.reshape(-1)  # unique per (v, p)
+                    for (l0, lb, kb, c0) in fbuckets:
+                        wc = w_blk_cm[:, :, c0 : c0 + lb * kb].reshape(
+                            dr_s, dl, lb, kb
+                        )
+                        vc = rvid_j[c0 : c0 + lb * kb].reshape(lb, kb)
+                        w_parts = []
+                        for start, width in _onehot_chunks(
+                            fast.n_r, _FAST_MAX_ONEHOT, lb * kb
+                        ):
+                            oh_w = (
+                                vc[:, :, None]
+                                == (start + jnp.arange(width, dtype=jnp.int32))[None, None, :]
+                            ).astype(dtype)  # [L_b, K_b, width]
+                            w_parts.append(
+                                jnp.einsum(
+                                    "pdlk,lkv->dlvp", wc, oh_w,
+                                    precision="highest",
+                                )
+                            )  # [dl, L_b, width, dr_s]
+                        w_blocks = jnp.concatenate(w_parts, axis=2)
+                        w_add = jnp.zeros((dl, lb, dr + pad), dtype=dtype)
+                        w_add = w_add.at[:, :, flat_rows].add(
+                            w_blocks.reshape(dl, lb, fast.n_r * dr_s)
+                        )
+                        w = w.at[:, l0 : l0 + lb].add(w_add)
+                    continue
+                wc = table_gather_cm(w_blk_cm)  # [Sr, dl, L, K]
+                vc = jnp.take(
+                    jnp.asarray(fast.rvid), tk, mode="fill",
+                    fill_value=fast.n_r,
+                ).reshape(L, k)
                 w_parts = []
                 for start, width in _onehot_chunks(
                     fast.n_r, _FAST_MAX_ONEHOT, L * k

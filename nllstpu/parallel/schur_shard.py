@@ -473,6 +473,11 @@ class ShardedSchurCompiled:
                         obs_k=meta.obs_k,
                         cam_batch=None,
                         cam_k=None,
+                        # Global bucket col/l ranges are meaningless on the
+                        # per-shard repads (meta.obs_k carries the shared
+                        # run stride when the routing preserved runs).
+                        buckets=None,
+                        extra_base=None,
                     )
                 )
         return dataclasses.replace(
@@ -482,6 +487,10 @@ class ShardedSchurCompiled:
             fast=tuple(fast),
             elim_sort=(),  # pallas sorted runs don't apply to shard repads
             wpart_fam=i.wpart_fam,  # static per-batch structure is unchanged
+            # The sharded CG ops consume batch-major wparts; keep the local
+            # assemble off the cm dual-wpart path (global bucket ranges are
+            # meaningless per shard anyway).
+            wpart_buckets=(),
             # Kernel-placed p-major local W when the run-preserving routing
             # qualified (parallelize_schur); standard layout otherwise.
             w_pm=self.w_pm,
@@ -521,7 +530,12 @@ class ShardedSchurCompiled:
                 and meta.obs_k is not None
                 and getattr(b, "batched", None) == "cm"
             ):
-                out.append((1 - meta.r_slot, self.num_elim_local, meta.obs_k))
+                out.append(
+                    (
+                        1 - meta.r_slot,
+                        ((0, self.num_elim_local, meta.obs_k, 0),),
+                    )
+                )
             else:
                 out.append(None)
         return out

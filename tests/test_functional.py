@@ -162,6 +162,75 @@ def test_jit_trajectory():
     assert result.trajectory.costs[-1] <= result.trajectory.costs[0]
 
 
+def test_jit_driver_trajectory_mode():
+    """store_trajectory="jit" records per-iteration costs and step norms
+    from INSIDE the compiled loop (reference CostTrajectory semantics,
+    src/callbacks.jl:85-107, minus full step vectors); adding
+    jit_max_time=True also fills per-iteration times."""
+    p, _, _ = make_problem(-0.5, 2.5)
+    r = nt.optimize(
+        p,
+        nt.Options(iterator=nt.LEVENBERG_MARQUARDT, store_trajectory="jit"),
+    )
+    tr = r.trajectory
+    assert tr is not None
+    assert len(tr.costs) == r.num_iterations == len(tr.step_norms)
+    assert all(np.diff(tr.costs) <= 0.0)
+    assert all(s >= 0 for s in tr.step_norms)
+    assert tr.times_ns == [] and tr.trajectory == []  # documented limits
+
+    p2, _, _ = make_problem(-0.5, 2.5)
+    r2 = nt.optimize(
+        p2, nt.Options(store_trajectory="jit", jit_max_time=True)
+    )
+    assert len(r2.trajectory.times_ns) == r2.num_iterations
+    assert all(np.diff(r2.trajectory.times_ns) >= 0)
+
+
+def test_jit_max_time_always_enforced():
+    """The DEFAULT jit driver honors ``max_time`` (reference
+    src/optimize.jl:160-163 enforces it unconditionally): with an
+    impossible budget and every other termination test disabled, the run
+    stops with TERM_MAX_TIME after at least one chunk instead of burning
+    all of ``max_iters``."""
+    from nllstpu.core import structs
+
+    p, _, _ = make_problem(-0.5, 2.5)
+    r = nt.optimize(
+        p,
+        nt.Options(
+            max_time=1e-9, rel_dcost=0.0, abs_dcost=0.0, dstep=0.0,
+            max_fails=10**9, max_iters=10**6,
+        ),
+    )
+    assert r.termination & structs.TERM_MAX_TIME
+    assert 1 <= r.num_iterations <= 64  # one chunk, not the whole budget
+
+
+def test_jit_chunked_resume_bitwise_matches_single_program():
+    """The chunked driver (finite max_time → host-resumable while_loops)
+    must execute EXACTLY the sequence of the single-program loop: same
+    costs, same counts, bit-identical result — chunk boundaries only pause
+    and resume the state machine."""
+    p1, _, _ = make_problem(-0.5, 2.5)
+    p2, _, _ = make_problem(-0.5, 2.5)
+    # max_iters > chunk size so at least one resume happens; dstep on a
+    # flat quadratic tail keeps LM iterating past the first chunk.
+    o = dict(
+        iterator=nt.GRADIENT_DESCENT, max_iters=150,
+        rel_dcost=0.0, abs_dcost=0.0, dstep=0.0,
+    )
+    r_single = nt.optimize(p1, nt.Options(max_time=float("inf"), **o))
+    r_chunked = nt.optimize(p2, nt.Options(max_time=3600.0, **o))
+    assert r_single.num_iterations == r_chunked.num_iterations == 150
+    assert r_single.best_cost == r_chunked.best_cost  # bitwise
+    assert r_single.cost_computations == r_chunked.cost_computations
+    np.testing.assert_array_equal(
+        np.asarray(p1.stacked_variables()[repr(nt.Scalar())]),
+        np.asarray(p2.stacked_variables()[repr(nt.Scalar())]),
+    )
+
+
 def test_subproblem_handles_overload():
     """subproblem accepts a handle / handle list directly (reference
     integer form, src/problem.jl:47-83)."""
