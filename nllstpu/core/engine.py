@@ -342,11 +342,17 @@ def batch_cost(batch: CostBatch, variables: dict, dtype, runs=None) -> jnp.ndarr
     src/VectorRepo.jl:63-69 + src/cost.jl:10-13)."""
     if batch.batched == "cm":
         # Components-major whole-batch residual: fn gets [ambient, B] slots
-        # and returns [nres, B].
+        # and returns [nres, B].  Adaptive kernels take slot 0 (the kernel
+        # parameters, gathered cm) as rho's first argument — all built-in
+        # kernels are elementwise in s, so [ambient, B] params vectorize.
         gath = _gather_vals_cm(batch, variables, runs=runs)
-        r = batch.fn(batch.params, *gath)
+        rvals = gath[1:] if batch.adaptive else gath
+        r = batch.fn(batch.params, *rvals)
         sq = jnp.sum(r * r, axis=0)
-        costs = 0.5 * batch.kernel.rho(sq)
+        if batch.adaptive:
+            costs = 0.5 * batch.kernel.rho(gath[0], sq)
+        else:
+            costs = 0.5 * batch.kernel.rho(sq)
         return jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
     vals = _gather_vals(batch, variables)
     if batch.batched:
@@ -378,6 +384,11 @@ def batch_grad_hess(batch: CostBatch, variables: dict, layout: Layout, dtype):
 
     ``rows`` are global tangent row indices; fixed variables and padding
     costs point at the dustbin (``layout.dof_total`` onwards)."""
+    if batch.batched == "cm" and batch.adaptive:
+        c, g_cm, h_cm, rows = batch_grad_hess_cm(
+            batch, variables, layout, dtype
+        )
+        return c, g_cm.T, jnp.moveaxis(h_cm, -1, 0), rows
     vals = _gather_vals(batch, variables)
 
     if batch.batched == "cm":
@@ -449,6 +460,36 @@ def batch_grad_hess_cm(batch: CostBatch, variables: dict, layout: Layout, dtype)
     transpose once at the boundary (small batches by construction)."""
     if batch.batched == "cm":
         gath = _gather_vals_cm(batch, variables)
+        if batch.adaptive:
+            # Adaptive robustified composition, components-major: kernel
+            # blocks prepended UNHALVED with the unweighted-gradient cross
+            # block — exact mirror of _cost_grad_hess_one (reference
+            # src/residual.jl:57-111), vectorized over the lane axis.
+            r, jac = batch.jacobian(batch.params, *gath[1:])
+            sq = jnp.sum(r * r, axis=0)
+            g0 = jnp.einsum("nsb,nb->sb", jac, r)
+            h0 = jnp.einsum("nsb,ntb->stb", jac, jac, precision="highest")
+            rho, dgrad, dhess = batch.kernel.rho_dkernel_cm(gath[0], sq)
+            k = batch.kernel.manifold.dof
+            d1 = dgrad[k]
+            d2 = dhess[k, k]
+            dkdv = g0[:, None, :] * dhess[None, :k, k, :]  # [S_res, k, B]
+            h = h0 * d1[None, None, :] + (2.0 * d2)[None, None, :] * (
+                g0[:, None, :] * g0[None, :, :]
+            )
+            g = g0 * d1[None, :]
+            g_full = jnp.concatenate([dgrad[:k], g], axis=0)
+            top = jnp.concatenate(
+                [dhess[:k, :k], jnp.moveaxis(dkdv, 0, 1)], axis=1
+            )  # [k, k+S_res, B]
+            bot = jnp.concatenate([dkdv, h], axis=1)  # [S_res, k+S_res, B]
+            h_full = jnp.concatenate([top, bot], axis=0)
+            costs = 0.5 * rho
+            cost_sum = jnp.sum(
+                jnp.where(batch.mask, costs, jnp.zeros_like(costs))
+            )
+            rows = _batch_rows(batch, layout)
+            return cost_sum, g_full, h_full, rows
         r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
         sq = jnp.sum(r * r, axis=0)
         g = jnp.einsum("nsb,nb->sb", jac, r)
@@ -470,22 +511,40 @@ def batch_grad_hess_cm(batch: CostBatch, variables: dict, layout: Layout, dtype)
 
 def batch_res_jac_cm(batch: CostBatch, variables: dict, dtype, runs=None):
     """Raw components-major residual data of a ``batched='cm'`` batch:
-    ``(cost_sum, r [n, B], jac [n, S, B], g0 [S, B], d1 [B], d2 [B])`` with
-    ``g0 = Jᵀr`` unweighted and (d1, d2) = (ρ′, ρ″).  Consumers compose the
-    robustified blocks themselves — per OUTPUT, fused into its reduction —
-    instead of materializing the shared [S, S, B] per-cost Hessian (60MB of
+    ``(cost_sum, r [n, B], jac [n, S, B], g0 [S, B], d1 [B], d2 [B], kern)``
+    with ``g0 = Jᵀr`` unweighted over the NON-KERNEL tangent dims and
+    (d1, d2) = (ρ′, ρ″).  Consumers compose the robustified blocks
+    themselves — per OUTPUT, fused into its reduction — instead of
+    materializing the shared [S, S, B] per-cost Hessian (60MB of
     (8,128)-padded tiles at 105k observations; profiled as a dominant
-    assembly cost).  Returns None for non-cm batches."""
+    assembly cost).
+
+    ``kern`` is None for plain kernels; for adaptive batches it is
+    ``(dgrad [k+1, B], dhess [k+1, k+1, B])`` from ``rho_dkernel_cm`` —
+    the kernel diag/grad/cross blocks the consumer must place (reference
+    src/residual.jl:103-107 layout: kernel dims first, unhalved).
+    Returns None for non-cm batches."""
     if batch.batched != "cm":
         return None
     gath = _gather_vals_cm(batch, variables, runs=runs)
+    if batch.adaptive:
+        r, jac = batch.jacobian(batch.params, *gath[1:])
+        sq = jnp.sum(r * r, axis=0)
+        rho, dgrad, dhess = batch.kernel.rho_dkernel_cm(gath[0], sq)
+        k = batch.kernel.manifold.dof
+        g0 = jnp.einsum("nsb,nb->sb", jac, r)
+        costs = 0.5 * rho
+        cost_sum = jnp.sum(
+            jnp.where(batch.mask, costs, jnp.zeros_like(costs))
+        )
+        return cost_sum, r, jac, g0, dgrad[k], dhess[k, k], (dgrad, dhess)
     r, jac = batch.jacobian(batch.params, *gath)  # [n,B], [n,S,B]
     sq = jnp.sum(r * r, axis=0)
     rho, d1, d2 = batch.kernel.rho_dc(sq)
     g0 = jnp.einsum("nsb,nb->sb", jac, r)
     costs = 0.5 * rho
     cost_sum = jnp.sum(jnp.where(batch.mask, costs, jnp.zeros_like(costs)))
-    return cost_sum, r, jac, g0, d1, d2
+    return cost_sum, r, jac, g0, d1, d2, None
 
 
 def assemble_dense(batches, variables: dict, layout: Layout, dtype):

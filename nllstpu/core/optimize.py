@@ -76,7 +76,8 @@ class CompiledProblem:
                 continue
             buckets = _fast_buckets(f, si)
             if buckets is not None:
-                out[bi] = (1 - f.r_slot, buckets)
+                e_slot = f.e_slot if f.e_slot is not None else 1 - f.r_slot
+                out[bi] = (e_slot, buckets)
         return out
 
     def assemble(self, variables):
@@ -805,33 +806,58 @@ class _JitRunner:
             packed,
         )
 
-    def start(self, vars0, iter_stop):
+    def _start_fn(self):
+        init, cond, body, finish = self._pieces()
+
+        def _start(v0, stop):
+            st = jax.lax.while_loop(
+                lambda s: cond(s) & (s["iternum"] < stop), body, init(v0)
+            )
+            return st, self._outputs(finish(st))
+
+        return _start
+
+    def _resume_fn(self):
+        init, cond, body, finish = self._pieces()
+
+        def _resume(st, stop):
+            st = jax.lax.while_loop(
+                lambda s: cond(s) & (s["iternum"] < stop), body, st
+            )
+            return st, self._outputs(finish(st))
+
+        return _resume
+
+    def prepare(self, vars0, need_resume: bool):
+        """AOT-compile the chunk executable(s) so the ``max_time`` budget
+        clock can start AFTER compilation: on remote-compile TPU relays a
+        first compile takes minutes and would otherwise eat a default 30 s
+        budget before a single iteration ran.  (The ``jit_max_time``
+        io_callback path already excludes compile naturally — its t0 is
+        read when the program first EXECUTES.)"""
+        stop_sds = jax.ShapeDtypeStruct((), jnp.int32)
         if self._start is None:
-            init, cond, body, finish = self._pieces()
-
-            def _start(v0, stop):
-                st = jax.lax.while_loop(
-                    lambda s: cond(s) & (s["iternum"] < stop), body, init(v0)
-                )
-                return st, self._outputs(finish(st))
-
-            self._start = jax.jit(_start)
-        return self._start(vars0, jnp.int32(iter_stop))
-
-    def resume(self, state, iter_stop):
-        if self._resume is None:
-            init, cond, body, finish = self._pieces()
-
-            def _resume(st, stop):
-                st = jax.lax.while_loop(
-                    lambda s: cond(s) & (s["iternum"] < stop), body, st
-                )
-                return st, self._outputs(finish(st))
-
+            self._start = (
+                jax.jit(self._start_fn()).lower(vars0, stop_sds).compile()
+            )
+        if need_resume and self._resume is None:
+            state_sds, _ = jax.eval_shape(self._start_fn(), vars0, stop_sds)
             # Donate the incoming state: chunk N's state is dead once
             # chunk N+1 starts, and the dense-W system buffer in the flat
             # LM state is large.
-            self._resume = jax.jit(_resume, donate_argnums=(0,))
+            self._resume = (
+                jax.jit(self._resume_fn(), donate_argnums=(0,))
+                .lower(state_sds, stop_sds)
+                .compile()
+            )
+
+    def start(self, vars0, iter_stop):
+        if self._start is None:
+            self.prepare(vars0, need_resume=False)
+        return self._start(vars0, jnp.int32(iter_stop))
+
+    def resume(self, state, iter_stop):
+        assert self._resume is not None  # prepare(need_resume=True) first
         return self._resume(state, jnp.int32(iter_stop))
 
 
@@ -936,13 +962,26 @@ def _run_jit(problem, entry: _RunnerEntry, opts) -> Result:
         state, outs = runner.start(vars0, opts.max_iters)
         stats = np.asarray(outs[-1])  # single readback fences execution
     else:
+        # Compile BEFORE starting the budget clock (see _JitRunner.prepare)
+        # — the budget covers optimization work, not XLA compilation.  The
+        # resume executable compiles lazily on first actual use, with the
+        # budget clock paused around it.
+        runner.prepare(vars0, need_resume=False)
+        t1 = time.perf_counter()
+        t_budget = t1
         iter_stop = min(_JIT_TIME_CHUNK, opts.max_iters)
         state, outs = runner.start(vars0, iter_stop)
         stats = np.asarray(outs[-1])
         t_chunk = time.perf_counter()
         prev_done = 0
         while stats[2] == 0:  # chunk budget hit, not converged
-            elapsed = time.perf_counter() - t0
+            if runner._resume is None:
+                tc = time.perf_counter()
+                runner.prepare(vars0, need_resume=True)
+                dt_compile = time.perf_counter() - tc
+                t_budget += dt_compile
+                t_chunk += dt_compile
+            elapsed = time.perf_counter() - t_budget
             if elapsed > opts.max_time:
                 timed_out = True
                 break

@@ -401,9 +401,15 @@ class Problem:
                 "first slot of an adaptive cost must be the kernel variable"
             )
         if batched:
-            if kind != "residual" or adaptive:
+            if kind != "residual":
                 raise ValueError(
-                    "batched=True supports plain residual costs only"
+                    "batched=True supports residual costs only"
+                )
+            if adaptive and batched != "cm":
+                raise ValueError(
+                    "adaptive kernels require batched='cm' (the kernel "
+                    "slot is gathered components-major and its derivative "
+                    "blocks ride rho_dkernel_cm)"
                 )
             if jacobian is None and batched != "cm":
                 # cm batches synthesize one at finalization
@@ -533,7 +539,15 @@ class Problem:
                     jacobian=(
                         g.jacobian
                         if g.jacobian is not None or g.batched != "cm"
-                        else _auto_cm_jacobian(g.fn, g.families)
+                        # Adaptive cm residuals: fn takes the NON-kernel
+                        # slots; the kernel's derivative blocks come from
+                        # rho_dkernel_cm, not the residual Jacobian.
+                        else _auto_cm_jacobian(
+                            g.fn,
+                            g.families[1:]
+                            if isinstance(g.kernel, AdaptiveRobustifier)
+                            else g.families,
+                        )
                     ),
                     batched=g.batched,
                 )

@@ -227,6 +227,30 @@ class AdaptiveRobustifier:
         hess = jax.jacfwd(jax.grad(f))(z0)
         return val, grad, hess
 
+    def rho_dkernel_cm(self, kparams_cm, s):
+        """Components-major batched :meth:`rho_dkernel`:
+        ``kparams_cm [ambient, B]``, ``s [B]`` → ``(ρ [B],
+        dgrad [dof+1, B], dhess [dof+1, dof+1, B])``.  Every cost's
+        derivative rides one shared basis tangent broadcast over the lane
+        axis (forward-over-forward; (dof+1)² elementwise passes), so the
+        whole batch stays in the lane-optimal cm layout — the engine's
+        fast paths for ``batched='cm'`` adaptive costs are built on this.
+        Works for any subclass whose ``rho`` is elementwise in ``s`` (all
+        built-ins are)."""
+        man = self.manifold
+        k = man.dof
+        b = s.shape[-1]
+
+        def f(z):
+            t = jnp.broadcast_to(z[:k, None], (k, b))
+            return self.rho(man.retract_cm(kparams_cm, t), s + z[k])
+
+        z0 = jnp.zeros(k + 1, dtype=s.dtype)
+        val = f(z0)
+        dgrad = jax.jacfwd(f)(z0)  # [B, k+1]
+        dhess = jax.jacfwd(jax.jacfwd(f))(z0)  # [B, k+1, k+1]
+        return val, dgrad.T, jnp.moveaxis(dhess, 0, -1)
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaledAdaptive(AdaptiveRobustifier):

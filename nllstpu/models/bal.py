@@ -212,36 +212,63 @@ def load_bal(path: str) -> dict:
 
 
 def make_bal_problem(data: dict, dtype=None, robust_width=None,
-                     batched="cm", hand_jacobian=True) -> tuple:
+                     batched="cm", hand_jacobian=True, kernel=None,
+                     kernel_params=None) -> tuple:
     """Build a Problem from parsed BAL arrays; returns
-    ``(problem, camera_handles, point_handles)``.
+    ``(problem, camera_handles, point_handles)`` — or, with an adaptive
+    ``kernel``, ``(problem, camera_handles, point_handles, kernel_handle)``.
 
     ``batched="cm"`` (default) uses the components-major residual with the
     hand analytic Jacobian (``hand_jacobian=False`` falls back to the
     synthesized 12-pass cm Jacobian) — real BAL data then takes the
     dual-sorted / fused-kernel assembly path on TPU; ``batched=False``
     keeps the per-cost vmapped formulation (the reference-shaped
-    baseline)."""
+    baseline).
+
+    ``kernel`` overrides the robustifier (``robust_width`` builds a Huber).
+    An :class:`~nllstpu.AdaptiveRobustifier` (e.g. ContaminatedGaussian,
+    Barron) adds ONE shared kernel-parameter variable — initialized from
+    ``kernel_params`` — jointly optimized with the cameras and points; the
+    cm batch then rides the adaptive Schur fast path (single-reduction
+    kernel blocks)."""
+    from ..core.robust import AdaptiveRobustifier
+
     p = Problem(dtype=dtype)
     cameras = p.add_variables(CAM, data["cameras"])
     points = p.add_variables(PT, data["points"])
-    kernel = Huber(robust_width) if robust_width else None
+    if kernel is None:
+        kernel = Huber(robust_width) if robust_width else None
+    kh = None
+    slots = [(CAM, data["cam_idx"]), (PT, data["pt_idx"])]
+    if isinstance(kernel, AdaptiveRobustifier):
+        if kernel_params is None:
+            raise ValueError("adaptive kernel requires kernel_params")
+        kh = p.add_variable(kernel.manifold, kernel_params)
+        n = len(np.asarray(data["pt_idx"]))
+        slots = [
+            (kernel.manifold, np.full(n, kh.index, np.int32))
+        ] + slots
     if batched == "cm":
         p.add_cost_batch(
             snavely_residual_cm,
-            slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
+            slots=slots,
             params=np.asarray(data["observations"]),
             kernel=kernel,
             batched="cm",
+            # The hand Jacobian covers the NON-kernel slots — exactly the
+            # adaptive contract (the kernel's blocks come from
+            # rho_dkernel_cm), so it applies to both forms.
             jacobian=snavely_jacobian_cm if hand_jacobian else None,
         )
     else:
         p.add_cost_batch(
             snavely_residual,
-            slots=[(CAM, data["cam_idx"]), (PT, data["pt_idx"])],
+            slots=slots,
             params=np.asarray(data["observations"]),
             kernel=kernel,
         )
+    if kh is not None:
+        return p, cameras, points, kh
     return p, cameras, points
 
 

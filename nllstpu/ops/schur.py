@@ -777,6 +777,14 @@ class _FastBatch:
     # implicit bucket ``(0, L, obs_k, 0)``).
     buckets: tuple = None
     extra_base: int = None  # first fixed-landmark-extras column (buckets only)
+    # Eliminated-family slot index within batch.manifolds (2-slot batches:
+    # 1 - r_slot; 3-slot adaptive batches: slot 0 is the kernel).
+    e_slot: int = None
+    # Adaptive (kernel, reduced, eliminated) batches with ONE shared kernel
+    # variable: its global tangent rows [kdof] (dustbin dr when fixed) —
+    # the kernel's diag/grad/cross blocks then land via single reductions
+    # instead of B duplicate scatters.
+    kernel_rows: Any = None
 
 
 @dataclasses.dataclass
@@ -926,7 +934,17 @@ def obs_major_repack(batch, info: "SchurInfo"):
         for i, m in enumerate(batch.manifolds)
         if family_name(m) == info.elim_family
     ]
-    if len(elim_slots) != 1 or len(batch.manifolds) != 2 or info.num_elim == 0:
+    adaptive3 = (
+        getattr(batch, "adaptive", False)
+        and len(batch.manifolds) == 3
+        and len(elim_slots) == 1
+        and elim_slots[0] != 0
+    )
+    if (
+        len(elim_slots) != 1
+        or (len(batch.manifolds) != 2 and not adaptive3)
+        or info.num_elim == 0
+    ):
         return None, None
     e = elim_slots[0]
     mask = np.asarray(batch.mask)
@@ -1046,16 +1064,38 @@ def _fast_batch_data(batch, layout, info, meta=None):
         for i, m in enumerate(batch.manifolds)
         if family_name(m) == info.elim_family
     ]
-    if len(elim_slots) != 1 or len(batch.manifolds) != 2:
+    adaptive3 = (
+        getattr(batch, "adaptive", False)
+        and len(batch.manifolds) == 3
+        and len(elim_slots) == 1
+        and elim_slots[0] != 0
+    )
+    if len(elim_slots) != 1 or (len(batch.manifolds) != 2 and not adaptive3):
         return None
     e = elim_slots[0]
-    r_slot = 1 - e
+    mask = np.asarray(batch.mask)
+    kernel_rows = None
+    if adaptive3:
+        # Fast tables require ONE shared kernel variable (the common case:
+        # one adaptive kernel jointly fit over the whole batch) so its
+        # blocks reduce once; per-cost kernels fall back to the generic
+        # scatter path.
+        kidx = np.asarray(batch.idx[0])[mask]
+        if kidx.size == 0 or np.unique(kidx).size != 1:
+            return None
+        kfam = family_name(batch.manifolds[0])
+        koff = int(np.asarray(layout.offsets[kfam])[kidx[0]])
+        kdof = batch.manifolds[0].dof
+        kernel_rows = np.minimum(
+            koff + np.arange(kdof, dtype=np.int32), info.dim_reduced
+        ).astype(np.int32)
+        r_slot = 3 - e  # the non-kernel, non-eliminated slot
+    else:
+        r_slot = 1 - e
     rman = batch.manifolds[r_slot]
     rfam = family_name(rman)
     n_r = int(layout.unfixed[rfam].shape[0])
     b_pad = batch.n_padded
-
-    mask = np.asarray(batch.mask)
     lid = np.asarray(info.elim_ids[info.elim_family])[np.asarray(batch.idx[e])]
     lid = lid.copy()
     lid[~mask] = info.num_elim
@@ -1111,6 +1151,8 @@ def _fast_batch_data(batch, layout, info, meta=None):
         cam_k=cam_k,
         buckets=buckets,
         extra_base=extra_base,
+        e_slot=e,
+        kernel_rows=kernel_rows,
     )
 
 
@@ -1358,6 +1400,10 @@ def build_schur_info(
                     f is not None
                     and getattr(b, "batched", None) == "cm"
                     and _fast_buckets(f, info) is not None
+                    # Adaptive wparts would need a second (kernel-row)
+                    # coupling block in the CG matvec; implicit adaptive
+                    # batches keep the generic full-block wpart instead.
+                    and not getattr(b, "adaptive", False)
                 )
                 wpart_buckets.append(
                     _fast_buckets(f, info) if dual else None
@@ -1580,8 +1626,12 @@ def _assemble_fast_dual(
         return None
     dr, L, dl = info.dim_reduced, info.num_elim, info.dof_elim
     k = fast.obs_k
-    dofs = [m.dof for m in batch.manifolds]
-    start = sum(dofs[:e])
+    # Jacobian tangent space excludes the kernel slot of adaptive batches
+    # (its blocks come from rho_dkernel_cm, placed separately below).
+    jac_manifolds = batch.manifolds[1:] if batch.adaptive else batch.manifolds
+    e_jac = e - 1 if batch.adaptive else e
+    dofs = [m.dof for m in jac_manifolds]
+    start = sum(dofs[:e_jac])
     sel_e = np.arange(start, start + dl)
     sel_r = np.array(
         [i for i in range(sum(dofs)) if not (start <= i < start + dl)],
@@ -1598,7 +1648,7 @@ def _assemble_fast_dual(
         return jj * d1m + d2m * (g0[sa][:, None, :] * g0[sb][None, :, :])
 
     # --- obs-major leg: cost, h_ll, g_l, W --------------------------------
-    cost_sum, r, jac, g0, d1, d2 = raw
+    cost_sum, r, jac, g0, d1, d2, kern = raw
     mval = jnp.asarray(batch.mask).astype(dtype)
     d1m = d1 * mval
     d2m = 2.0 * d2 * mval
@@ -1824,6 +1874,52 @@ def _assemble_fast_dual(
                     )
                     w = w.at[:, l0 : l0 + lb].add(w_add)
 
+    if kern is not None and not info.implicit:
+        # Adaptive-kernel blocks (reference src/residual.jl:103-107 layout,
+        # unhalved, unweighted-gradient cross), each via a SINGLE reduction
+        # instead of B duplicate scatters into the same rows:
+        #   kk / g_k    : plain sums over the batch;
+        #   kernel-cam  : chunked one-hot MXU contraction per camera;
+        #   kernel-pt   : per-bucket run reshape-sums into W's kernel
+        #                 columns (the kernel is a REDUCED variable, so its
+        #                 point coupling is ordinary W data).
+        dgrad, dhess = kern
+        kdof = dgrad.shape[0] - 1
+        kr = jnp.asarray(fast.kernel_rows)
+        dga = dgrad[:kdof] * mval
+        dha = dhess[:kdof, :kdof] * mval
+        dcross = dhess[:kdof, kdof] * mval  # [k, B]
+        a_rr = a_rr.at[kr[:, None], kr[None, :]].add(jnp.sum(dha, axis=-1))
+        b_r = b_r.at[kr].add(jnp.sum(dga, axis=-1))
+        m_b = g0[sel_r][:, None, :] * dcross[None, :, :]  # [dr_s, k, B]
+        rvid_j = jnp.asarray(fast.rvid)
+        parts = []
+        for cstart, width in _onehot_chunks(
+            fast.n_r, _FAST_MAX_ONEHOT, rvid_j.shape[0]
+        ):
+            oh = (
+                (cstart + jnp.arange(width, dtype=jnp.int32))[:, None]
+                == rvid_j[None, :]
+            ).astype(dtype)
+            parts.append(
+                jnp.einsum("vb,pkb->vpk", oh, m_b, precision="highest")
+            )
+        cr = jnp.concatenate(parts, axis=0)  # [n_r, dr_s, k]
+        row_idx_k = (
+            jnp.asarray(fast.row_base)[:, None]
+            + jnp.arange(dr_s, dtype=jnp.int32)[None, :]
+        )
+        a_rr = a_rr.at[row_idx_k[:, :, None], kr[None, None, :]].add(cr)
+        a_rr = a_rr.at[kr[None, None, :], row_idx_k[:, :, None]].add(cr)
+        m_e = g0[sel_e][:, None, :] * dcross[None, :, :]  # [dl, k, B]
+        for (l0, lb, kb, c0) in buckets:
+            seg = (
+                m_e[..., c0 : c0 + lb * kb]
+                .reshape(dl, kdof, lb, kb)
+                .sum(-1)
+            )  # [dl, k, L_b]
+            w = w.at[:, l0 : l0 + lb, kr].add(seg.transpose(0, 2, 1))
+
     if fast.cam_batch is not None:
         return cost_sum, _fast_dual_cam_leg(
             fast, variables, dtype, robust_block, sel_r, dr_s,
@@ -1856,7 +1952,7 @@ def _fast_dual_cam_leg(fast, variables, dtype, robust_block, sel_r, dr_s,
         fast.cam_batch, variables, dtype,
         runs=(fast.r_slot, ((0, fast.n_r, fast.cam_k, 0),)),
     )
-    _, _, jac2, g02, d1_2, d2_2 = raw2
+    _, _, jac2, g02, d1_2, d2_2, _ = raw2
     m2 = jnp.asarray(fast.cam_batch.mask).astype(dtype)
     d1m2 = d1_2 * m2
     d2m2 = 2.0 * d2_2 * m2
@@ -2005,7 +2101,10 @@ def assemble_schur(batches, variables, layout: engine.Layout, info: SchurInfo,
         lid = jnp.where(elim_fixed, jnp.int32(L), lid)
 
         fast = info.fast[bi] if bi < len(info.fast) else None
-        if fast is not None:
+        # The gather/one-hot branch below assumes 2-slot row geometry
+        # (row_base + contiguous dr_s); 3-slot adaptive batches that didn't
+        # take the dual path (implicit backend) use the generic scatters.
+        if fast is not None and len(batch.manifolds) == 2:
             # Gather/one-hot fast path (see _FastBatch).  Duplicate-index
             # scatters dominated TPU assembly; here:
             #  * camera-keyed sums ride the MXU via a one-hot matmul over the

@@ -530,9 +530,14 @@ class ShardedSchurCompiled:
                 and meta.obs_k is not None
                 and getattr(b, "batched", None) == "cm"
             ):
+                e_slot = (
+                    meta.e_slot
+                    if meta.e_slot is not None
+                    else 1 - meta.r_slot
+                )
                 out.append(
                     (
-                        1 - meta.r_slot,
+                        e_slot,
                         ((0, self.num_elim_local, meta.obs_k, 0),),
                     )
                 )

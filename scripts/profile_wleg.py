@@ -82,7 +82,7 @@ def main():
 
     def prep(v):
         raw = engine.batch_res_jac_cm(batch, v, dtype)
-        cost_sum, r, jac, g0, d1, d2 = raw
+        cost_sum, r, jac, g0, d1, d2, _ = raw
         mval = jnp.asarray(batch.mask).astype(dtype)
         return jac, g0, d1 * mval, 2.0 * d2 * mval
 
