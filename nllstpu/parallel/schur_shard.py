@@ -670,8 +670,13 @@ class ShardedSchurCompiled:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(
-            lambda v: f(v, self.batch_args, self.elim_ids, self.fast_args)
+        # Globally-sharded arrays must enter as jit ARGUMENTS: a closed-over
+        # array spanning non-addressable devices is an unmaterializable
+        # constant in multi-process meshes (same fix as
+        # ParallelCompiled.run_loop_jit; caught by the 2-process gloo test).
+        jitted = jax.jit(f)
+        return lambda v: jitted(
+            v, self.batch_args, self.elim_ids, self.fast_args
         )
 
 

@@ -90,6 +90,47 @@ def main():
     start = float(np.asarray(final["startcost"].addressable_data(0)))
     sharded_cost = start  # cost of the initial variables over the mesh
 
+    # 5. LANDMARK-SHARDED optimization (optimize_sharded — the actual
+    # scaling design: per-device landmark ownership, psum-reduced camera
+    # system) across the 2-process mesh, direct AND implicit backends.
+    # The single-process 8-device tests can't catch cross-process issues
+    # in its axis_index slicing / global device_put logic.
+    from nllstpu.parallel import optimize_sharded
+
+    def fresh():
+        p, _, lm = make_pinhole_ba(
+            ncameras=4, nlandmarks=24, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float64,
+        )
+        perturb_ba(p, lm, 0.03, seed=5)
+        return p
+
+    # Local single-device reference optimum for both backends.
+    p_ref = fresh()
+    r_ref = nt.optimize(
+        p_ref,
+        nt.Options(
+            iterator=nt.LEVENBERG_MARQUARDT, max_iters=8,
+            solver="schur", schur_family=nt.Euclidean(3),
+        ),
+    )
+    p_dir = fresh()
+    r_dir = optimize_sharded(
+        p_dir, mesh,
+        nt.Options(
+            iterator=nt.LEVENBERG_MARQUARDT, max_iters=8,
+            solver="schur", schur_family=nt.Euclidean(3),
+        ),
+    )
+    p_imp = fresh()
+    r_imp = optimize_sharded(
+        p_imp, mesh,
+        nt.Options(
+            iterator=nt.LEVENBERG_MARQUARDT, max_iters=8,
+            solver="schur_cg", schur_family=nt.Euclidean(3),
+        ),
+    )
+
     print(
         json.dumps(
             {
@@ -101,6 +142,10 @@ def main():
                 "sharded_cost": sharded_cost,
                 "start": start,
                 "best": best,
+                "ref_best": r_ref.best_cost,
+                "lmshard_direct_best": r_dir.best_cost,
+                "lmshard_direct_start": r_dir.start_cost,
+                "lmshard_implicit_best": r_imp.best_cost,
             }
         ),
         flush=True,

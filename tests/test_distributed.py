@@ -63,6 +63,21 @@ def test_two_process_distributed_lm():
         np.testing.assert_allclose(o["sharded_cost"], o["ref_cost"], rtol=1e-12)
         # The fully-jitted cross-process LM loop descends.
         assert o["best"] < 0.01 * o["start"], (o["start"], o["best"])
+        # Landmark-sharded optimize_sharded (direct + implicit) across the
+        # 2-process mesh reproduces the single-process optimum (VERDICT r3
+        # item 6: this path's axis_index slicing and global device_puts
+        # had never crossed a process boundary).
+        np.testing.assert_allclose(
+            o["lmshard_direct_start"], o["ref_cost"], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            o["lmshard_direct_best"], o["ref_best"], rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            o["lmshard_implicit_best"], o["ref_best"], rtol=1e-7
+        )
     # Both processes agree bitwise on the replicated results.
     assert outs[0]["best"] == outs[1]["best"]
     assert outs[0]["sharded_cost"] == outs[1]["sharded_cost"]
+    assert outs[0]["lmshard_direct_best"] == outs[1]["lmshard_direct_best"]
+    assert outs[0]["lmshard_implicit_best"] == outs[1]["lmshard_implicit_best"]
