@@ -53,6 +53,10 @@ class CompiledProblem:
     dtype: Any
     schur_info: Any = None  # nllstpu.ops.schur.SchurInfo when Schur is active
     cg_ops: Any = None  # nllstpu.ops.cg.CGOps when the matrix-free backend is active
+    # Per-batch ObsBuckets repack metadata (Schur only): runtime-masked
+    # views use its ``take`` to map original-order cost masks into the
+    # repacked column order.
+    obs_meta: Any = None
 
     def cost(self, variables):
         return engine.total_cost(
@@ -297,6 +301,7 @@ def compile_problem(
             batches=batches,
             dtype=problem.dtype,
             schur_info=info,
+            obs_meta=obs_meta,
         )
     if solver in ("cg", "pcg"):
         from ..ops import cg
@@ -1059,9 +1064,15 @@ class SubproblemView:
     the per-batch boolean masks arrive as jit arguments, so two subset
     swaps hit the same executable with zero retracing.
 
-    Dense backend only: the Schur/CG backends precompute host-side
-    structure (obs-major repacks, fast tables, preconditioner layouts)
-    from the active mask, which cannot be swapped at runtime.
+    ``solver="dense"`` (default) or ``"schur"`` (+ ``schur_family``) — the
+    direct-Schur fast paths gate every contribution through the traced
+    mask (the robust weights d1/d2 fold it in), so Schur-scale alternation
+    swaps subsets with zero recompiles too; the view maps original-order
+    masks through the obs-major/camera repack permutations
+    (``CompiledProblem.obs_meta`` / ``_FastBatch.cam_take``).  Non-cm
+    batches with fast tables are demoted to the generic (runtime-safe)
+    scatter path at view build.  The implicit backend precomputes
+    mask-dependent preconditioner structure and is not supported.
 
     Use a DAMPED iterator (LM or dogleg, the default): variables touched
     by no active cost have exactly-zero gradient and Hessian rows, so the
@@ -1076,18 +1087,84 @@ class SubproblemView:
         res = view.optimize(options)          # same compile across selects
     """
 
-    def __init__(self, problem: Problem, unfixed=None):
+    def __init__(self, problem: Problem, unfixed=None, solver: str = "dense",
+                 schur_family=None):
         self.problem = problem
         self._structure_version = problem.structure_version
-        self.compiled = compile_problem(problem, unfixed, solver="dense")
+        if solver not in ("dense", "schur"):
+            raise ValueError(
+                "SubproblemView supports solver='dense' or 'schur'"
+            )
+        self.compiled = compile_problem(
+            problem, unfixed, solver=solver, schur_family=schur_family
+        )
+        info = self.compiled.schur_info
+        if info is not None:
+            if info.implicit:
+                raise ValueError(
+                    "SubproblemView over the implicit Schur backend is not "
+                    "supported (mask-dependent preconditioner structure); "
+                    "use solver='schur' under the dense-W byte budget or "
+                    "rebuild per subset via Problem.subproblem"
+                )
+            # Demote fast batches that would not take the DUAL path to the
+            # generic scatter path: the non-dual one-hot/table reductions
+            # key off STATIC dustbin ids and would ignore a runtime mask,
+            # while the dual path gates every contribution through the
+            # traced d1/d2 weights.
+            from ..ops import schur as _schur
+
+            fast = tuple(
+                f
+                if (
+                    f is None
+                    or (
+                        getattr(b, "batched", None) == "cm"
+                        and _schur._fast_buckets(f, info) is not None
+                    )
+                )
+                else None
+                for f, b in zip(info.fast, self.compiled.batches)
+            )
+            self.compiled = dataclasses.replace(
+                self.compiled,
+                schur_info=dataclasses.replace(info, fast=fast),
+            )
         if self.compiled.layout.dof_total == 0:
             raise ValueError("no unfixed variables to optimize")
         self._base_masks = tuple(
             jnp.asarray(b.mask) for b in self.compiled.batches
         )
-        self._masks = self._base_masks
+        self._masks = tuple(self._map_masks(None))
         self._runners: dict = {}
         self.trace_count = 0  # observable "no recompile" evidence for tests
+
+    def _map_masks(self, orig_masks):
+        """AND original-order subset masks (None = all-true) into the
+        compiled batches' (possibly repacked) column order, including each
+        dual-path batch's camera-major twin."""
+        metas = self.compiled.obs_meta or [None] * len(self.compiled.batches)
+        info = self.compiled.schur_info
+        out = []
+        for i, (b, base) in enumerate(
+            zip(self.compiled.batches, self._base_masks)
+        ):
+            if orig_masks is None:
+                m = base
+            else:
+                om = jnp.asarray(orig_masks[i])
+                meta = metas[i] if i < len(metas) else None
+                if meta is not None and meta.take is not None:
+                    om = om[jnp.asarray(meta.take)]
+                m = base & om
+            cam_m = None
+            f = info.fast[i] if info is not None and i < len(info.fast) else None
+            if f is not None and f.cam_take is not None:
+                cam_m = m[jnp.asarray(f.cam_take)] & jnp.asarray(
+                    f.cam_batch.mask
+                )
+            out.append((m, cam_m))
+        return out
 
     def select(self, predicate) -> "SubproblemView":
         """Choose the active cost subset (same predicate forms as
@@ -1099,18 +1176,32 @@ class SubproblemView:
                 "build a new SubproblemView"
             )
         masks = self.problem.subset_masks(predicate)
-        self._masks = tuple(
-            base & jnp.asarray(m)
-            for base, m in zip(self._base_masks, masks)
-        )
+        self._masks = tuple(self._map_masks(masks))
         return self
 
     def _masked(self, masks):
         batches = [
             dataclasses.replace(b, mask=m)
-            for b, m in zip(self.compiled.batches, masks)
+            for b, (m, _) in zip(self.compiled.batches, masks)
         ]
-        return dataclasses.replace(self.compiled, batches=batches)
+        compiled = dataclasses.replace(self.compiled, batches=batches)
+        info = compiled.schur_info
+        if info is not None:
+            fast = tuple(
+                f
+                if (f is None or f.cam_batch is None)
+                else dataclasses.replace(
+                    f,
+                    cam_batch=dataclasses.replace(
+                        f.cam_batch, mask=cam_m
+                    ),
+                )
+                for f, (_, cam_m) in zip(info.fast, masks)
+            )
+            compiled = dataclasses.replace(
+                compiled, schur_info=dataclasses.replace(info, fast=fast)
+            )
+        return compiled
 
     def cost(self) -> float:
         runner = self._runners.get("cost")

@@ -766,6 +766,9 @@ class _FastBatch:
     # Jacobian twice (~1ms vs ~4ms of one-hot matmuls at bench scale).
     cam_batch: Any = None
     cam_k: int = None
+    # Camera-repack column permutation over the (repacked) batch rows —
+    # lets runtime-masked views map their mask into cam_batch's order.
+    cam_take: Any = None
     # Bucketed obs-major layout (skewed/real-BAL degree distributions):
     # tuple of ``(l_base, L_b, k_b, col_base)`` runs — landmark ``l`` in
     # ``[l_base, l_base + L_b)`` owns columns ``col_base + (l − l_base)·k_b
@@ -873,6 +876,11 @@ class ObsBuckets(NamedTuple):
     buckets: tuple  # ((l_base, L_b, k_b, col_base), ...)
     extra_base: int  # first column of the fixed-landmark extras region
     uniform_k: Any  # run length when single-bucket-covering-all-L, else None
+    # Column permutation: repacked column j holds original row take[j]
+    # (pad slots point at row 0 and carry mask False) — lets runtime-masked
+    # views (SubproblemView) map original-order cost masks into the
+    # repacked order.
+    take: Any = None
 
 
 def _plan_obs_buckets(counts):
@@ -969,7 +977,8 @@ def obs_major_repack(batch, info: "SchurInfo"):
             take[L * k : L * k + len(extra)] = extra
             newmask[L * k : L * k + len(extra)] = True
         meta = ObsBuckets(
-            buckets=((0, L, k, 0),), extra_base=L * k, uniform_k=k
+            buckets=((0, L, k, 0),), extra_base=L * k, uniform_k=k,
+            take=take,
         )
         return _apply_take(batch, take, newmask), meta
     # Skewed: bucketed layout.  Requires degree-descending landmark ids
@@ -998,7 +1007,8 @@ def obs_major_repack(batch, info: "SchurInfo"):
         take[col_base : col_base + len(extra)] = extra
         newmask[col_base : col_base + len(extra)] = True
     meta = ObsBuckets(
-        buckets=tuple(buckets), extra_base=col_base, uniform_k=None
+        buckets=tuple(buckets), extra_base=col_base, uniform_k=None,
+        take=take,
     )
     return _apply_take(batch, take, newmask), meta
 
@@ -1134,11 +1144,11 @@ def _fast_batch_data(batch, layout, info, meta=None):
     rvid[(~mask) | var_fixed] = n_r  # dustbin id → all-zero one-hot row
     row_base = np.minimum(off_r, info.dim_reduced).astype(np.int32)
     cam_table = _key_table(rvid, n_r, b_pad, _FAST_MAX_CAM_K)
-    cam_batch = cam_k = None
+    cam_batch = cam_k = cam_take = None
     # The dual-sorted direct path (and the cm wpart layout keyed off
     # cam_batch's presence) applies only to components-major batches.
     if obs_k is not None and batch.batched == "cm":
-        cam_batch, cam_k = _cam_major_repack(batch, rvid, n_r)
+        cam_batch, cam_k, cam_take = _cam_major_repack(batch, rvid, n_r)
     return _FastBatch(
         r_slot=r_slot,
         n_r=n_r,
@@ -1149,6 +1159,7 @@ def _fast_batch_data(batch, layout, info, meta=None):
         obs_k=obs_k,
         cam_batch=cam_batch,
         cam_k=cam_k,
+        cam_take=cam_take,
         buckets=buckets,
         extra_base=extra_base,
         e_slot=e,
@@ -1160,14 +1171,15 @@ def _cam_major_repack(batch, rvid, n_r):
     """Camera-run repack of an (obs-major) batch: column ``c·Kc + j`` holds
     the j-th cost touching unfixed reduced variable ``c``; costs with a
     dustbin rvid (masked, or fixed camera — no a_rr contribution) are
-    dropped.  Returns (batch, Kc) or (None, None) on excessive skew."""
+    dropped.  Returns (batch, Kc, take) or (None, None, None) on
+    excessive skew."""
     if n_r == 0:
-        return None, None
+        return None, None, None
     rows_sorted, skey, counts, pos, kc = _group_rows(rvid, n_r)
     if kc > _FAST_MAX_CAM_K or n_r * kc > _OBS_MAJOR_MAX_RATIO * max(
         len(rows_sorted), 1
     ):
-        return None, None
+        return None, None, None
     cols = skey * kc + pos
     b_new = -(-(n_r * kc) // 8) * 8
     take = np.zeros(b_new, dtype=np.int64)
@@ -1181,7 +1193,7 @@ def _cam_major_repack(batch, rvid, n_r):
         if batch.params is None
         else jtu.tree_map(lambda l: np.asarray(l)[take], batch.params),
         mask=newmask,
-    ), kc
+    ), kc, take
 
 
 def _group_rows(keys, n_keys):
