@@ -517,11 +517,11 @@ def test_giant_implicit_auto_chunking(monkeypatch):
         perturb_ba(p, lmks, 0.01, seed=3)
         compiled = compile_problem(p, solver="schur_cg", schur_family=LMK)
         n_obs = sum(b.n_padded for b in compiled.batches)
-        runner = opt_mod._make_jit_runner(
+        runner = opt_mod._JitRunner(
             compiled, nt.Options(iterator=nt.LEVENBERG_MARQUARDT, max_iters=5)
         )
-        out_vars, _, packed = runner(p.stacked_variables())
-        stats = np.asarray(packed)
+        _, outs = runner.start(p.stacked_variables(), 5)
+        stats = np.asarray(outs[-1])
         assert stats[1] < stats[0]  # descends either way
         return n_obs, captured[-1]
 
@@ -631,7 +631,7 @@ def test_giant_gate_routes_optimize_to_stepped(monkeypatch):
     def _boom(*a, **k):  # the faulting path must not even be traced
         raise AssertionError("jit runner built despite the giant gate")
 
-    monkeypatch.setattr(opt_mod, "_make_jit_runner", _boom)
+    monkeypatch.setattr(opt_mod, "_JitRunner", _boom)
     opts = nt.Options(
         solver="schur_cg", schur_family=LMK,
         iterator=nt.LEVENBERG_MARQUARDT, max_iters=3,
