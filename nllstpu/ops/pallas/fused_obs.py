@@ -207,7 +207,7 @@ def _kernel_all(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref,
 
 def fused_obs_all_pm(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
                      dl: int, e_start: int, w_dtype=None,
-                     interpret: bool = False):
+                     interpret: bool = False, tile_l: int = None):
     """Whole-system fused assembly: one kernel pass over the K-major
     obs-sorted Jacobian emits ``(h_ll [dl, dl, L], g_l [dl, L],
     w_pm [dl, dr_s*NRp, L] in ``w_dtype``, ab [npairs+dr_s, NRp])`` where
@@ -220,7 +220,9 @@ def fused_obs_all_pm(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
     assert s - dl == dr_s, (s, dl, dr_s)
     npairs = dr_s * (dr_s + 1) // 2
     ab_pad = -(-(npairs + dr_s) // 8) * 8
-    tile_l = TILE_L
+    # Caller may shrink the lane tile for long-run (large k_len) buckets so
+    # the jac block still fits VMEM (see ops/schur._fused_tile_l).
+    tile_l = TILE_L if tile_l is None else tile_l
     grid = pl.cdiv(n_real, tile_l)
     nrp = -(-n_r // 128) * 128
     pad = grid * tile_l - n_real

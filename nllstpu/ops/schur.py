@@ -891,23 +891,33 @@ def _plan_obs_buckets(counts):
     observation index of each landmark carried by that bucket."""
     L = counts.shape[0]
     cap = _OBS_BUCKET_K_CAP
+
+    def ceil8(x):
+        return -(-int(x) // 8) * 8
+
     plan = []
-    # Chunk buckets j = 1.. over the heavy prefix {l : c_l > j·cap}.
+    # Chunk buckets j = 1.. over the heavy prefix {l : c_l > j·cap}; the
+    # run width is capped at the widest remaining window (ceil-8).
     j = 1
     while True:
         h = int(np.sum(counts > j * cap))
         if h == 0:
             break
-        plan.append((0, h, cap, j * cap))
+        width = min(cap, ceil8(int(counts[0]) - j * cap))
+        plan.append((0, h, width, j * cap))
         j += 1
-    # Power-of-two classes over min(c, cap) for all landmarks with c > 0.
+    # Power-of-two classes over min(c, cap) for all landmarks with c > 0;
+    # each class's run width is tightened to its actual max count (ceil-8)
+    # — pow2 is just the grouping key, and e.g. a 96-track class must not
+    # pad to 128 (25% wasted compute and a bigger kernel VMEM block).
     base = np.minimum(counts, cap)
     cls = np.where(base > 0, 2 ** np.ceil(np.log2(np.maximum(base, 1))), 0)
     cls = cls.astype(np.int64)
     start = 0
     while start < L and cls[start] > 0:
-        k_b = int(cls[start])
-        end = start + int(np.sum(cls[start:] == k_b))
+        k_cls = int(cls[start])
+        end = start + int(np.sum(cls[start:] == k_cls))
+        k_b = min(k_cls, max(ceil8(int(counts[start])), 1))
         plan.append((start, end - start, k_b, 0))
         start = end
     return plan
@@ -1432,6 +1442,19 @@ def build_schur_info(
     return info
 
 
+def _fused_tile_l(k_b, dr_s, dl, nrp):
+    """Largest lane-tile width whose fused_all per-bucket VMEM footprint
+    (p-major W block + f32 accumulator + double-buffered jac/g0 blocks,
+    nres ≤ 4 assumed) fits the budget; None when even 128 lanes do not —
+    the caller then falls back to the XLA one-hot path."""
+    for tl in (256, 128):
+        vmem = dl * dr_s * nrp * tl * 4 * 2  # W out block + f32 scratch
+        vmem += 5 * (dr_s + dl) * k_b * tl * 4  # jac (×2 buffered) + g0 etc.
+        if vmem <= 12 * 2**20:
+            return tl
+    return None
+
+
 def _w_pm_data(batches, info: "SchurInfo"):
     """P-major dense-W layout data (SchurInfo.w_pm), or None.
 
@@ -1498,14 +1521,15 @@ def _w_pm_data(batches, info: "SchurInfo"):
     # scratch).  Past ~a few hundred reduced variables that no longer fits
     # the ~16 MB VMEM — fall back to the standard layout (one-hot XLA path)
     # rather than fail Mosaic compilation at trace time.
-    from .pallas.w_place import TILE_L
-
-    vmem = info.dof_elim * dr_s * nrp * TILE_L * 4 * 2
-    # Jac/g0 VMEM blocks scale with the per-bucket run length (bounded by
-    # _OBS_BUCKET_K_CAP for bucketed layouts); assume nres ≤ 4.
-    k_max = f.obs_k or max(kb for (_, _, kb, _) in f.buckets)
-    vmem += 5 * (dr_s + info.dof_elim) * k_max * TILE_L * 4
-    if vmem > 12 * 2**20:
+    # Every bucket must fit VMEM at SOME lane-tile width (large-k buckets
+    # shrink their tile rather than disqualifying the whole problem).
+    buckets_q = (
+        ((0, info.num_elim, f.obs_k, 0),) if f.obs_k else f.buckets
+    )
+    if any(
+        _fused_tile_l(kb, dr_s, info.dof_elim, nrp) is None
+        for (_, _, kb, _) in buckets_q
+    ):
         return None
     vids = np.nonzero(sel)[0].astype(np.int32)
     pm_of_std = np.empty(info.dim_reduced, dtype=np.int32)
@@ -1726,6 +1750,7 @@ def _assemble_fast_dual(
                 jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
                 w_dtype=w_store,
                 interpret=(w_impl == "fused_all_interpret"),
+                tile_l=_fused_tile_l(kb, dr_s, dl, nrp),
             )
             h_ll = h_ll.at[:, :, l0 : l0 + lb].add(h_add)
             g_l = g_l.at[:, l0 : l0 + lb].add(g_add)
