@@ -34,4 +34,20 @@ done
 say "3. adaptive BAL on-chip (ContaminatedGaussian, ~35k obs) $(date)"
 timeout 1800 python scripts/adaptive_bal_bench.py 2>> "$LOG" | tail -1 | tee -a "$LOG"
 
+say "4. wide-reduced-space fused_all Mosaic probe (520 cams, tile 128) $(date)"
+timeout 1500 python - >> "$LOG" 2>&1 <<'PYEOF'
+import jax, jax.numpy as jnp, numpy as np
+import nllstpu as nt
+from nllstpu.core.optimize import compile_problem
+from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+p, cams, lmks = make_pinhole_ba(520, 40, 2.0/520, noise=1e-3,
+                                dtype=jnp.float32, batched="cm")
+perturb_ba(p, lmks, 0.03, seed=2)
+c = compile_problem(p, solver="schur", schur_family=nt.Euclidean(3))
+assert c.schur_info.w_pm is not None, "w_pm should engage at tile 128"
+cost, sys = jax.jit(c.assemble)(p.stacked_variables())
+print("wide fused_all probe ok: cost", float(cost),
+      "w shape", sys[4].shape, "dtype", sys[4].dtype)
+PYEOF
+
 say "done $(date)"

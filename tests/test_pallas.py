@@ -639,8 +639,11 @@ def test_w_pm_vmem_gate(monkeypatch):
         )
 
     assert build(5).schur_info.w_pm is not None  # nrp=128: fits
-    # nrp = 640 → dl*dr_s*nrp*TILE_L*4*2 ≈ 28 MB > the 12 MB budget.
-    assert build(520).schur_info.w_pm is None
+    # nrp = 640 (dr_s=6): too wide at 256 lanes but fits at the reduced
+    # 128-lane tile (_fused_tile_l) — the fused path stays engaged.
+    assert build(520).schur_info.w_pm is not None
+    # nrp = 1280: over budget at EVERY tile width → standard layout.
+    assert build(1200).schur_info.w_pm is None
 
 
 def test_assemble_fused_all_robust_kernel(monkeypatch):
