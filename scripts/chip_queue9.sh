@@ -21,19 +21,22 @@ say "1. bench-scale realistic direct, fused path (post tile fix) $(date)"
 timeout 1800 python scripts/bal_realistic.py bench direct 30 \
   2>> "$LOG" | tail -1 | tee -a "$LOG"
 
+sleep 30
 say "2. W-dtype depth A/B on realistic shapes (f32 vs bf16, 60 iters) $(date)"
 for wd in f32 bf16; do
   for shape in ladybug bench; do
     echo "-- $shape w_dtype=$wd" >> "$LOG"
     NLLSTPU_W_DTYPE=$wd timeout 1500 python scripts/bal_realistic.py "$shape" direct 60 \
       2>> "$LOG" | tail -1 | sed "s/^/[w=$wd] /" | tee -a "$LOG"
-    sleep 3
+    sleep 30
   done
 done
 
+sleep 30
 say "3. adaptive BAL on-chip (ContaminatedGaussian, ~35k obs) $(date)"
 timeout 1800 python scripts/adaptive_bal_bench.py 2>> "$LOG" | tail -1 | tee -a "$LOG"
 
+sleep 30
 say "4. wide-reduced-space fused_all Mosaic probe (520 cams, tile 128) $(date)"
 timeout 1500 python - >> "$LOG" 2>&1 <<'PYEOF'
 import jax, jax.numpy as jnp, numpy as np
