@@ -8,6 +8,7 @@ Run:  python examples/adaptivekernel.py
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0] if "/" in __file__ else ".")
 
 import os
 
@@ -60,6 +61,49 @@ def main():
     em = nt.em_fit(nt.ContaminatedGaussian.make_params(0.5, 5.0, 0.5), sq, 50)
     ew = np.asarray(nt.ContaminatedGaussian.sigmas_weight(em))
     print(f"EM fit:       sigma1={ew[0]:.3f} sigma2={ew[1]:.3f} w={ew[2]:.3f}")
+
+    if "--html" in sys.argv:
+        # Interactive slider app (reference examples/adaptivekernel.jl):
+        # the slider interpolates the kernel parameters from the initial
+        # guess to the converged fit, redrawing the implied mixture
+        # density over the data histogram and the robust loss ρ.
+        out = sys.argv[sys.argv.index("--html") + 1]
+        from _htmlviz import write_adaptive_html
+
+        m_fit = float(p.get_value(mean))
+        sw0 = np.array([0.5, 5.0, 0.5])
+        sw1 = sw
+        xs = np.linspace(data.min() - 2, data.max() + 2, 241)
+        frames, labels = [], []
+        n_frames = 25
+        for t in np.linspace(0.0, 1.0, n_frames):
+            s1 = sw0[0] * (sw1[0] / sw0[0]) ** t  # log interp (positive)
+            s2 = sw0[1] * (sw1[1] / sw0[1]) ** t
+            w = (1 - t) * sw0[2] + t * sw1[2]
+            r = xs - m_fit
+            dens = w * np.exp(-0.5 * (r / s1) ** 2) / (
+                s1 * np.sqrt(2 * np.pi)
+            ) + (1 - w) * np.exp(-0.5 * (r / s2) ** 2) / (
+                s2 * np.sqrt(2 * np.pi)
+            )
+            kp = nt.ContaminatedGaussian.make_params(s1, s2, w)
+            rho = np.asarray(KERNEL.rho(kp, jnp.asarray(r * r)))
+            rho = rho - rho.min()
+            frames.append(
+                {
+                    "sw": [float(s1), float(s2), float(w)],
+                    "mean": m_fit,
+                    "density": [float(v) for v in dens],
+                    "rho": [float(v) for v in rho],
+                }
+            )
+            labels.append(
+                f"t={t:.2f}  σ₁={s1:.2f} σ₂={s2:.2f} w={w:.2f}"
+                + ("  (initial guess)" if t == 0 else "")
+                + ("  (converged fit)" if t == 1 else "")
+            )
+        write_adaptive_html(out, data, frames, xs, labels)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
