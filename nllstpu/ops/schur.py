@@ -1541,26 +1541,28 @@ def _w_pm_data(batches, info: "SchurInfo"):
 
 def _w_dtype(dtype):
     """Storage dtype for the dense W coupling (``NLLSTPU_W_DTYPE`` ∈
-    {auto, bf16, f32}).  W dominates the direct solve's HBM traffic
-    (~330 MB of ~500 MB per LM iteration at bench scale: one write + ~3.4
-    streamed reads across the damped attempts); storing it in bfloat16
-    halves those bytes while every contraction consuming it still
-    accumulates in f32 (the MXU takes bf16 operands natively).  The ~2⁻⁸
-    relative W error only perturbs the step direction — LM's
-    accept/reject loop absorbs it, and the round-3/4 on-chip benches
-    measured the converged cost unchanged — so bf16 is the DEFAULT on TPU
-    for f32 problems (``auto``); ``f32`` opts out.  It is far above the
-    reference's f64 1e-15 cost targets, so f64 problems always keep f64;
-    off-TPU ``auto`` stays f32 (no bandwidth win on CPU, and CPU carries
-    the reference-parity test suite)."""
+    {auto, bf16, f32}; ``auto`` = f32).  W dominates the direct solve's
+    HBM traffic (~330 MB of ~500 MB per LM iteration at bench scale: one
+    write + ~3.4 streamed reads across the damped attempts); storing it in
+    bfloat16 halves those bytes while every contraction consuming it still
+    accumulates in f32 (the MXU takes bf16 operands natively).
+
+    bf16 is an OPT-IN, not the default: it measured 216.5 vs 199.9 LM it/s
+    with an unchanged converged cost on the uniform pinhole bench (on-chip
+    A/B, bench_logs/r4_queue8.log), but on realistic Snavely-shaped
+    problems the ~2⁻⁸ W error CAPS convergence well above the noise floor
+    (Ladybug shape, 60 LM iters: best cost 0.130 bf16 vs 0.0230 f32
+    against a 0.0346 floor — reproduced platform-independently on CPU,
+    bench_logs/r4_queue9.log) — a default that silently degrades real-data
+    optima buys ~8% throughput; not a trade a solver library should make
+    for its users.  The bench keeps an explicitly-labeled gated bf16
+    headline where the cost is verified unchanged.  The knob is ignored
+    for f64 problems (reference 1e-15 targets)."""
     import os
 
     if dtype != jnp.float32:
         return dtype
-    knob = os.environ.get("NLLSTPU_W_DTYPE", "auto")
-    if knob == "bf16":
-        return jnp.bfloat16
-    if knob == "auto" and jax.default_backend() == "tpu":
+    if os.environ.get("NLLSTPU_W_DTYPE", "auto") == "bf16":
         return jnp.bfloat16
     return dtype
 
