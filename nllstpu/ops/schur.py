@@ -1740,33 +1740,51 @@ def _assemble_fast_dual(
                 (dl, dr_s * nrp, L), dtype=w_store or dtype
             )
         for (l0, lb, kb, c0) in buckets:
-            sl = slice(c0, c0 + lb * kb)
-            jac_t = (
-                jac[:, :, sl].reshape(nres, stot, lb, kb).transpose(0, 1, 3, 2)
-            )
-            g0_t = g0[:, sl].reshape(stot, lb, kb).transpose(0, 2, 1)
-            d1_t = d1m[sl].reshape(lb, kb).T
-            d2_t = d2m[sl].reshape(lb, kb).T
-            vc_k = rvid_j[sl].reshape(lb, kb).T
-            h_add, g_add, w_b, ab_b = fused_obs_all_pm(
-                jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl, int(sel_e[0]),
-                w_dtype=w_store,
-                interpret=(w_impl == "fused_all_interpret"),
-                tile_l=_fused_tile_l(kb, dr_s, dl, nrp),
-            )
-            h_ll = h_ll.at[:, :, l0 : l0 + lb].add(h_add)
-            g_l = g_l.at[:, l0 : l0 + lb].add(g_add)
-            ab = ab_b if ab is None else ab + ab_b
-            if w_buf is None:
-                w = w_b
-            else:
-                # bf16 W accumulates exactly here: bucket l-ranges within
-                # the pow2 classes are disjoint; only the rare heavy-chunk
-                # buckets overlap, and those land on f32-assembled kernel
-                # outputs downcast once each — one rounding per chunk.
-                w_buf = w_buf.at[:, :, l0 : l0 + lb].add(
-                    w_b.astype(w_buf.dtype)
+            tl = _fused_tile_l(kb, dr_s, dl, nrp)
+            # Multi-bucket (realistic-shape) layouts call the kernel one
+            # GRID STEP at a time: XLA stages medium-sized cond-branch
+            # custom-call operands/results in scoped VMEM (observed OOM at
+            # 16 MB with whole-bucket arrays, bench_logs/r4_queue9.log),
+            # so each call's full arrays must stay a few MB.  Every chunk
+            # of a bucket shares one (k_b, tile) shape → one Mosaic binary
+            # per bucket.  The uniform single-bucket layout keeps the
+            # proven whole-grid call (operands are tens of MB — XLA leaves
+            # them in HBM — and the headline path stays bit-identical).
+            step = lb if len(buckets) == 1 else tl
+            for off in range(0, lb, step):
+                lc = min(step, lb - off)
+                sl = slice(c0 + off * kb, c0 + (off + lc) * kb)
+                jac_t = (
+                    jac[:, :, sl]
+                    .reshape(nres, stot, lc, kb)
+                    .transpose(0, 1, 3, 2)
                 )
+                g0_t = g0[:, sl].reshape(stot, lc, kb).transpose(0, 2, 1)
+                d1_t = d1m[sl].reshape(lc, kb).T
+                d2_t = d2m[sl].reshape(lc, kb).T
+                vc_k = rvid_j[sl].reshape(lc, kb).T
+                h_add, g_add, w_b, ab_b = fused_obs_all_pm(
+                    jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl,
+                    int(sel_e[0]),
+                    w_dtype=w_store,
+                    interpret=(w_impl == "fused_all_interpret"),
+                    tile_l=tl,
+                )
+                la = l0 + off
+                h_ll = h_ll.at[:, :, la : la + lc].add(h_add)
+                g_l = g_l.at[:, la : la + lc].add(g_add)
+                ab = ab_b if ab is None else ab + ab_b
+                if w_buf is None:
+                    w = w_b
+                else:
+                    # bf16 W accumulates exactly here: bucket l-ranges
+                    # within the pow2 classes are disjoint; only the rare
+                    # heavy-chunk buckets overlap, and those land on
+                    # f32-assembled kernel outputs downcast once each —
+                    # one rounding per chunk.
+                    w_buf = w_buf.at[:, :, la : la + lc].add(
+                        w_b.astype(w_buf.dtype)
+                    )
         if w_buf is not None:
             w = w_buf
         npairs = dr_s * (dr_s + 1) // 2
