@@ -1753,6 +1753,25 @@ def _assemble_fast_dual(
             step = lb if len(buckets) == 1 else tl
             for off in range(0, lb, step):
                 lc = min(step, lb - off)
+                if len(buckets) > 1:
+                    # Serialize the chunk kernels: they are data-independent,
+                    # so the scheduler otherwise launches many before their
+                    # consumer adds run and their full result tuples pile up
+                    # in scoped VMEM (28 MB observed, r4_queue10.log).
+                    # Tying each chunk's (small) d1 input to the accumulated
+                    # outputs keeps exactly one result tuple live.
+                    tie = [d1m, h_ll, g_l]
+                    if ab is not None:
+                        tie.append(ab)
+                    if w_buf is not None:
+                        tie.append(w_buf)
+                    tie = jax.lax.optimization_barrier(tuple(tie))
+                    d1m, h_ll, g_l = tie[0], tie[1], tie[2]
+                    rest = list(tie[3:])
+                    if ab is not None:
+                        ab = rest.pop(0)
+                    if w_buf is not None:
+                        w_buf = rest.pop(0)
                 sl = slice(c0 + off * kb, c0 + (off + lc) * kb)
                 jac_t = (
                     jac[:, :, sl]
