@@ -1442,15 +1442,23 @@ def build_schur_info(
     return info
 
 
-def _fused_tile_l(k_b, dr_s, dl, nrp):
+def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False):
     """Largest lane-tile width whose fused_all per-bucket VMEM footprint
     (p-major W block + f32 accumulator + double-buffered jac/g0 blocks,
     nres ≤ 4 assumed) fits the budget; None when even 128 lanes do not —
-    the caller then falls back to the XLA one-hot path."""
+    the caller then falls back to the XLA one-hot path.
+
+    ``multi`` (bucketed layouts) uses a TIGHTER budget: the chunked calls'
+    XLA-staged operands/results share the 16 MB scoped-VMEM stack with the
+    kernel's own blocks (16.27 MB live measured at a 12 MB-estimate tile,
+    r4_queue11.log), while the uniform single-bucket program's tens-of-MB
+    operands stay in HBM and its proven tile keeps the round-3 headline
+    program bit-identical."""
+    budget = (8 if multi else 12) * 2**20
     for tl in (256, 128):
         vmem = dl * dr_s * nrp * tl * 4 * 2  # W out block + f32 scratch
         vmem += 5 * (dr_s + dl) * k_b * tl * 4  # jac (×2 buffered) + g0 etc.
-        if vmem <= 12 * 2**20:
+        if vmem <= budget:
             return tl
     return None
 
@@ -1527,7 +1535,9 @@ def _w_pm_data(batches, info: "SchurInfo"):
         ((0, info.num_elim, f.obs_k, 0),) if f.obs_k else f.buckets
     )
     if any(
-        _fused_tile_l(kb, dr_s, info.dof_elim, nrp) is None
+        _fused_tile_l(
+            kb, dr_s, info.dof_elim, nrp, multi=len(buckets_q) > 1
+        ) is None
         for (_, _, kb, _) in buckets_q
     ):
         return None
@@ -1740,7 +1750,7 @@ def _assemble_fast_dual(
                 (dl, dr_s * nrp, L), dtype=w_store or dtype
             )
         for (l0, lb, kb, c0) in buckets:
-            tl = _fused_tile_l(kb, dr_s, dl, nrp)
+            tl = _fused_tile_l(kb, dr_s, dl, nrp, multi=len(buckets) > 1)
             # Multi-bucket (realistic-shape) layouts call the kernel one
             # GRID STEP at a time: XLA stages medium-sized cond-branch
             # custom-call operands/results in scoped VMEM (observed OOM at
