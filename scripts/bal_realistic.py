@@ -91,6 +91,8 @@ def main():
                 final["startcost"].astype(jnp.float32),
                 final["bestcost"].astype(jnp.float32),
                 final["nsolve"].astype(jnp.float32),
+                final["converged"].astype(jnp.float32),
+                final["lastcost"].astype(jnp.float32),
             ]
         )
         return jnp.concatenate([head, final["trace"].astype(jnp.float32)])
@@ -111,7 +113,8 @@ def main():
             best_rate = run_stats[0] / run_wall
             wall, stats = run_wall, run_stats
     n_iter, start, best = int(stats[0]), float(stats[1]), float(stats[2])
-    trace = stats[4 : 4 + n_iter]
+    term, lastc = int(stats[4]), float(stats[5])
+    trace = stats[6 : 6 + n_iter]
     # Noise-floor target: E[cost] = nobs * noise^2 (2 residual dims, 1/2).
     target = nobs * 1e-6
     tt = None
@@ -146,6 +149,9 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "start_cost": start,
                 "best_cost": best,
+                "termination_bits": bin(term),
+                "last_cost": lastc,
+                "trace_tail": [float(v) for v in trace[-4:]],
                 "noise_floor_target": target,
                 "time_to_2x_floor_s": tt,
             }
