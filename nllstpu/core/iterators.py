@@ -128,7 +128,23 @@ def _levmar(ctx, sys, variables, bestcost, data, opts):
         x = -ops.solve(sys, lam)
         nv = ctx.apply(variables, x)
         c = ctx.cost(nv)
-        accept = (~(c > bestcost)) | (jnp.max(jnp.abs(x)) < opts.dstep)
+        # A non-finite trial cost is a FAILED trial (reject, escalate λ,
+        # retry), not an improvement: the reference's ``while cost >
+        # bestcost`` exits on NaN and dies with a NaN optimizer state
+        # (src/iterators.jl:160) — observed on-chip when an early LM step
+        # overflows the Snavely distortion polynomial (r4_queue12.log).
+        # λ-escalation shrinks the step until it is valid; a cost that is
+        # NaN even at zero step still terminates via the small-step exit +
+        # the NaN termination bit.
+        maxstep = jnp.max(jnp.abs(x))
+        # A NaN step means the SYSTEM carries NaN (λ-damping cannot fix
+        # H + λI when H is NaN) — exit and let the NaN termination bits
+        # fire; an inf step (near-singular H at tiny λ) stays retryable.
+        accept = (
+            ((~(c > bestcost)) & jnp.isfinite(c))
+            | (maxstep < opts.dstep)
+            | jnp.isnan(maxstep)
+        )
         return (
             jnp.where(accept, lam, lam * mu),
             jnp.where(accept, mu, mu * 2),
@@ -225,7 +241,17 @@ def _dogleg(ctx, sys, variables, bestcost, data, opts):
             jnp.maximum(tr, 3 * xnorm),
             jnp.where(mu < 0.125, tr * 0.5, tr),
         )
-        done = (~(c > bestcost)) | (jnp.max(jnp.abs(x)) < opts.dstep)
+        # Non-finite trial: reject and force a radius shrink (NaN mu fails
+        # every comparison above and would otherwise keep tr unchanged —
+        # an infinite retry loop); see the LM note.
+        finite = jnp.isfinite(c)
+        tr2 = jnp.where(finite, tr2, tr * 0.5)
+        maxstep = jnp.max(jnp.abs(x))
+        done = (
+            ((~(c > bestcost)) & finite)
+            | (maxstep < opts.dstep)
+            | jnp.isnan(maxstep)
+        )
         return (tr2, x, nv, c, done, nc + 1)
 
     def cond(st):
@@ -344,7 +370,12 @@ def make_stepped(name: str, ctx: IterCtx, opts):
                 c = float(c)
                 t_cost += time.perf_counter() - t0
                 nc += 1
-                if (not (c > bestf)) or float(np.max(np.abs(x))) < opts.dstep:
+                maxstep = float(np.max(np.abs(x)))
+                if (
+                    ((not (c > bestf)) and np.isfinite(c))
+                    or maxstep < opts.dstep
+                    or np.isnan(maxstep)
+                ):
                     break
                 lam *= mu
                 mu *= 2.0
@@ -428,9 +459,14 @@ def make_stepped(name: str, ctx: IterCtx, opts):
                 xnorm = float(np.sqrt(x @ x))
                 if mu > 0.375:
                     tr = max(tr, 3 * xnorm)
-                elif mu < 0.125:
+                elif mu < 0.125 or not np.isfinite(c):
                     tr = tr * 0.5
-                if (not (c > bestf)) or float(np.max(np.abs(x))) < opts.dstep:
+                maxstep = float(np.max(np.abs(x)))
+                if (
+                    ((not (c > bestf)) and np.isfinite(c))
+                    or maxstep < opts.dstep
+                    or np.isnan(maxstep)
+                ):
                     break
                 c_prev = c
             itdata = dict(itdata, tr=jnp.asarray(tr, dtype=dtype))

@@ -534,8 +534,14 @@ def _loop_machine(assemble_fn, cost_fn, ctx: iterators.IterCtx, opts: Options):
             else:
                 c = ctx.cost(nv)
             maxstep = jnp.max(jnp.abs(x))
-            # The nested machine's inner-loop exit condition.
-            inner_accept = (~(c > st["bestcost"])) | (maxstep < opts.dstep)
+            # The nested machine's inner-loop exit condition; non-finite
+            # trial costs are FAILED trials (λ escalates and the trip
+            # retries) — see iterators._levmar for the rationale.
+            inner_accept = (
+                ((~(c > st["bestcost"])) & jnp.isfinite(c))
+                | (maxstep < opts.dstep)
+                | jnp.isnan(maxstep)  # NaN system: λ cannot rescue it
+            )
 
             # Completed-iteration results (selected in only on inner_accept).
             g = ops.grad(sys)

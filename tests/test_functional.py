@@ -361,3 +361,47 @@ def test_flat_and_nested_lm_identical():
         assert rf.termination == rn.termination
         np.testing.assert_array_equal(rf.best_cost, rn.best_cost)
         np.testing.assert_array_equal(rf.start_cost, rn.start_cost)
+
+
+def test_lm_rejects_non_finite_trials():
+    """A trial step that overflows the residual (NaN/Inf cost) is a FAILED
+    trial: λ escalates and LM recovers — the reference's ``while cost >
+    bestcost`` would adopt the NaN and die (src/iterators.jl:160), which is
+    exactly what a wild early step on a distortion polynomial produced
+    on-chip (bench_logs/r4_queue12.log).  A cost that is non-finite even at
+    tiny steps still terminates via the NaN/Inf bits."""
+    import jax.numpy as jnp
+
+    from nllstpu.core import structs
+
+    def fragile(params, x):
+        # Smooth near the optimum; overflows catastrophically for |x| > 3
+        # (exp(x^4) with f32 saturates to inf -> inf - inf = NaN downstream).
+        big = jnp.exp(jnp.minimum(x * x * x * x, 200.0))
+        blow = jnp.where(jnp.abs(x) > 3.0, big * jnp.inf, 0.0)
+        return x - params + blow
+
+    for stepped in (False, True):
+        p = nt.Problem()
+        x = p.add_variable(nt.Scalar(), 2.9)
+        p.add_cost(fragile, (x,), params=1.0)
+        # init_lm_lambda tiny => the first Newton-ish step overshoots past
+        # |x| = 3 and the trial cost is non-finite; LM must back off.
+        r = nt.optimize(
+            p,
+            nt.Options(
+                iterator=nt.LEVENBERG_MARQUARDT, init_lm_lambda=1e-9,
+                max_iters=50,
+            ),
+            callback=nt.null_callback if stepped else None,
+        )
+        assert not (r.termination & (structs.TERM_COST_NAN | structs.TERM_COST_INF)), (
+            stepped, r.termination_reasons())
+        np.testing.assert_allclose(float(p.get_value(x)), 1.0, rtol=1e-6)
+
+    # Always-non-finite cost still terminates (small-step exit + NaN bit).
+    p = nt.Problem()
+    x = p.add_variable(nt.Scalar(), 0.0)
+    p.add_cost(lambda t, v: v * jnp.nan, (x,), params=0.0)
+    r = nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT, max_iters=30))
+    assert r.termination != 0
