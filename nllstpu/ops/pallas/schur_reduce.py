@@ -42,21 +42,62 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .w_place import TILE_L
 
 
-def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
+def _bf16_parts(x):
+    """Split an f32 operand into (hi, lo) bf16 parts (x ≈ hi + lo,
+    |lo| ≤ 2⁻⁹|x|); a bf16 input is already exact (lo is None)."""
+    if x.dtype == jnp.bfloat16:
+        return x, None
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_high(a, b, dims, out_dtype):
+    """Emulated ``Precision.HIGH`` (bf16x3) inside a Mosaic kernel.
+
+    Mosaic rejects the HIGH precision enum outright ("Unsupported dot
+    precision: HIGH", on-chip round 3) and lowers an unqualified f32 dot
+    to ONE bf16 MXU pass (~4e-3 relative error) — the round-3 kernel
+    therefore ran HIGHEST (full f32 multi-pass) and lost its phase A/B.
+    This helper reproduces XLA's HIGH arithmetic manually: split each f32
+    operand into hi+lo bf16 parts and accumulate the three significant
+    cross terms (hi·hi + hi·lo + lo·hi) with DEFAULT-precision MXU dots;
+    the dropped lo·lo term is ~2⁻¹⁸ relative — the same ~1e-6 error as
+    the XLA pm-layout S contraction the default solve runs at f32."""
+    a_hi, a_lo = _bf16_parts(a)
+    b_hi, b_lo = _bf16_parts(b)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, dimension_numbers=dims, preferred_element_type=out_dtype
+        )
+
+    out = d(a_hi, b_hi)
+    if b_lo is not None:
+        out = out + d(a_hi, b_lo)
+    if a_lo is not None:
+        out = out + d(a_lo, b_hi)
+    return out
+
+
+def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl, high):
     i = pl.program_id(0)
     # Accumulate in the h_inv dtype (f32/f64) even when W is stored bf16
     # (NLLSTPU_W_DTYPE=bf16): the upcast happens in registers after the
     # half-width HBM read.
     dt = hi_ref.dtype
     # One [TL, Dr] load per eliminated component (2D slices of the ref).
-    w_rows = [w_ref[d].astype(dt) for d in range(dl)]
+    w_raw = [w_ref[d] for d in range(dl)]
+    w_rows = [r.astype(dt) for r in w_raw]
 
+    dims = (((0,), (0,)), ((), ()))
     s_acc = None
     r_acc = None
     for e_ix in range(dl):
@@ -66,18 +107,23 @@ def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
         for d_ix in range(1, dl):
             c = e_ix * dl + d_ix
             y_e = y_e + hi_ref[:, c : c + 1] * w_rows[d_ix]
-        # MXU contractions over the TL (landmark) axis.  Precision matters:
-        # Mosaic lowers an unqualified f32 dot to ONE bf16 MXU pass
-        # (~4e-3 relative error, measured on-chip); HIGHEST requests the
-        # full f32 multi-pass.
-        s_e = jax.lax.dot_general(
-            y_e, w_rows[e_ix], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=dt.type,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Dr, Dr]
+        # MXU contractions over the TL (landmark) axis: bf16x3 emulated
+        # HIGH for f32 accumulation (matching the XLA default solve's
+        # precision), full-precision HIGHEST multi-pass for f64.
+        if high:
+            s_e = _dot_high(y_e, w_raw[e_ix], dims, dt.type)
+        else:
+            s_e = jax.lax.dot_general(
+                y_e, w_rows[e_ix], dimension_numbers=dims,
+                preferred_element_type=dt.type,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Dr, Dr]
+        # The rhs feeds the reduced GRADIENT (b_r - rhs_sum) where
+        # cancellation near convergence punishes any precision loss, and
+        # its FLOPs are ~Dr/8 of the S dot — keep it HIGHEST always.
         r_e = jax.lax.dot_general(
             y_e, g_ref[:, e_ix : e_ix + 1],
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=dims,
             preferred_element_type=dt.type,
             precision=jax.lax.Precision.HIGHEST,
         )  # [Dr, 1]
@@ -95,7 +141,7 @@ def _kernel(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
         r_ref[:] = r_ref[:] + r_acc
 
 
-def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
+def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl, high):
     """Landmark-minor variant for the p-major W layout (w [dl, wc, L],
     see ops/pallas/w_place.py): per-component operands are [1, TL]
     sublane slices, y_e is [wc, TL], and the MXU contracts over the
@@ -108,36 +154,53 @@ def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     zero-padded [8, TL] operand so the rhs rides a normal MXU matmul;
     the caller reads column 0 of the [wc, 8] result.
 
-    Precision: HIGHEST (full f32 multi-pass).  Mosaic rejects HIGH
-    ("Unsupported dot precision: HIGH", observed on-chip in round 3 when
-    a bf16x3 pass was tried to close this kernel's phase-A/B loss of
-    1.93-1.99 vs 1.46 ms XLA) and an unqualified f32 dot lowers to ONE
-    bf16 pass (~4e-3 relative error) — so the kernel stays opt-in and the
-    XLA pm-layout solve remains the default."""
+    Precision: bf16x3 emulated HIGH (``_dot_high``) for f32 accumulation,
+    HIGHEST (full f32 multi-pass) for f64.  Mosaic rejects the HIGH enum
+    ("Unsupported dot precision: HIGH", on-chip round 3 — the HIGHEST
+    fallback is what lost the round-3 phase A/B at 1.93-1.99 vs 1.46 ms
+    XLA) and an unqualified f32 dot lowers to ONE bf16 pass (~4e-3
+    relative error); the manual hi/lo split reproduces XLA's HIGH
+    arithmetic — the same precision the default XLA solve uses for its
+    f32 S contraction — at 3 DEFAULT-precision MXU passes."""
+    _lm_reduce_body(
+        lambda c: hi_ref[c : c + 1, :], hi_ref.dtype,
+        w_ref, g_ref, s_ref, r_ref, dl=dl, high=high,
+    )
+
+
+def _lm_reduce_body(hi_row, dt, w_ref, g_ref, s_ref, r_ref, *, dl, high):
+    """Shared landmark-minor reduction: ``hi_row(c)`` yields the [1, TL]
+    row ``c = e*dl + d`` of the damped block inverse (either loaded from a
+    precomputed operand or formed in-kernel by the damped variant)."""
     i = pl.program_id(0)
-    dt = hi_ref.dtype
     prec = jax.lax.Precision.HIGHEST
-    w_rows = [w_ref[d].astype(dt) for d in range(dl)]  # [wc, TL]
-    tile_l = w_ref.shape[-1]
+    w_raw = [w_ref[d] for d in range(dl)]  # [wc, TL]
+    w_rows = [r.astype(dt) for r in w_raw]
+    tile_l = w_raw[0].shape[-1]
     row0 = (
         jax.lax.broadcasted_iota(jnp.int32, (8, tile_l), 0) == 0
     )  # [8, TL]
 
+    dims = (((1,), (1,)), ((), ()))
     s_acc = None
     r_acc = None
     for e_ix in range(dl):
-        y_e = hi_ref[e_ix * dl : e_ix * dl + 1, :] * w_rows[0]
+        y_e = hi_row(e_ix * dl) * w_rows[0]
         for d_ix in range(1, dl):
-            c = e_ix * dl + d_ix
-            y_e = y_e + hi_ref[c : c + 1, :] * w_rows[d_ix]
-        s_e = jax.lax.dot_general(
-            y_e, w_rows[e_ix], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=dt.type,
-            precision=prec,
-        )  # [wc, wc]
+            y_e = y_e + hi_row(e_ix * dl + d_ix) * w_rows[d_ix]
         g_pad = jnp.where(row0, g_ref[e_ix : e_ix + 1, :], dt.type(0))
+        if high:
+            s_e = _dot_high(y_e, w_raw[e_ix], dims, dt.type)  # [wc, wc]
+        else:
+            s_e = jax.lax.dot_general(
+                y_e, w_rows[e_ix], dimension_numbers=dims,
+                preferred_element_type=dt.type,
+                precision=prec,
+            )  # [wc, wc]
+        # Gradient-feeding rhs stays HIGHEST even in high mode (tiny
+        # FLOPs, cancellation-sensitive — see _kernel).
         r_e = jax.lax.dot_general(
-            y_e, g_pad, dimension_numbers=(((1,), (1,)), ((), ())),
+            y_e, g_pad, dimension_numbers=dims,
             preferred_element_type=dt.type,
             precision=prec,
         )  # [wc, 8]
@@ -153,6 +216,56 @@ def _kernel_lm(w_ref, hi_ref, g_ref, s_ref, r_ref, *, dl):
     def _():
         s_ref[:] = s_ref[:] + s_acc
         r_ref[:] = r_ref[:] + r_acc
+
+
+def _kernel_lm_damped(lam_ref, w_ref, h_ref, g_ref, s_ref, r_ref, hi_out,
+                      *, dl, high):
+    """Damped variant: takes the UNdamped ``h_ll`` rows plus the damping
+    scalar λ (SMEM) and forms the closed-form damped block inverse
+    in-kernel — the standalone XLA ``batched_inv_spd_cm`` costs ~0.6 ms
+    of pure per-op dispatch overhead at bench scale (r4_queue14.log, 31%
+    of the whole damped solve) while here it is a handful of VPU
+    elementwise passes over resident [1, TL] rows.  The inverse rows are
+    also written out (``hi_out`` [dl*dl, TL] per tile) for the caller's
+    back-substitution, which needs the same λ-damped inverse.
+
+    Cofactor arithmetic mirrors ``core.linearsolver.batched_inv_spd_cm``
+    exactly (symmetric closed form for dl <= 3)."""
+    dt = h_ref.dtype
+    lam = lam_ref[0]
+    if dl == 1:
+        rows = [1.0 / (h_ref[0:1, :] + lam)]
+    elif dl == 2:
+        a = h_ref[0:1, :] + lam
+        b = h_ref[1:2, :]
+        e = h_ref[3:4, :] + lam
+        inv_det = 1.0 / (a * e - b * b)
+        rows = [e * inv_det, -b * inv_det, -b * inv_det, a * inv_det]
+    else:
+        a = h_ref[0:1, :] + lam
+        b = h_ref[1:2, :]
+        c = h_ref[2:3, :]
+        e = h_ref[4:5, :] + lam
+        f = h_ref[5:6, :]
+        g = h_ref[8:9, :] + lam
+        c00 = e * g - f * f
+        c01 = c * f - b * g
+        c02 = b * f - c * e
+        c11 = a * g - c * c
+        c12 = b * c - a * f
+        c22 = a * e - b * b
+        inv_det = 1.0 / (a * c00 + b * c01 + c * c02)
+        rows = [
+            c00 * inv_det, c01 * inv_det, c02 * inv_det,
+            c01 * inv_det, c11 * inv_det, c12 * inv_det,
+            c02 * inv_det, c12 * inv_det, c22 * inv_det,
+        ]
+    for ci, row in enumerate(rows):
+        hi_out[ci : ci + 1, :] = row
+    _lm_reduce_body(
+        lambda ci: rows[ci], dt, w_ref, g_ref, s_ref, r_ref,
+        dl=dl, high=high,
+    )
 
 
 def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
@@ -171,7 +284,9 @@ def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
         h_inv = jnp.pad(h_inv, ((0, 0), (0, 0), (0, pad)))
         g_l = jnp.pad(g_l, ((0, 0), (0, pad)))
     hi2 = h_inv.reshape(dl * dl, grid * tile_l)  # [e*dl+d, L]
-    kernel = functools.partial(_kernel_lm, dl=dl)
+    kernel = functools.partial(
+        _kernel_lm, dl=dl, high=h_inv.dtype == jnp.float32
+    )
     s_sum, rhs_sum = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -198,6 +313,73 @@ def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
     return s_sum, rhs_sum[:, 0]
 
 
+def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
+    """Fused DAMPED landmark-minor reduce for the p-major W: one kernel
+    pass computes the closed-form damped inverses ``(h_ll + λI)⁻¹``
+    in-kernel and contracts W through them.
+
+    ``w`` [dl, wc, L] (f32 or bf16-stored), ``h_ll`` [dl, dl, L]
+    (undamped, f32), ``g_l`` [dl, L], ``lam`` scalar.  Returns
+    ``(s_sum [wc, wc], rhs_sum [wc], h_inv [dl, dl, L])`` — h_inv is the
+    same λ-damped inverse the caller's back-substitution needs, written
+    as a kernel by-product.  dl <= 3 and f32 accumulation only (the
+    closed-form inverse and the bf16x3 HIGH dots are both f32 paths);
+    callers outside that envelope use ``reduce_s_lm`` with an external
+    ``batched_inv_spd_cm``.
+
+    Padded lanes carry identity h_ll blocks (not zeros) so the λ=0
+    undamped solve (`solve0_quad_grad`, dogleg/Newton legs) stays finite:
+    a zero-padded block would make ``inv_det = 1/0`` and the resulting
+    NaN would poison the MXU accumulation even though padded W lanes are
+    zero."""
+    dl, wc, n_real = w.shape
+    assert dl <= 3, dl
+    assert h_ll.shape == (dl, dl, n_real), (h_ll.shape, w.shape)
+    assert h_ll.dtype == jnp.float32, h_ll.dtype
+    assert g_l.shape == (dl, n_real), (g_l.shape, w.shape)
+    tile_l = min(TILE_L, max(128, -(-n_real // 128) * 128))
+    grid = pl.cdiv(n_real, tile_l)
+    pad = grid * tile_l - n_real
+    h2 = h_ll.reshape(dl * dl, n_real)
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+        g_l = jnp.pad(g_l, ((0, 0), (0, pad)))
+        h2 = jnp.pad(h2, ((0, 0), (0, pad)))
+        diag = np.arange(dl) * dl + np.arange(dl)
+        h2 = h2.at[jnp.asarray(diag), n_real:].set(1.0)
+    lam_arr = jnp.reshape(jnp.asarray(lam, jnp.float32), (1,))
+    kernel = functools.partial(_kernel_lm_damped, dl=dl, high=True)
+    s_sum, rhs_sum, hi_out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((dl, wc, tile_l), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl * dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wc, wc), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, 8), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dl * dl, tile_l), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((wc, wc), jnp.float32),
+            jax.ShapeDtypeStruct((wc, 8), jnp.float32),
+            jax.ShapeDtypeStruct((dl * dl, grid * tile_l), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lam_arr, w, h2, g_l)
+    h_inv = hi_out[:, :n_real].reshape(dl, dl, n_real)
+    return s_sum, rhs_sum[:, 0], h_inv
+
+
 def reduce_s(w, h_inv, g_l, interpret: bool = False):
     """See module docstring.  ``w`` [dl, L, Dr] (may be bf16-stored,
     NLLSTPU_W_DTYPE), ``h_inv`` [dl, dl, L] (symmetric damped block
@@ -222,7 +404,9 @@ def reduce_s(w, h_inv, g_l, interpret: bool = False):
     # hi2[l, e*dl+d] = h_inv[e, d, l];  g2[l, e] = g_l[e, l].
     hi2 = h_inv.reshape(dl * dl, grid * tile_l).T
     g2 = g_l.T
-    kernel = functools.partial(_kernel, dl=dl)
+    kernel = functools.partial(
+        _kernel, dl=dl, high=h_inv.dtype == jnp.float32
+    )
     s_sum, rhs_sum = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -135,11 +135,10 @@ class SchurOps:
         eye_r = jnp.eye(self.dim_reduced, dtype=a_rr.dtype)
         h_damped = h_ll + lam * eye_l[:, :, None]
         a_damped = a_rr + lam * eye_r
-        # Batched landmark-block inverses (closed-form for d<=3).
-        h_inv = batched_inv_spd_cm(h_damped)
         impl = _solve_impl()
         pm = self.pm is not None
         w_cols = w.shape[1] if pm else w.shape[-1]
+        h_inv = None
         if (
             impl in ("pallas", "pallas_interpret")
             and self.num_elim > 0
@@ -147,13 +146,26 @@ class SchurOps:
         ):
             # Fused reduction kernel: W streamed from HBM exactly once, y
             # formed in VMEM registers (see ops/pallas/schur_reduce.py).
-            from .pallas.schur_reduce import reduce_s, reduce_s_lm
-
-            red = reduce_s_lm if pm else reduce_s
-            s_sum, rhs_sum = red(
-                w, h_inv, g_l, interpret=(impl == "pallas_interpret")
+            from .pallas.schur_reduce import (
+                reduce_s, reduce_s_lm, reduce_s_lm_damped,
             )
+
+            interp = impl == "pallas_interpret"
+            if pm and dl <= 3 and h_ll.dtype == jnp.float32:
+                # Damped variant: the per-attempt (h_ll + λI)⁻¹ is formed
+                # in-kernel (the standalone XLA inverse costs ~0.6 ms of
+                # per-op overhead at bench scale) and returned for the
+                # back-substitution below.
+                s_sum, rhs_sum, h_inv = reduce_s_lm_damped(
+                    w, h_ll, g_l, lam, interpret=interp
+                )
+            else:
+                h_inv = batched_inv_spd_cm(h_damped)
+                red = reduce_s_lm if pm else reduce_s
+                s_sum, rhs_sum = red(w, h_inv, g_l, interpret=interp)
         else:
+            # Batched landmark-block inverses (closed-form for d<=3).
+            h_inv = batched_inv_spd_cm(h_damped)
             # y = W·H⁻¹, never materialized wider than one W (h_inv
             # symmetric).  The reduced (Schur) system is one MXU
             # contraction over dl·L.  For f32 problems run it at HIGH

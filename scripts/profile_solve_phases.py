@@ -57,32 +57,50 @@ def main():
     dr = ops.dim_reduced
 
     def stages(sys, lam, upto):
+        """Cumulative stage prefixes of SchurOps._solve — both the
+        standard [dl, L, Dr] layout and the p-major [dl, wc, L] one
+        (ops.pm set), mirroring the production einsums exactly."""
         a_rr, b_r, h_ll, g_l, w = sys
         dl = ops.dof_elim
+        pm = ops.pm is not None
         acc = jnp.zeros((), jnp.float32)
         h_inv = batched_inv_spd_cm(
             h_ll + lam * jnp.eye(dl, dtype=h_ll.dtype)[:, :, None]
         )
         acc += jnp.sum(h_inv).astype(jnp.float32)
         if upto >= 2:
-            y = jnp.einsum("dlr,del->elr", w, h_inv)
+            y = (
+                jnp.einsum("drl,del->erl", w, h_inv)
+                if pm
+                else jnp.einsum("dlr,del->elr", w, h_inv)
+            )
             acc += jnp.sum(y).astype(jnp.float32)
         if upto >= 3:
             prec = "highest" if a_rr.dtype == jnp.float64 else "high"
-            s = (
-                a_rr
-                + lam * jnp.eye(dr, dtype=a_rr.dtype)
-                - jnp.einsum("elr,els->rs", y, w, precision=prec)
+            s_sum = (
+                jnp.einsum("erl,esl->rs", y, w, precision=prec)
+                if pm
+                else jnp.einsum("elr,els->rs", y, w, precision=prec)
             )
-            acc += jnp.sum(s).astype(jnp.float32)
+            acc += jnp.sum(s_sum).astype(jnp.float32)
         if upto >= 4:
-            rhs = b_r - jnp.einsum("elr,el->r", y, g_l)
-            xr = cholesky_solve(s, rhs)
+            rhs_sum = (
+                jnp.einsum("erl,el->r", y, g_l)
+                if pm
+                else jnp.einsum("elr,el->r", y, g_l)
+            )
+            s_sum, rhs_sum = ops._from_w_basis(s_sum, rhs_sum)
+            s = a_rr + lam * jnp.eye(dr, dtype=a_rr.dtype) - s_sum
+            xr = cholesky_solve(s, b_r - rhs_sum)
             acc += jnp.sum(xr).astype(jnp.float32)
         if upto >= 5:
-            xl = jnp.einsum(
-                "del,el->dl", h_inv, g_l - jnp.einsum("dlr,r->dl", w, xr)
+            xr_w = ops._to_w_basis(xr, w.shape[1] if pm else w.shape[-1])
+            wx = (
+                jnp.einsum("drl,r->dl", w, xr_w)
+                if pm
+                else jnp.einsum("dlr,r->dl", w, xr_w)
             )
+            xl = jnp.einsum("del,el->dl", h_inv, g_l - wx)
             acc += jnp.sum(xl).astype(jnp.float32)
         return acc
 
@@ -138,10 +156,7 @@ def main():
         f" reps={REPS} {knobs}"
     )
     prev = 0.0
-    # The stage decomposition spells out the STANDARD [dl, L, Dr] W layout;
-    # under the p-major pallas placement (ops.pm set) only the real
-    # ops.solve / assemble / cost legs below apply.
-    stage_list = names[:1] if ops.pm is not None else names
+    stage_list = names
     for upto, name in enumerate(stage_list, start=1):
         f = make_loop(upto)
         float(f())  # compile + fence

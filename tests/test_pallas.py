@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpret mode on CPU): the ragged sorted-run block
 reduction must match segment_sum for skewed run-length distributions."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -328,9 +330,13 @@ def test_reduce_s_bf16_w():
     assert s_sum.dtype == jnp.float32 and rhs_sum.dtype == jnp.float32
     w_r = np.asarray(w_bf).astype(np.float32)  # the rounded W the kernel saw
     y = np.einsum("dlr,del->elr", w_r, h_inv)
+    # S runs the bf16x3 emulated-HIGH dot (f32 accumulation path): the
+    # dropped lo.lo term is ~2^-18 per product, so cancelled sums carry
+    # ~1e-3 relative error — the same arithmetic as XLA's HIGH S
+    # contraction in the default solve.  The rhs dot stays HIGHEST.
     np.testing.assert_allclose(
         np.asarray(s_sum), np.einsum("elr,els->rs", y, w_r),
-        rtol=2e-5, atol=2e-4,
+        rtol=2e-3, atol=5e-3,
     )
     np.testing.assert_allclose(
         np.asarray(rhs_sum), np.einsum("elr,el->r", y, g_l),
@@ -387,6 +393,108 @@ def test_reduce_s_lm_matches_einsum():
         np.asarray(rhs_sum), np.einsum("erl,el->r", y, g_l),
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_reduce_s_lm_damped_matches_reference():
+    """reduce_s_lm_damped (in-kernel damped inverse + reduction, f32)
+    vs batched_inv_spd_cm + the einsum chain — incl. λ=0 at an L that is
+    not a tile multiple (the identity-padded h_ll blocks must keep the
+    undamped solve finite) and a bf16-stored W."""
+    from nllstpu.core.linearsolver import batched_inv_spd_cm
+    from nllstpu.ops.pallas.schur_reduce import reduce_s_lm_damped
+
+    rng = np.random.default_rng(23)
+    for dl, L, wc, lam, w_dt in [
+        (3, 300, 23, 0.0, np.float32),
+        (3, 300, 23, 1e-2, np.float32),
+        (2, 130, 17, 3.0, np.float32),
+        (1, 64, 9, 0.5, np.float32),
+        (3, 256, 23, 1e-3, jnp.bfloat16),
+    ]:
+        w = rng.standard_normal((dl, wc, L)).astype(np.float32)
+        a = rng.standard_normal((dl, dl, L)).astype(np.float32)
+        # SPD + diagonal boost so the λ=0 inverse is well conditioned.
+        h_ll = np.einsum("del,fel->dfl", a, a) + 2.0 * np.eye(
+            dl, dtype=np.float32
+        )[:, :, None]
+        g_l = rng.standard_normal((dl, L)).astype(np.float32)
+        w_j = jnp.asarray(w).astype(w_dt)
+        s_sum, rhs_sum, h_inv = reduce_s_lm_damped(
+            w_j, jnp.asarray(h_ll), jnp.asarray(g_l), lam, interpret=True
+        )
+        h_inv_ref = np.asarray(
+            batched_inv_spd_cm(
+                jnp.asarray(h_ll)
+                + lam * jnp.eye(dl, dtype=jnp.float32)[:, :, None]
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_inv), h_inv_ref, rtol=1e-5, atol=1e-6
+        )
+        w_r = np.asarray(w_j).astype(np.float32)  # rounded if bf16-stored
+        y = np.einsum("drl,del->erl", w_r, h_inv_ref)
+        # S runs the bf16x3 emulated-HIGH dots (see test_reduce_s_bf16_w);
+        # the rhs dot stays HIGHEST.
+        np.testing.assert_allclose(
+            np.asarray(s_sum), np.einsum("erl,esl->rs", y, w_r),
+            rtol=2e-3, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs_sum), np.einsum("erl,el->r", y, g_l),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert np.all(np.isfinite(np.asarray(s_sum)))
+
+
+def test_solve_pallas_damped_matches_xla_f32():
+    """SchurOps.solve with SOLVE_IMPL=pallas_interpret on an f32 pm-layout
+    system (the damped-kernel path) matches the default XLA solve to the
+    f32 HIGH-precision noise level."""
+    import jax
+
+    import nllstpu as nt
+    from nllstpu.core.optimize import compile_problem
+    from nllstpu.models.ba import make_pinhole_ba, perturb_ba
+
+    def build():
+        p, cams, lmks = make_pinhole_ba(
+            ncameras=5, nlandmarks=30, prop_visible=0.7, noise=1e-3,
+            dtype=jnp.float32, batched="cm",
+        )
+        perturb_ba(p, lmks, 0.03, seed=2)
+        return compile_problem(
+            p, solver="schur", schur_family=nt.Euclidean(3),
+            unfixed=cams[2:] + lmks,
+        ), p
+
+    prev_w = os.environ.get("NLLSTPU_W_IMPL")
+    prev_s = os.environ.get("NLLSTPU_SOLVE_IMPL")
+    try:
+        # Force the p-major W layout off-TPU so the pm damped path runs.
+        os.environ["NLLSTPU_W_IMPL"] = "fused_all_interpret"
+        os.environ.pop("NLLSTPU_SOLVE_IMPL", None)
+        c, p = build()
+        _, sys_d = jax.jit(c.assemble)(p.stacked_variables())
+        ops = c.schur_info.ops()
+        assert ops.pm is not None
+        x_ref = np.asarray(ops.solve(sys_d, jnp.asarray(1e-3, jnp.float32)))
+        x0_ref, ghg_ref = ops.solve0_quad_grad(sys_d)
+        os.environ["NLLSTPU_SOLVE_IMPL"] = "pallas_interpret"
+        x_pl = np.asarray(ops.solve(sys_d, jnp.asarray(1e-3, jnp.float32)))
+        x0_pl, ghg_pl = ops.solve0_quad_grad(sys_d)
+    finally:
+        for k, v in (("NLLSTPU_W_IMPL", prev_w), ("NLLSTPU_SOLVE_IMPL", prev_s)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    scale = np.max(np.abs(x_ref))
+    np.testing.assert_allclose(x_pl, x_ref, rtol=5e-3, atol=5e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(x0_pl), np.asarray(x0_ref), rtol=5e-3,
+        atol=5e-4 * max(1.0, float(np.max(np.abs(np.asarray(x0_ref))))),
+    )
+    np.testing.assert_allclose(float(ghg_pl), float(ghg_ref), rtol=1e-4)
 
 
 def test_pm_with_pallas_solve_end_to_end(monkeypatch):
