@@ -75,8 +75,13 @@ def _dot_high(a, b, dims, out_dtype):
     b_hi, b_lo = _bf16_parts(b)
 
     def d(u, v):
+        # Explicit DEFAULT precision: an unqualified dot inherits the
+        # global jax_default_matmul_precision (the bench pins "highest"),
+        # and Mosaic rejects fp32 contract precision on bf16 operands
+        # ("Bad lhs type", on-chip r4_queue15.log).
         return jax.lax.dot_general(
-            u, v, dimension_numbers=dims, preferred_element_type=out_dtype
+            u, v, dimension_numbers=dims, preferred_element_type=out_dtype,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     out = d(a_hi, b_hi)
