@@ -358,7 +358,12 @@ def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # Explicit index_map with i*0: a spec without one synthesizes
+            # a constant-returning map whose Python ints lower to i64
+            # under the x64 default — Mosaic then fails to legalize the
+            # map's func.return (on-chip r4_queue15b.log).
+            pl.BlockSpec((1,), lambda i: (i * 0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((dl, wc, tile_l), lambda i: (i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dl * dl, tile_l), lambda i: (i * 0, i),
