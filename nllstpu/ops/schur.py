@@ -138,6 +138,18 @@ class SchurOps:
         impl = _solve_impl()
         pm = self.pm is not None
         w_cols = w.shape[1] if pm else w.shape[-1]
+        damped_ok = (
+            pm and dl <= 3 and h_ll.dtype == jnp.float32
+            and self.num_elim > 0 and self.dim_reduced > 0
+        )
+        if impl == "auto":
+            # Auto: the damped kernel exactly where it is proven faster
+            # (p-major f32 systems on TPU); everything else stays XLA.
+            impl = (
+                "pallas"
+                if damped_ok and jax.default_backend() == "tpu"
+                else "xla"
+            )
         h_inv = None
         if (
             impl in ("pallas", "pallas_interpret")
@@ -151,7 +163,7 @@ class SchurOps:
             )
 
             interp = impl == "pallas_interpret"
-            if pm and dl <= 3 and h_ll.dtype == jnp.float32:
+            if damped_ok:
                 # Damped variant: the per-attempt (h_ll + λI)⁻¹ is formed
                 # in-kernel (the standalone XLA inverse costs ~0.6 ms of
                 # per-op overhead at bench scale) and returned for the
@@ -1590,14 +1602,19 @@ def _w_dtype(dtype):
 
 
 def _solve_impl() -> str:
-    """Direct-Schur reduced-system implementation: "xla" (default einsum
-    chain) or "pallas" (fused single-W-pass reduction kernel,
-    ops/pallas/schur_reduce.py); pallas is TPU-only with a silent XLA
-    fallback off-TPU.  "pallas_interpret" runs the kernel in interpreter
-    mode for CPU correctness tests."""
+    """Direct-Schur reduced-system implementation: "auto" (default),
+    "xla" (einsum chain) or "pallas" (fused single-W-pass reduction
+    kernel, ops/pallas/schur_reduce.py); pallas is TPU-only with a
+    silent XLA fallback off-TPU.  "pallas_interpret" runs the kernel in
+    interpreter mode for CPU correctness tests.
+
+    "auto" resolves inside ``SchurOps._solve``: the damped reduction
+    kernel (``reduce_s_lm_damped``) on TPU when the system qualifies
+    (p-major W, dl <= 3, f32), else the XLA chain — the on-chip A/B that
+    justified the flip is bench_logs/r4_queue15b.log."""
     import os
 
-    impl = os.environ.get("NLLSTPU_SOLVE_IMPL", "xla")
+    impl = os.environ.get("NLLSTPU_SOLVE_IMPL", "auto")
     if impl == "pallas" and jax.default_backend() != "tpu":
         return "xla"
     return impl
