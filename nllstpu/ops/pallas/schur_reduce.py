@@ -318,6 +318,28 @@ def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
     return s_sum, rhs_sum[:, 0]
 
 
+def damped_tile_l(dl, wc):
+    """Largest lane tile (multiple of 128) whose estimated VMEM stack for
+    ``_kernel_lm_damped`` fits the 16 MB scoped limit with margin, or
+    ``None`` when none does (the caller then falls back to the XLA
+    chain).  The model matches the observed Mosaic stack accounting
+    (r4_queue15c.log leg 6: wc=1152, tile 256 → reported 21.3 M):
+    double-buffered W tile + TWO [wc, wc] f32 result buffers (accumulator
+    + dot temp) + the y/w hi-lo split temps."""
+    budget = 12 * 1024 * 1024
+    s_bytes = 2 * wc * wc * 4
+    for t in (512, 384, 256, 128):
+        est = (
+            2 * dl * wc * t * 4  # double-buffered W tile
+            + s_bytes
+            + 8 * wc * t  # y_e f32 + y/w bf16 split temps
+            + 4 * dl * dl * t * 4  # h rows in + h_inv rows out (buffered)
+        )
+        if est <= budget:
+            return t
+    return None
+
+
 def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
     """Fused DAMPED landmark-minor reduce for the p-major W: one kernel
     pass computes the closed-form damped inverses ``(h_ll + λI)⁻¹``
@@ -342,7 +364,9 @@ def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
     assert h_ll.shape == (dl, dl, n_real), (h_ll.shape, w.shape)
     assert h_ll.dtype == jnp.float32, h_ll.dtype
     assert g_l.shape == (dl, n_real), (g_l.shape, w.shape)
-    tile_l = min(TILE_L, max(128, -(-n_real // 128) * 128))
+    fit = damped_tile_l(dl, wc)
+    assert fit is not None, (dl, wc)  # callers gate on damped_tile_l
+    tile_l = min(fit, max(128, -(-n_real // 128) * 128))
     grid = pl.cdiv(n_real, tile_l)
     pad = grid * tile_l - n_real
     h2 = h_ll.reshape(dl * dl, n_real)

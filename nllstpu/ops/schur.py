@@ -142,6 +142,13 @@ class SchurOps:
             pm and dl <= 3 and h_ll.dtype == jnp.float32
             and self.num_elim > 0 and self.dim_reduced > 0
         )
+        if damped_ok:
+            # Wide reduced spaces overflow the kernel's scoped VMEM (the
+            # [wc, wc] accumulator; r4_queue15c.log leg 6 at wc=1152) —
+            # gate on the tile-fit model and fall back to XLA.
+            from .pallas.schur_reduce import damped_tile_l
+
+            damped_ok = damped_tile_l(dl, w.shape[1]) is not None
         if impl == "auto":
             # Auto: the damped kernel exactly where it is proven faster
             # (p-major f32 systems on TPU); everything else stays XLA.
