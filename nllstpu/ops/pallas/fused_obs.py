@@ -103,9 +103,19 @@ def _kernel(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref, *,
                 h_ref[e2, e1 : e1 + 1, :] = h_rows[(e1, e2)]
 
 
+def _kernel_all_accum(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, w_in_ref,
+                      h_ref, g_ref, w_ref, ab_ref, w_acc, ab_rows, **kw):
+    """Accumulate variant: the W output block is ``w_in + contribution``
+    (``w_in`` is the same full W buffer, input_output_aliased on TPU) —
+    multi-bucket assemblies chain whole-bucket calls through the one
+    buffer instead of staging per-chunk result slabs in scoped VMEM."""
+    _kernel_all(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref,
+                w_ref, ab_ref, w_acc, ab_rows, w_in_ref=w_in_ref, **kw)
+
+
 def _kernel_all(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref,
                 ab_ref, w_acc, ab_rows, *, n_real, n_r, nrp, dr_s, dl, k_len,
-                e_start, tile_l, npairs):
+                e_start, tile_l, npairs, w_in_ref=None):
     """Full-assembly variant: everything ``_kernel`` does PLUS the reduced
     (camera) side.  Per ``k`` the dr_s·(dr_s+1)/2 upper-triangle a_rr rows
     and the dr_s b_r rows are written into the ``ab_rows`` scratch and
@@ -194,7 +204,12 @@ def _kernel_all(jac_ref, g0_ref, d1_ref, d2_ref, vc_ref, h_ref, g_ref, w_ref,
             h_ref[e1, e2 : e2 + 1, :] = h_rows[(e1, e2)]
             if e2 != e1:
                 h_ref[e2, e1 : e1 + 1, :] = h_rows[(e1, e2)]
-    w_ref[:] = w_acc[:].astype(w_ref.dtype)
+    if w_in_ref is None:
+        w_ref[:] = w_acc[:].astype(w_ref.dtype)
+    else:
+        # Accumulate onto the existing W content (f32 math, one downcast:
+        # for bf16 storage this is ONE rounding per bucket call).
+        w_ref[:] = (w_in_ref[:].astype(dt) + w_acc[:]).astype(w_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -290,6 +305,147 @@ def fused_obs_all_pm(jac_t, g0_t, d1m_t, d2m_t, vc, n_r: int, dr_s: int,
         g_l[:, :n_real],
         w_pm[:, :, :n_real],
         ab[: npairs + dr_s],
+    )
+
+
+def fused_obs_all_pm_into(jac_t, g0_t, d1m_t, d2m_t, vc, w_full, l_base,
+                          n_r: int, dr_s: int, dl: int, e_start: int,
+                          interpret: bool = False, tile_l: int = None):
+    """Whole-bucket accumulate variant of :func:`fused_obs_all_pm` for
+    MULTI-BUCKET (skewed-degree) layouts: the kernel adds its W
+    contribution directly into ``w_full`` (the full [dl, dr_s*NRp, L]
+    buffer) at landmark base ``l_base``, and returns
+    ``(h_add [dl, dl, lanes], g_add [dl, lanes], w_full', ab, la)`` where
+    ``la = l_base - shift`` is the tile-aligned lane base of the h/g adds.
+
+    Why: per-chunk one-grid-step calls (the round-4 scoped-VMEM
+    workaround) cost ~67 kernel dispatches + an XLA read-modify-write of
+    every W slab at bench-realistic shape — 5.94 ms of assemble
+    (r4_queue17.log).  Here each bucket is ONE pipelined call whose W
+    output is input_output_aliased onto ``w_full``: the only staged
+    per-call IO is the (small) operand set, the result slab never exists,
+    and the calls chain through the buffer — no optimization_barrier
+    serialization needed.
+
+    ``l_base`` need not be tile-aligned: operands are left-padded with
+    ``shift = l_base % tile_l`` zero lanes (d1 = 0 ⇒ every contribution
+    vanishes there; vc pads to the dustbin id), so boundary blocks
+    add exact zeros outside the bucket.  Interpret mode (CPU tests)
+    computes the same add through a non-aliased visited-range output +
+    dynamic_update_slice (aliasing semantics for unvisited blocks are a
+    TPU-backend contract)."""
+    n, s, k_len, n_real = jac_t.shape
+    assert e_start + dl <= s
+    assert s - dl == dr_s, (s, dl, dr_s)
+    npairs = dr_s * (dr_s + 1) // 2
+    ab_pad = -(-(npairs + dr_s) // 8) * 8
+    tile_l = TILE_L if tile_l is None else tile_l
+    nrp = -(-n_r // 128) * 128
+    wc = dr_s * nrp
+    assert w_full.shape[:2] == (dl, wc), (w_full.shape, dl, wc)
+    l_total = w_full.shape[2]
+    blk0 = l_base // tile_l
+    shift = l_base - blk0 * tile_l
+    lanes = shift + n_real
+    grid = pl.cdiv(lanes, tile_l)
+    pad = grid * tile_l - lanes
+    jac_t = jnp.pad(jac_t, ((0, 0), (0, 0), (0, 0), (shift, pad)))
+    g0_t = jnp.pad(g0_t, ((0, 0), (0, 0), (shift, pad)))
+    d1m_t = jnp.pad(d1m_t, ((0, 0), (shift, pad)))
+    d2m_t = jnp.pad(d2m_t, ((0, 0), (shift, pad)))
+    vc = jnp.pad(vc, ((0, 0), (shift, pad)), constant_values=n_r)
+    base_dt = jac_t.dtype
+    kern_kw = dict(
+        n_real=lanes, n_r=n_r, nrp=nrp, dr_s=dr_s, dl=dl, k_len=k_len,
+        e_start=e_start, tile_l=tile_l, npairs=npairs,
+    )
+    in_specs = [
+        pl.BlockSpec((n, s, k_len, tile_l),
+                     lambda i: (i * 0, i * 0, i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, k_len, tile_l), lambda i: (i * 0, i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_len, tile_l), lambda i: (i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dl, wc, tile_l),
+                     lambda i: (i * 0, i * 0, i + blk0),
+                     memory_space=pltpu.VMEM),
+    ]
+    hg_specs = (
+        pl.BlockSpec((dl, dl, tile_l), lambda i: (i * 0, i * 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dl, tile_l), lambda i: (i * 0, i),
+                     memory_space=pltpu.VMEM),
+    )
+    ab_spec = pl.BlockSpec((ab_pad, nrp), lambda i: (i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    hg_shapes = (
+        jax.ShapeDtypeStruct((dl, dl, grid * tile_l), base_dt),
+        jax.ShapeDtypeStruct((dl, grid * tile_l), base_dt),
+    )
+    ab_shape = jax.ShapeDtypeStruct((ab_pad, nrp), base_dt)
+    scratch = [
+        pltpu.VMEM((dl, wc, tile_l), base_dt),
+        pltpu.VMEM((ab_pad, tile_l), base_dt),
+    ]
+    kernel = functools.partial(_kernel_all_accum, **kern_kw)
+    if not interpret:
+        h_add, g_add, w_full, ab = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=(
+                *hg_specs,
+                pl.BlockSpec((dl, wc, tile_l),
+                             lambda i: (i * 0, i * 0, i + blk0),
+                             memory_space=pltpu.VMEM),
+                ab_spec,
+            ),
+            out_shape=(
+                *hg_shapes,
+                jax.ShapeDtypeStruct(w_full.shape, w_full.dtype),
+                ab_shape,
+            ),
+            scratch_shapes=scratch,
+            input_output_aliases={5: 2},
+            interpret=False,
+        )(jac_t, g0_t, d1m_t, d2m_t, vc, w_full)
+    else:
+        h_add, g_add, w_vis, ab = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=(
+                *hg_specs,
+                pl.BlockSpec((dl, wc, tile_l),
+                             lambda i: (i * 0, i * 0, i),
+                             memory_space=pltpu.VMEM),
+                ab_spec,
+            ),
+            out_shape=(
+                *hg_shapes,
+                jax.ShapeDtypeStruct((dl, wc, grid * tile_l), w_full.dtype),
+                ab_shape,
+            ),
+            scratch_shapes=scratch,
+            interpret=True,
+        )(jac_t, g0_t, d1m_t, d2m_t, vc, w_full)
+        upto = min(grid * tile_l, l_total - blk0 * tile_l)
+        w_full = jax.lax.dynamic_update_slice(
+            w_full, w_vis[:, :, :upto], (0, 0, blk0 * tile_l)
+        )
+    la = blk0 * tile_l
+    upto = min(grid * tile_l, l_total - la)
+    return (
+        h_add[:, :, :upto],
+        g_add[:, :upto],
+        w_full,
+        ab[: npairs + dr_s],
+        la,
     )
 
 

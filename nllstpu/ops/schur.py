@@ -1479,15 +1479,18 @@ def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False):
     nres ≤ 4 assumed) fits the budget; None when even 128 lanes do not —
     the caller then falls back to the XLA one-hot path.
 
-    ``multi`` (bucketed layouts) uses a TIGHTER budget: the chunked calls'
-    XLA-staged operands/results share the 16 MB scoped-VMEM stack with the
-    kernel's own blocks (16.27 MB live measured at a 12 MB-estimate tile,
-    r4_queue11.log), while the uniform single-bucket program's tens-of-MB
-    operands stay in HBM and its proven tile keeps the round-3 headline
-    program bit-identical."""
-    budget = (8 if multi else 12) * 2**20
+    ``multi`` (bucketed layouts) accounts for the accumulate-mode call
+    (``fused_obs_all_pm_into``): one extra aliased W input block joins
+    the out block + f32 scratch, and the budget is 10 MB — the aliased
+    whole-bucket calls stage only their (small) operand sets in scoped
+    VMEM, unlike the retired one-grid-step chunking whose result slabs
+    shared the stack (r4_queue9/10/11.log history).  The uniform
+    single-bucket program keeps its proven tile and stays bit-identical
+    to the round-3 headline."""
+    budget = (10 if multi else 12) * 2**20
     for tl in (256, 128):
-        vmem = dl * dr_s * nrp * tl * 4 * 2  # W out block + f32 scratch
+        w_blocks = 3 if multi else 2  # out + f32 scratch (+ aliased in)
+        vmem = dl * dr_s * nrp * tl * 4 * w_blocks
         vmem += 5 * (dr_s + dl) * k_b * tl * 4  # jac (×2 buffered) + g0 etc.
         if vmem <= budget:
             return tl
@@ -1772,7 +1775,7 @@ def _assemble_fast_dual(
         # batches run one kernel pass per bucket — partial run sums and the
         # per-camera ab contributions simply accumulate, and the chunked
         # heavy-landmark buckets overlap-add into the same W rows.
-        from .pallas.fused_obs import fused_obs_all_pm
+        from .pallas.fused_obs import fused_obs_all_pm, fused_obs_all_pm_into
 
         nres, stot = jac.shape[0], jac.shape[1]
         n_r = fast.n_r
@@ -1787,47 +1790,20 @@ def _assemble_fast_dual(
             )
         for (l0, lb, kb, c0) in buckets:
             tl = _fused_tile_l(kb, dr_s, dl, nrp, multi=len(buckets) > 1)
-            # Multi-bucket (realistic-shape) layouts call the kernel one
-            # GRID STEP at a time: XLA stages medium-sized cond-branch
-            # custom-call operands/results in scoped VMEM (observed OOM at
-            # 16 MB with whole-bucket arrays, bench_logs/r4_queue9.log),
-            # so each call's full arrays must stay a few MB.  Every chunk
-            # of a bucket shares one (k_b, tile) shape → one Mosaic binary
-            # per bucket.  The uniform single-bucket layout keeps the
-            # proven whole-grid call (operands are tens of MB — XLA leaves
-            # them in HBM — and the headline path stays bit-identical).
-            step = lb if len(buckets) == 1 else tl
-            for off in range(0, lb, step):
-                lc = min(step, lb - off)
-                if len(buckets) > 1:
-                    # Serialize the chunk kernels: they are data-independent,
-                    # so the scheduler otherwise launches many before their
-                    # consumer adds run and their full result tuples pile up
-                    # in scoped VMEM (28 MB observed, r4_queue10.log).
-                    # Tying each chunk's (small) d1 input to the accumulated
-                    # outputs keeps exactly one result tuple live.
-                    tie = [d1m, h_ll, g_l]
-                    if ab is not None:
-                        tie.append(ab)
-                    if w_buf is not None:
-                        tie.append(w_buf)
-                    tie = jax.lax.optimization_barrier(tuple(tie))
-                    d1m, h_ll, g_l = tie[0], tie[1], tie[2]
-                    rest = list(tie[3:])
-                    if ab is not None:
-                        ab = rest.pop(0)
-                    if w_buf is not None:
-                        w_buf = rest.pop(0)
-                sl = slice(c0 + off * kb, c0 + (off + lc) * kb)
-                jac_t = (
-                    jac[:, :, sl]
-                    .reshape(nres, stot, lc, kb)
-                    .transpose(0, 1, 3, 2)
-                )
-                g0_t = g0[:, sl].reshape(stot, lc, kb).transpose(0, 2, 1)
-                d1_t = d1m[sl].reshape(lc, kb).T
-                d2_t = d2m[sl].reshape(lc, kb).T
-                vc_k = rvid_j[sl].reshape(lc, kb).T
+            sl = slice(c0, c0 + lb * kb)
+            jac_t = (
+                jac[:, :, sl]
+                .reshape(nres, stot, lb, kb)
+                .transpose(0, 1, 3, 2)
+            )
+            g0_t = g0[:, sl].reshape(stot, lb, kb).transpose(0, 2, 1)
+            d1_t = d1m[sl].reshape(lb, kb).T
+            d2_t = d2m[sl].reshape(lb, kb).T
+            vc_k = rvid_j[sl].reshape(lb, kb).T
+            if w_buf is None:
+                # Uniform single-bucket layout: the proven whole-grid call
+                # whose W output is used directly (bit-identical round-3
+                # headline program).
                 h_add, g_add, w_b, ab_b = fused_obs_all_pm(
                     jac_t, g0_t, d1_t, d2_t, vc_k, n_r, dr_s, dl,
                     int(sel_e[0]),
@@ -1835,21 +1811,32 @@ def _assemble_fast_dual(
                     interpret=(w_impl == "fused_all_interpret"),
                     tile_l=tl,
                 )
-                la = l0 + off
-                h_ll = h_ll.at[:, :, la : la + lc].add(h_add)
-                g_l = g_l.at[:, la : la + lc].add(g_add)
+                h_ll = h_ll.at[:, :, l0 : l0 + lb].add(h_add)
+                g_l = g_l.at[:, l0 : l0 + lb].add(g_add)
                 ab = ab_b if ab is None else ab + ab_b
-                if w_buf is None:
-                    w = w_b
-                else:
-                    # bf16 W accumulates exactly here: bucket l-ranges
-                    # within the pow2 classes are disjoint; only the rare
-                    # heavy-chunk buckets overlap, and those land on
-                    # f32-assembled kernel outputs downcast once each —
-                    # one rounding per chunk.
-                    w_buf = w_buf.at[:, :, la : la + lc].add(
-                        w_b.astype(w_buf.dtype)
-                    )
+                w = w_b
+            else:
+                # Multi-bucket (realistic-shape) layouts: ONE pipelined
+                # call per bucket whose W contribution accumulates
+                # directly into the full buffer (input_output_aliased).
+                # The round-4 one-grid-step chunking (scoped-VMEM staging
+                # of cond-branch result slabs, r4_queue9/10.log) cost ~67
+                # dispatches + an XLA read-modify-write of every W slab —
+                # 5.94 ms of assemble at bench-realistic shape
+                # (r4_queue17.log); the aliased whole-bucket calls never
+                # materialize a result slab and chain through the buffer
+                # (no optimization_barrier needed).  bf16 W rounds ONCE
+                # per bucket call (in-kernel f32 add, single downcast).
+                h_add, g_add, w_buf, ab_b, la = fused_obs_all_pm_into(
+                    jac_t, g0_t, d1_t, d2_t, vc_k, w_buf, l0,
+                    n_r, dr_s, dl, int(sel_e[0]),
+                    interpret=(w_impl == "fused_all_interpret"),
+                    tile_l=tl,
+                )
+                span = h_add.shape[-1]
+                h_ll = h_ll.at[:, :, la : la + span].add(h_add)
+                g_l = g_l.at[:, la : la + span].add(g_add)
+                ab = ab_b if ab is None else ab + ab_b
         if w_buf is not None:
             w = w_buf
         npairs = dr_s * (dr_s + 1) // 2
