@@ -66,7 +66,11 @@ class Options:
     :class:`CostTrajectory` (per-iteration costs, wall times and step
     vectors) on the stepped driver; ``"jit"`` records costs + step norms
     (+ times when combined with ``jit_max_time``) from INSIDE the
-    fully-jitted loop at full speed.
+    fully-jitted loop at full speed; ``"jit_full"`` additionally records
+    the FULL per-iteration step vectors through a [max_iters, dim]
+    in-loop buffer (reference ``CostTrajectory.trajectory``,
+    src/callbacks.jl:85-107) — opt-in because the buffer scales with
+    max_iters × total dof.
     """
 
     rel_dcost: float = 1e-15
@@ -209,9 +213,10 @@ class CostTrajectory:
     step vectors) exactly like the reference.  The jitted driver
     (``store_trajectory="jit"``) records ``costs`` and ``step_norms`` from
     inside the compiled loop; ``times_ns`` additionally requires the
-    per-iteration host clock (``jit_max_time=True``) and ``trajectory``
-    stays empty (storing max_iters full step vectors on-device is the
-    stepped driver's job)."""
+    per-iteration host clock (``jit_max_time=True``); ``trajectory``
+    stays empty under ``"jit"`` and is filled with the full per-iteration
+    step vectors under ``"jit_full"`` (an in-loop [max_iters, dim] ring —
+    matches the stepped driver's vectors bit-for-bit, tested)."""
 
     costs: list = dataclasses.field(default_factory=list)
     times_ns: list = dataclasses.field(default_factory=list)

@@ -1473,25 +1473,39 @@ def build_schur_info(
     return info
 
 
-def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False):
+def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False, nres=4):
     """Largest lane-tile width whose fused_all per-bucket VMEM footprint
-    (p-major W block + f32 accumulator + double-buffered jac/g0 blocks,
-    nres ≤ 4 assumed) fits the budget; None when even 128 lanes do not —
-    the caller then falls back to the XLA one-hot path.
+    fits Mosaic's scoped stack; None when even 128 lanes do not — the
+    caller then falls back to the XLA one-hot path.
 
-    ``multi`` (bucketed layouts) accounts for the accumulate-mode call
-    (``fused_obs_all_pm_into``): one extra aliased W input block joins
-    the out block + f32 scratch, and the budget is 10 MB — the aliased
-    whole-bucket calls stage only their (small) operand sets in scoped
-    VMEM, unlike the retired one-grid-step chunking whose result slabs
-    shared the stack (r4_queue9/10/11.log history).  The uniform
-    single-bucket program keeps its proven tile and stays bit-identical
-    to the round-3 headline."""
-    budget = (10 if multi else 12) * 2**20
+    The model matches Mosaic's OBSERVED accounting (the round-4 queue-18
+    scoped-VMEM OOM, bench_logs/r4_queue18.log): every grid-varying block
+    is DOUBLE-buffered — including the input_output_aliased W input of the
+    accumulate call, which the previous model assumed was free — so the
+    staged bytes are ``2·(operand blocks) + 2·(W out) + W f32 scratch``
+    (the aliased variant swaps W-out double-buffering for W-in, same
+    count).  At the failing shape (nres=2, S=12, k=96, wc=1152, TILE=256)
+    this gives 2·(3.835 + 3.539) + 3.539 = 18.29 MB vs the reported
+    18.25 MB against the 16 MB limit; the 14 MB budget leaves margin for
+    Mosaic's own staging overhead.  ``nres`` is the batch's residual
+    component count — callers that know the true value (the obs-leg has
+    ``jac.shape[0]``) pass it; qualification-time callers use the
+    conservative default and the leg re-checks (a bucket that fails the
+    re-check falls through to the one-hot path instead of faulting the
+    Mosaic compile — the leg handles None).  ``multi`` kept for call-site
+    documentation (bucketed accumulate vs whole-grid call); both stage the
+    same W-block count."""
+    del multi  # same staged W-block count either way; see docstring
+    budget = 14 * 2**20
+    s = dr_s + dl
+    npairs = dr_s * (dr_s + 1) // 2
+    ab_pad = -(-(npairs + dr_s) // 8) * 8
     for tl in (256, 128):
-        w_blocks = 3 if multi else 2  # out + f32 scratch (+ aliased in)
-        vmem = dl * dr_s * nrp * tl * 4 * w_blocks
-        vmem += 5 * (dr_s + dl) * k_b * tl * 4  # jac (×2 buffered) + g0 etc.
+        wblk = dl * dr_s * nrp * tl * 4
+        io = (nres * s + s + 3) * k_b * tl * 4  # jac + g0 + d1 + d2 + vc
+        hg = (dl * dl + dl) * tl * 4  # h_ll + g_l out blocks
+        vmem = 2 * (io + hg) + 3 * wblk
+        vmem += ab_pad * (tl + nrp) * 4  # ab row scratch + ab out
         if vmem <= budget:
             return tl
     return None
@@ -1624,10 +1638,34 @@ def _solve_impl() -> str:
     justified the flip is bench_logs/r4_queue15b.log."""
     import os
 
+    if _PALLAS_VETO:
+        return "xla"
     impl = os.environ.get("NLLSTPU_SOLVE_IMPL", "auto")
     if impl == "pallas" and jax.default_backend() != "tpu":
         return "xla"
     return impl
+
+
+#: Set by core.optimize's compile-failure fallback: when a Mosaic scoped-
+#: VMEM OOM (or any pallas lowering failure) aborts the driver's FIRST XLA
+#: compile, the driver vetoes every pallas implementation and recompiles on
+#: the XLA paths instead of raising — the VMEM gate models Mosaic's stack
+#: accounting but the accounting is not a public contract (the round-4
+#: regression was exactly a model/reality divergence, VERDICT.md weak #1).
+_PALLAS_VETO = False
+
+
+def set_pallas_veto(on: bool) -> None:
+    """Disable (or re-enable) every pallas code path process-wide; used by
+    the optimizer drivers to demote Mosaic compile failures to the XLA
+    fallback paths.  Layout decisions read this at compile_problem time, so
+    callers must rebuild their CompiledProblem after flipping it."""
+    global _PALLAS_VETO
+    _PALLAS_VETO = on
+
+
+def pallas_veto() -> bool:
+    return _PALLAS_VETO
 
 
 def _w_impl() -> str:
@@ -1648,6 +1686,8 @@ def _w_impl() -> str:
     to the one-hot XLA path batch by batch regardless of the knob."""
     import os
 
+    if _PALLAS_VETO:
+        return "onehot"
     impl = os.environ.get("NLLSTPU_W_IMPL", "auto")
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
@@ -1763,9 +1803,25 @@ def _assemble_fast_dual(
             row_flat, np.arange(n_r * dr_s, dtype=np.int32)
         )
     w_impl = _w_impl()
+    fused_all_tl = None
     if info.w_pm is not None and w_impl in (
         "fused_all", "fused_all_interpret"
     ):
+        # Re-check the VMEM gate with the TRUE residual component count
+        # (qualification in _w_pm_data assumed a conservative nres=4; a
+        # wider residual that passed there must not fault the Mosaic
+        # compile — any bucket failing here demotes the whole batch to the
+        # one-hot path below).
+        fused_all_tl = {
+            kb: _fused_tile_l(
+                kb, len(sel_r), dl, info.w_pm[1],
+                multi=len(buckets) > 1, nres=int(jac.shape[0]),
+            )
+            for (_, _, kb, _) in buckets
+        }
+        if any(t is None for t in fused_all_tl.values()):
+            fused_all_tl = None
+    if fused_all_tl is not None:
         # Whole-system fused assembly: ONE kernel pass over the obs-major
         # Jacobian emits h_ll, g_l, the placed p-major W (written directly
         # in the storage dtype — the bf16 downcast pass disappears) AND the
@@ -1789,7 +1845,7 @@ def _assemble_fast_dual(
                 (dl, dr_s * nrp, L), dtype=w_store or dtype
             )
         for (l0, lb, kb, c0) in buckets:
-            tl = _fused_tile_l(kb, dr_s, dl, nrp, multi=len(buckets) > 1)
+            tl = fused_all_tl[kb]
             sl = slice(c0, c0 + lb * kb)
             jac_t = (
                 jac[:, :, sl]

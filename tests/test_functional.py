@@ -187,6 +187,83 @@ def test_jit_driver_trajectory_mode():
     assert all(np.diff(r2.trajectory.times_ns) >= 0)
 
 
+def test_jit_full_trajectory_vectors():
+    """store_trajectory="jit_full" records the FULL per-iteration step
+    vectors from inside the compiled loop (reference
+    CostTrajectory.trajectory, src/callbacks.jl:85-107), matching the
+    stepped driver's vectors."""
+    p, _, _ = make_problem(-0.5, 2.5)
+    r = nt.optimize(
+        p,
+        nt.Options(
+            iterator=nt.LEVENBERG_MARQUARDT, store_trajectory="jit_full"
+        ),
+    )
+    tr = r.trajectory
+    assert tr is not None
+    assert len(tr.trajectory) == r.num_iterations == len(tr.costs)
+    p2, _, _ = make_problem(-0.5, 2.5)
+    r2 = nt.optimize(
+        p2,
+        nt.Options(iterator=nt.LEVENBERG_MARQUARDT, store_trajectory=True),
+    )
+    assert r2.num_iterations == r.num_iterations
+    for vj, vs, nj in zip(
+        tr.trajectory, r2.trajectory.trajectory, tr.step_norms
+    ):
+        np.testing.assert_allclose(vj, vs, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.linalg.norm(vj), nj, rtol=1e-12)
+
+
+def test_pallas_compile_failure_falls_back():
+    """A Mosaic scoped-VMEM compile failure in the driver demotes to the
+    XLA paths (pallas veto + recompile) instead of raising — the round-4
+    queue-18 regression class (VERDICT.md weak #1).  Simulated by making
+    the first driver attempt raise a Mosaic-shaped error."""
+    from nllstpu.core import optimize as opt
+    from nllstpu.ops import schur as schur_mod
+
+    real_run_jit = opt._run_jit
+    calls = []
+
+    def fake_run_jit(problem, entry, opts):
+        if not schur_mod.pallas_veto():
+            calls.append("raise")
+            raise RuntimeError(
+                "INTERNAL: Mosaic failed: Ran out of memory in memory "
+                "space vmem while allocating on stack. Scoped allocation "
+                "with size 18.25M and limit 16.00M exceeded scoped vmem "
+                "limit by 2.25M."
+            )
+        calls.append("fallback")
+        return real_run_jit(problem, entry, opts)
+
+    p, _, _ = make_problem(-0.5, 2.5)
+    try:
+        opt._run_jit = fake_run_jit
+        with np.testing.suppress_warnings() as sup:
+            sup.filter(UserWarning)
+            r = nt.optimize(p, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    finally:
+        opt._run_jit = real_run_jit
+        schur_mod.set_pallas_veto(False)
+    assert calls == ["raise", "fallback"]
+    assert r.best_cost < 1e-10
+
+    # A NON-pallas failure must still raise (no silent retry of real bugs).
+    def always_raise(problem, entry, opts):
+        raise RuntimeError("Ran out of memory in memory space hbm")
+
+    p3, _, _ = make_problem(-0.5, 2.5)
+    try:
+        opt._run_jit = always_raise
+        with np.testing.assert_raises(RuntimeError):
+            nt.optimize(p3, nt.Options(iterator=nt.LEVENBERG_MARQUARDT))
+    finally:
+        opt._run_jit = real_run_jit
+        schur_mod.set_pallas_veto(False)
+
+
 def test_jit_max_time_always_enforced():
     """The DEFAULT jit driver honors ``max_time`` (reference
     src/optimize.jl:160-163 enforces it unconditionally): with an
