@@ -85,6 +85,12 @@ def _emit(value, platform, vs_baseline, stats=None, w_dtype="f32",
         line["wall_s"] = stats.get("wall_s")
         line["target_cost"] = target_cost
         line["time_to_target_s"] = stats.get("time_to_target_s")
+        # Secondary gated bf16-W measurement (opt-in config; the headline
+        # above is the library default).
+        if "bf16_iters_per_sec" in stats:
+            line["bf16_iters_per_sec"] = stats["bf16_iters_per_sec"]
+            line["bf16_best_cost"] = stats["bf16_best_cost"]
+            line["bf16_gate_ok"] = stats["bf16_gate_ok"]
     print(json.dumps(line), flush=True)
 
 
@@ -118,18 +124,15 @@ def worker(platform: str, iters: int, w_dtype: str = None):
     elif w_dtype is not None:
         os.environ["NLLSTPU_W_DTYPE"] = w_dtype
     else:
-        # Half-width dense-W storage (f32 accumulation everywhere): the
-        # round-2 on-chip A/B (3 interleaved rounds, 6 configs) put
-        # onehot/xla/bf16 first at 75.0 it/s vs 64.9 for the f32 default,
-        # with the converged best_cost bit-comparable to the f32 floor.
-        # Round 3 flipped the TPU W_IMPL default to the whole-system fused
-        # kernel (fused_all): 193.8 vs 72.8 it/s over onehot in the
-        # 3-round interleaved A/B (bench_logs/r3_queue2.log), converged
-        # cost unchanged.  The accuracy gate in main() (bf16_cost_ok)
-        # re-runs f32 if the bf16 best_cost degrades past BF16_COST_GATE x
-        # the committed f32 cost.  The CPU leg stays f32 so vs_baseline
-        # compares like for like against scripts/cpu_ref.json.
-        os.environ.setdefault("NLLSTPU_W_DTYPE", "bf16")
+        # DEFAULT library config (NLLSTPU_W_DTYPE auto = f32): the
+        # HEADLINE now measures exactly what a user gets out of the box
+        # (VERDICT r4 weak #6 — the round-4 headline ran the opt-in bf16-W
+        # config, ~8% faster on this shape but convergence-capping on
+        # realistic Snavely shapes, bench_logs/r4_queue9.log; a headline
+        # should not advertise a non-default trade).  main() still
+        # measures the gated bf16 rate as a SECONDARY field (bf16_*) when
+        # budget remains, with the bf16_cost_ok convergence gate attached.
+        os.environ.setdefault("NLLSTPU_W_DTYPE", "f32")
     jax.config.update("jax_default_matmul_precision", "highest")
     cache = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache, exist_ok=True)
@@ -330,26 +333,31 @@ def main():
         # ONE TPU attempt: killing a wedged TPU worker leaves the remote
         # lease wedged for the next process too, so a single patient attempt
         # beats retries — and the budget must leave room for the CPU
-        # fallback + the final print.
+        # fallback + the final print.  The headline leg runs the LIBRARY
+        # DEFAULT config (f32 W storage — see worker()); the opt-in bf16-W
+        # rate is attached as a secondary gated measurement below.
         tpu_timeout = min(TPU_TIMEOUT_S, _remaining() - 60)
         main_stats = run_leg("tpu", ITERS, timeout=tpu_timeout)
         if main_stats is not None:
             platform = "tpu"
-            if not bf16_cost_ok(main_stats["best_cost"], ref_best):
-                # Accuracy gate tripped: the bf16-W run converged worse
-                # than BF16_COST_GATE x the committed f32 cost at the same
-                # iteration budget.  Re-measure in f32 if budget remains;
-                # otherwise at least never record the broken number.
-                sys.stderr.write(
-                    "# bf16 gate FAILED: best_cost "
-                    f"{main_stats['best_cost']:.6g} vs f32 ref {ref_best}; "
-                    "re-running f32\n"
+            if _remaining() > 240:
+                bf16_stats = run_leg(
+                    "tpu", ITERS,
+                    timeout=min(TPU_TIMEOUT_S, _remaining() - 60),
+                    w_dtype="bf16",
                 )
-                f32_stats = run_leg(
-                    "tpu", ITERS, timeout=min(TPU_TIMEOUT_S, _remaining() - 60),
-                    w_dtype="f32",
-                )
-                main_stats = f32_stats  # f32 or nothing
+                if bf16_stats is not None:
+                    ok = bf16_cost_ok(
+                        bf16_stats["best_cost"],
+                        ref_best
+                        if ref_best is not None
+                        else main_stats["best_cost"],
+                    )
+                    main_stats["bf16_iters_per_sec"] = bf16_stats[
+                        "iters_per_sec"
+                    ]
+                    main_stats["bf16_best_cost"] = bf16_stats["best_cost"]
+                    main_stats["bf16_gate_ok"] = bool(ok)
     if main_stats is None:
         # CPU fallback (or CPU-only machine): fewer iters, remaining budget.
         main_stats = run_leg("cpu", min(ITERS, 5), timeout=_remaining() - 20)

@@ -223,8 +223,82 @@ def _lm_reduce_body(hi_row, dt, w_ref, g_ref, s_ref, r_ref, *, dl, high):
         r_ref[:] = r_ref[:] + r_acc
 
 
+def _lm_reduce_body_panels(hi_row, dt, w_ref, g_ref, s_ref, r_ref, *, dl,
+                           high, col_block):
+    """Column-panelized landmark-minor reduction for WIDE reduced spaces
+    (wc past ~700, e.g. Snavely 9-dof at >=128 camera slots → wc = 1152).
+
+    The narrow body's register accumulator pattern stages TWO [wc, wc]
+    f32 buffers (running sum + dot temp) — 10.6 MB at wc = 1152, which
+    with the W tile overflows Mosaic's 16 MB scoped stack (21.3 M
+    observed, bench_logs/r4_queue15c.log leg 6; VERDICT r4 weak #2).
+    Here the FULL [wc, wc] S lives only once — in the OUTPUT ref, which
+    has a constant index_map so it stays VMEM-resident across the whole
+    sequential grid — and each MXU dot materializes only a [wc,
+    col_block] panel that is immediately accumulated into the out-ref
+    slice.  W still streams from HBM exactly once; the extra cost is one
+    VMEM read-modify-write of S per (e, panel), amortized over the
+    landmark grid.  Panel slices are static multiples of 128 lanes
+    (wc = dr_s · NRp is always a multiple of 128)."""
+    i = pl.program_id(0)
+    w_raw = [w_ref[d] for d in range(dl)]  # [wc, TL]
+    w_rows = [r.astype(dt) for r in w_raw]
+    wc, tile_l = w_raw[0].shape
+    assert wc % col_block == 0, (wc, col_block)
+    npan = wc // col_block
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, tile_l), 0) == 0
+    )  # [8, TL]
+    dims = (((1,), (1,)), ((), ()))
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
+
+    for e_ix in range(dl):
+        y_e = hi_row(e_ix * dl) * w_rows[0]
+        for d_ix in range(1, dl):
+            y_e = y_e + hi_row(e_ix * dl + d_ix) * w_rows[d_ix]
+        g_pad = jnp.where(row0, g_ref[e_ix : e_ix + 1, :], dt.type(0))
+        # Gradient-feeding rhs stays HIGHEST (tiny FLOPs, cancellation-
+        # sensitive — see _kernel).
+        r_ref[:] = r_ref[:] + jax.lax.dot_general(
+            y_e, g_pad, dimension_numbers=dims,
+            preferred_element_type=dt.type,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if high:
+            y_hi, y_lo = _bf16_parts(y_e)
+            w_hi, w_lo = _bf16_parts(w_raw[e_ix])
+
+            def d(u, v):
+                return jax.lax.dot_general(
+                    u, v, dimension_numbers=dims,
+                    preferred_element_type=dt.type,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+        for j in range(npan):
+            sl = slice(j * col_block, (j + 1) * col_block)
+            if high:
+                # bf16x3 emulated HIGH per panel (see _dot_high); the
+                # y/w hi-lo splits are hoisted out of the panel loop.
+                acc = d(y_hi, w_hi[sl, :])
+                if w_lo is not None:
+                    acc = acc + d(y_hi, w_lo[sl, :])
+                acc = acc + d(y_lo, w_hi[sl, :])
+            else:
+                acc = jax.lax.dot_general(
+                    y_e, w_rows[e_ix][sl, :], dimension_numbers=dims,
+                    preferred_element_type=dt.type,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            s_ref[:, sl] = s_ref[:, sl] + acc
+
+
 def _kernel_lm_damped(lam_ref, w_ref, h_ref, g_ref, s_ref, r_ref, hi_out,
-                      *, dl, high):
+                      *, dl, high, col_block=None):
     """Damped variant: takes the UNdamped ``h_ll`` rows plus the damping
     scalar λ (SMEM) and forms the closed-form damped block inverse
     in-kernel — the standalone XLA ``batched_inv_spd_cm`` costs ~0.6 ms
@@ -267,10 +341,16 @@ def _kernel_lm_damped(lam_ref, w_ref, h_ref, g_ref, s_ref, r_ref, hi_out,
         ]
     for ci, row in enumerate(rows):
         hi_out[ci : ci + 1, :] = row
-    _lm_reduce_body(
-        lambda ci: rows[ci], dt, w_ref, g_ref, s_ref, r_ref,
-        dl=dl, high=high,
-    )
+    if col_block is None:
+        _lm_reduce_body(
+            lambda ci: rows[ci], dt, w_ref, g_ref, s_ref, r_ref,
+            dl=dl, high=high,
+        )
+    else:
+        _lm_reduce_body_panels(
+            lambda ci: rows[ci], dt, w_ref, g_ref, s_ref, r_ref,
+            dl=dl, high=high, col_block=col_block,
+        )
 
 
 def reduce_s_lm(w, h_inv, g_l, interpret: bool = False):
@@ -340,6 +420,42 @@ def damped_tile_l(dl, wc):
     return None
 
 
+def damped_wide_plan(dl, wc):
+    """(tile_l, col_block) for the column-PANELIZED damped kernel
+    (``_lm_reduce_body_panels``), or None when even the smallest shape
+    does not fit.  Unlike ``damped_tile_l``'s model, only ONE full
+    [wc, wc] f32 S buffer is staged (the VMEM-resident output ref); the
+    per-dot temp is [wc, col_block].  Budget 14 MB of the 16 MB scoped
+    limit (same margin discipline as ops/schur._fused_tile_l after the
+    round-4 accounting correction); prefer the widest panel, then the
+    widest landmark tile."""
+    budget = 14 * 1024 * 1024
+    s_bytes = wc * wc * 4  # output ref, resident (constant index_map)
+    for cb in (512, 256, 128):
+        if wc % cb:
+            continue
+        for t in (256, 128):
+            est = (
+                s_bytes
+                + 2 * dl * wc * t * 4  # double-buffered W tile
+                + 2 * wc * cb * 4  # panel dot temp (+add chain temp)
+                + 8 * wc * t  # y_e f32 + y/w bf16 split temps
+                + 4 * dl * dl * t * 4  # h rows in + h_inv rows out
+            )
+            if est <= budget:
+                return t, cb
+    return None
+
+
+def damped_solve_fits(dl, wc):
+    """True when SOME damped-kernel variant (register accumulator or
+    column-panelized) fits scoped VMEM at this (dl, wc) — the gate
+    ``SchurOps._solve`` uses for the auto default."""
+    return damped_tile_l(dl, wc) is not None or (
+        damped_wide_plan(dl, wc) is not None
+    )
+
+
 def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
     """Fused DAMPED landmark-minor reduce for the p-major W: one kernel
     pass computes the closed-form damped inverses ``(h_ll + λI)⁻¹``
@@ -365,7 +481,13 @@ def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
     assert h_ll.dtype == jnp.float32, h_ll.dtype
     assert g_l.shape == (dl, n_real), (g_l.shape, w.shape)
     fit = damped_tile_l(dl, wc)
-    assert fit is not None, (dl, wc)  # callers gate on damped_tile_l
+    col_block = None
+    if fit is None:
+        # Wide reduced space: column-panelized body (VERDICT r4 weak #2 —
+        # Snavely 9-dof at >=128 camera slots has wc = 1152).
+        plan = damped_wide_plan(dl, wc)
+        assert plan is not None, (dl, wc)  # callers gate on damped_solve_fits
+        fit, col_block = plan
     tile_l = min(fit, max(128, -(-n_real // 128) * 128))
     grid = pl.cdiv(n_real, tile_l)
     pad = grid * tile_l - n_real
@@ -377,7 +499,9 @@ def reduce_s_lm_damped(w, h_ll, g_l, lam, interpret: bool = False):
         diag = np.arange(dl) * dl + np.arange(dl)
         h2 = h2.at[jnp.asarray(diag), n_real:].set(1.0)
     lam_arr = jnp.reshape(jnp.asarray(lam, jnp.float32), (1,))
-    kernel = functools.partial(_kernel_lm_damped, dl=dl, high=True)
+    kernel = functools.partial(
+        _kernel_lm_damped, dl=dl, high=True, col_block=col_block
+    )
     s_sum, rhs_sum, hi_out = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -143,12 +143,15 @@ class SchurOps:
             and self.num_elim > 0 and self.dim_reduced > 0
         )
         if damped_ok:
-            # Wide reduced spaces overflow the kernel's scoped VMEM (the
-            # [wc, wc] accumulator; r4_queue15c.log leg 6 at wc=1152) —
-            # gate on the tile-fit model and fall back to XLA.
-            from .pallas.schur_reduce import damped_tile_l
+            # Narrow reduced spaces use the register-accumulator body;
+            # wide ones (wc past ~700, e.g. Snavely 9-dof at >=128 camera
+            # slots) the column-panelized body that keeps the full S only
+            # in the VMEM-resident output ref (VERDICT r4 weak #2; the
+            # register body overflowed scoped VMEM at wc=1152,
+            # r4_queue15c.log leg 6).  reduce_s_lm_damped picks the body.
+            from .pallas.schur_reduce import damped_solve_fits
 
-            damped_ok = damped_tile_l(dl, w.shape[1]) is not None
+            damped_ok = damped_solve_fits(dl, w.shape[1])
         if impl == "auto":
             # Auto: the damped kernel exactly where it is proven faster
             # (p-major f32 systems on TPU); everything else stays XLA.
@@ -898,7 +901,13 @@ _FAST_MAX_CAM_K = 8192
 _OBS_MAJOR_MAX_RATIO = 2.5
 #: Bucketed layout: per-bucket run-length cap (bounds the fused kernels'
 #: VMEM jac block and unroll depth); heavier landmarks get chunk buckets.
-_OBS_BUCKET_K_CAP = 128
+#: 64 (was 128): the on-chip Mosaic accounting probe (bench_logs/
+#: r5_queue1.log leg 1) showed the fused_all kernel's scoped stack grows
+#: ~65 KB per unrolled k step (the per-k one-hot [NRp, TILE] temps do not
+#: share stack slots) — k_b = 96 overflows the 16 MB limit at BOTH lane
+#: tiles while k_b = 64 compiles and runs; capping buckets at 64 keeps
+#: every bucket inside the validated envelope.
+_OBS_BUCKET_K_CAP = 64
 
 
 class ObsBuckets(NamedTuple):
@@ -1506,6 +1515,13 @@ def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False, nres=4):
         hg = (dl * dl + dl) * tl * 4  # h_ll + g_l out blocks
         vmem = 2 * (io + hg) + 3 * wblk
         vmem += ab_pad * (tl + nrp) * 4  # ab row scratch + ab out
+        # Per-unrolled-k one-hot temps ([NRp, TILE] f32 each): Mosaic does
+        # NOT share their stack slots across the unrolled k loop — the
+        # on-chip probe (bench_logs/r5_queue1.log leg 1) measured k_b = 96
+        # OOM at both tiles and k_b = 64 fitting at TILE 128, which this
+        # term reproduces (the pre-probe model passed 96 with ~7 MB to
+        # spare).
+        vmem += k_b * nrp * tl * 4
         if vmem <= budget:
             return tl
     return None

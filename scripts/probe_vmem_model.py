@@ -35,6 +35,27 @@ from nllstpu.ops.pallas.fused_obs import fused_obs_all_pm_into
 from nllstpu.ops import schur as schur_mod
 
 
+def _fail_line(e):
+    """The informative substring of a Mosaic compile error: the scoped
+    allocation size if present, else the first vmem/Mosaic line."""
+    msg = str(e)
+    import re
+
+    m = re.search(
+        r"Scoped allocation with size [^.]*\.[0-9]*M[^.]*\.", msg
+    )
+    if m:
+        return m.group(0)
+    return next(
+        (
+            ln
+            for ln in msg.splitlines()
+            if "vmem" in ln.lower() or "Mosaic" in ln
+        ),
+        msg.splitlines()[0] if msg else repr(e),
+    )[:300]
+
+
 def probe(lb, kb, tl, nres=2, dl=3, dr_s=9, nrp=128, L=8192):
     stot = dr_s + dl
     n_r = nrp
@@ -75,27 +96,75 @@ def probe(lb, kb, tl, nres=2, dl=3, dr_s=9, nrp=128, L=8192):
             flush=True,
         )
     except Exception as e:
-        msg = str(e)
-        line = next(
-            (
-                ln
-                for ln in msg.splitlines()
-                if "vmem" in ln.lower() or "Mosaic" in ln
-            ),
-            msg.splitlines()[0] if msg else repr(e),
+        print(f"FAIL {tag}: {_fail_line(e)}", flush=True)
+
+
+def probe_damped_wide(wc=1152, L=8192, dl=3):
+    """Compile + time the column-panelized wide-wc damped reduction
+    kernel (reduce_s_lm_damped panel body, VERDICT r5 item 2) at the
+    realistic Snavely shape; compare against the XLA chain timing printed
+    by profile_realistic (2.8-3.0 ms/solve, r4_queue17/18)."""
+    from nllstpu.ops.pallas.schur_reduce import (
+        damped_tile_l,
+        damped_wide_plan,
+        reduce_s_lm_damped,
+    )
+
+    plan = damped_wide_plan(dl, wc)
+    tag = (
+        f"damped_wide wc={wc} L={L} plan={plan} "
+        f"(narrow gate {damped_tile_l(dl, wc)})"
+    )
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((dl, wc, L)), jnp.float32)
+    a = rng.standard_normal((dl, dl, L)).astype(np.float32)
+    h_ll = jnp.asarray(
+        np.einsum("del,fel->dfl", a, a)
+        + 2.0 * np.eye(dl, dtype=np.float32)[:, :, None]
+    )
+    g_l = jnp.asarray(rng.standard_normal((dl, L)), jnp.float32)
+
+    def f(w, h_ll, g_l, lam):
+        s, r, hi = reduce_s_lm_damped(w, h_ll, g_l, lam)
+        return jnp.sum(s) + jnp.sum(r) + jnp.sum(hi)
+
+    try:
+        t0 = time.perf_counter()
+        fj = jax.jit(f)
+        s = float(fj(w, h_ll, g_l, jnp.float32(0.01)))
+        t_compile = time.perf_counter() - t0
+        t_best = float("inf")
+        for i in range(5):
+            lam_i = jnp.float32(0.01 * (1 + 1e-6 * i))
+            t0 = time.perf_counter()
+            s2 = float(fj(w, h_ll, g_l, lam_i))
+            t_best = min(t_best, time.perf_counter() - t0)
+        print(
+            f"OK   {tag}: compile {t_compile:.1f}s, {t_best*1e3:.3f} "
+            f"ms/call (incl. dispatch+readback), checksum {s:.3e}",
+            flush=True,
         )
-        print(f"FAIL {tag}: {line[:300]}", flush=True)
+    except Exception as e:
+        print(f"FAIL {tag}: {_fail_line(e)}", flush=True)
 
 
 def main():
     float(jnp.zeros(()))  # warm the D2H stream
     print(f"backend={jax.default_backend()}", flush=True)
-    # The queue-18 failing bucket, both tiles: expect FAIL@256 (~18.3 MB
-    # model), OK@128 (~9.2 MB model).
-    probe(197, 96, 256)
-    probe(197, 96, 128)
-    # Second bucket as a cross-check.
-    probe(519, 64, 128)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "fused"):
+        # Round-5 cap-64 bucket plan points (bench-realistic shape after
+        # _OBS_BUCKET_K_CAP=64): largest bucket kb=64@128, small-kb
+        # buckets at the 256 tile the corrected gate now picks.
+        probe(716, 64, 128)
+        probe(1096, 16, 256)
+        probe(1916, 4, 256)
+        # Model-boundary cross-checks (expect FAIL, with the scoped size
+        # printed for model calibration).
+        probe(197, 96, 128)
+        probe(197, 32, 128)
+    if which in ("all", "damped"):
+        probe_damped_wide()
 
 
 if __name__ == "__main__":

@@ -446,6 +446,63 @@ def test_reduce_s_lm_damped_matches_reference():
         assert np.all(np.isfinite(np.asarray(s_sum)))
 
 
+def test_reduce_s_lm_damped_wide_panels():
+    """Wide-wc damped reduce rides the column-PANELIZED body: wc=1152 is
+    the Snavely 9-dof shape at >=128 lane-padded camera slots (VERDICT r4
+    weak #2 — the register-accumulator body overflows scoped VMEM there,
+    r4_queue15c.log leg 6).  Checks the gate split (narrow gate None, wide
+    plan available) and numerical agreement with the XLA chain, including
+    λ=0 at a non-tile-multiple L and bf16-stored W."""
+    from nllstpu.core.linearsolver import batched_inv_spd_cm
+    from nllstpu.ops.pallas.schur_reduce import (
+        damped_solve_fits,
+        damped_tile_l,
+        damped_wide_plan,
+        reduce_s_lm_damped,
+    )
+
+    assert damped_tile_l(3, 1152) is None
+    assert damped_wide_plan(3, 1152) is not None
+    assert damped_solve_fits(3, 1152)
+
+    rng = np.random.default_rng(31)
+    for dl, L, wc, lam, w_dt in [
+        (3, 140, 1152, 0.0, np.float32),
+        (3, 140, 1152, 1e-2, np.float32),
+        (3, 130, 1152, 1e-3, jnp.bfloat16),
+    ]:
+        w = rng.standard_normal((dl, wc, L)).astype(np.float32)
+        a = rng.standard_normal((dl, dl, L)).astype(np.float32)
+        h_ll = np.einsum("del,fel->dfl", a, a) + 2.0 * np.eye(
+            dl, dtype=np.float32
+        )[:, :, None]
+        g_l = rng.standard_normal((dl, L)).astype(np.float32)
+        w_j = jnp.asarray(w).astype(w_dt)
+        s_sum, rhs_sum, h_inv = reduce_s_lm_damped(
+            w_j, jnp.asarray(h_ll), jnp.asarray(g_l), lam, interpret=True
+        )
+        h_inv_ref = np.asarray(
+            batched_inv_spd_cm(
+                jnp.asarray(h_ll)
+                + lam * jnp.eye(dl, dtype=jnp.float32)[:, :, None]
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_inv), h_inv_ref, rtol=1e-5, atol=1e-6
+        )
+        w_r = np.asarray(w_j).astype(np.float32)
+        y = np.einsum("drl,del->erl", w_r, h_inv_ref)
+        np.testing.assert_allclose(
+            np.asarray(s_sum), np.einsum("erl,esl->rs", y, w_r),
+            rtol=2e-3, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs_sum), np.einsum("erl,el->r", y, g_l),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert np.all(np.isfinite(np.asarray(s_sum)))
+
+
 def test_solve_pallas_damped_matches_xla_f32():
     """SchurOps.solve with SOLVE_IMPL=pallas_interpret on an f32 pm-layout
     system (the damped-kernel path) matches the default XLA solve to the
@@ -747,9 +804,14 @@ def test_w_pm_vmem_gate(monkeypatch):
         )
 
     assert build(5).schur_info.w_pm is not None  # nrp=128: fits
-    # nrp = 640 (dr_s=6): too wide at 256 lanes but fits at the reduced
+    # nrp = 384 (dr_s=6): too wide at 256 lanes but fits at the reduced
     # 128-lane tile (_fused_tile_l) — the fused path stays engaged.
-    assert build(520).schur_info.w_pm is not None
+    assert build(300).schur_info.w_pm is not None
+    # nrp = 640: over budget at EVERY tile width under the corrected
+    # (round-5 probe-calibrated) Mosaic staging model — 3 staged W blocks
+    # at 128 lanes is already 17.7 MB — so the standard layout runs.  The
+    # pre-probe model passed this shape; it was never compiled on-chip.
+    assert build(520).schur_info.w_pm is None
     # nrp = 1280: over budget at EVERY tile width → standard layout.
     assert build(1200).schur_info.w_pm is None
 
