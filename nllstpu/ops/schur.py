@@ -1487,41 +1487,54 @@ def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False, nres=4):
     fits Mosaic's scoped stack; None when even 128 lanes do not — the
     caller then falls back to the XLA one-hot path.
 
-    The model matches Mosaic's OBSERVED accounting (the round-4 queue-18
-    scoped-VMEM OOM, bench_logs/r4_queue18.log): every grid-varying block
-    is DOUBLE-buffered — including the input_output_aliased W input of the
-    accumulate call, which the previous model assumed was free — so the
-    staged bytes are ``2·(operand blocks) + 2·(W out) + W f32 scratch``
-    (the aliased variant swaps W-out double-buffering for W-in, same
-    count).  At the failing shape (nres=2, S=12, k=96, wc=1152, TILE=256)
-    this gives 2·(3.835 + 3.539) + 3.539 = 18.29 MB vs the reported
-    18.25 MB against the 16 MB limit; the 14 MB budget leaves margin for
-    Mosaic's own staging overhead.  ``nres`` is the batch's residual
-    component count — callers that know the true value (the obs-leg has
-    ``jac.shape[0]``) pass it; qualification-time callers use the
-    conservative default and the leg re-checks (a bucket that fails the
-    re-check falls through to the one-hot path instead of faulting the
-    Mosaic compile — the leg handles None).  ``multi`` kept for call-site
-    documentation (bucketed accumulate vs whole-grid call); both stage the
-    same W-block count."""
-    del multi  # same staged W-block count either way; see docstring
-    budget = 14 * 2**20
+    The model is an EMPIRICAL FIT of on-chip Mosaic compiles (see the
+    inline table below) — Mosaic's scoped-stack accounting is not a
+    public contract and two successive hand models each missed it by
+    >50% (r4_queue18 OOM; r5_queue1/2 probes), so the gate is calibrated
+    against measured pass/fail points and any future divergence demotes
+    to the XLA paths via the optimize() compile-failure fallback rather
+    than raising.  ``nres`` is the batch's residual component count —
+    callers that know the true value (the obs-leg has ``jac.shape[0]``)
+    pass it; qualification-time callers use the conservative default and
+    the leg re-checks per bucket.  ``multi`` selects the accumulate
+    (input_output_aliased) variant's heavier staging (5 W blocks, no
+    256 tile)."""
+    # Empirical fit of SIX on-chip Mosaic compiles at the realistic shape
+    # (bench_logs/r5_queue1.log + r5_queue2.log leg 1, dl=3 dr_s=9
+    # nrp=128 nres=2):
+    #   into kb=96 @128 OOM 18.25M | kb=64 @128 OK | kb=32 @128 OK
+    #   into kb=16 @256 OOM 22.86M | kb=4 @256 OOM 19.03M
+    #   (r4 uniform headline: non-into kb=13 @256 runs for 3 rounds)
+    # Structure that reproduces all points:
+    # - the ACCUMULATE (input_output_aliased) variant stages FIVE W blocks
+    #   (W_in x2 + W_out x2 — aliasing does NOT merge them — + f32
+    #   scratch); the plain variant three (W_out x2 + scratch).
+    # - per-unrolled-k temps: double-buffered operand rows plus the hoisted
+    #   one-hot [NRp, TILE]; at TILE 256 the one-hot costs ~2 slots per k
+    #   (fit 0.319 MiB/k ≈ io2x + 2·oh), at TILE 128 ~0.875 (fit
+    #   0.093 MiB/k) — allocator register/spill behavior differs by tile.
+    # - ~1 MB base staging overhead.
+    # The accumulate variant therefore NEVER gets TILE 256 (kb=4 already
+    # OOMs there); budget 15.5 MiB of the 16 MiB limit keeps the measured
+    # kb=64 @128 point (est. 15.40 MiB) admitted and kb=96 (est. 18.4 vs
+    # 18.25 observed) rejected.
+    budget = int(15.5 * 2**20)
     s = dr_s + dl
     npairs = dr_s * (dr_s + 1) // 2
     ab_pad = -(-(npairs + dr_s) // 8) * 8
-    for tl in (256, 128):
+    w_blocks = 5 if multi else 3
+    for tl in ((128,) if multi else (256, 128)):
         wblk = dl * dr_s * nrp * tl * 4
-        io = (nres * s + s + 3) * k_b * tl * 4  # jac + g0 + d1 + d2 + vc
-        hg = (dl * dl + dl) * tl * 4  # h_ll + g_l out blocks
-        vmem = 2 * (io + hg) + 3 * wblk
-        vmem += ab_pad * (tl + nrp) * 4  # ab row scratch + ab out
-        # Per-unrolled-k one-hot temps ([NRp, TILE] f32 each): Mosaic does
-        # NOT share their stack slots across the unrolled k loop — the
-        # on-chip probe (bench_logs/r5_queue1.log leg 1) measured k_b = 96
-        # OOM at both tiles and k_b = 64 fitting at TILE 128, which this
-        # term reproduces (the pre-probe model passed 96 with ~7 MB to
-        # spare).
-        vmem += k_b * nrp * tl * 4
+        base = (
+            2 * (dl * dl + dl) * tl * 4  # h_ll + g_l out blocks (x2)
+            + ab_pad * (tl + nrp) * 4  # ab row scratch + ab out
+            + 1_000_000  # misc staging overhead (fit)
+        )
+        oh_slots = 2 if tl >= 256 else 0.875
+        per_k = 2 * (nres * s + s + 3) * tl * 4 + int(
+            oh_slots * nrp * tl * 4
+        )
+        vmem = w_blocks * wblk + base + k_b * per_k
         if vmem <= budget:
             return tl
     return None

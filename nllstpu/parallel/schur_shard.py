@@ -117,6 +117,16 @@ class ShardedSchurOps:
     #: psum-reduced [Dr, Dr]/[Dr] results gather back — exactly the
     #: single-device SchurOps.pm contract, localized.
     pm: Any = None
+    #: None (contiguous landmark ownership — device s owns global lids
+    #: [s·Lc, (s+1)·Lc), the uniform-layout fast path), or the strided-
+    #: ownership maps of the bucketed layout (_bucket_shard_plan):
+    #: ``gid_table [n, Lc]`` = global lid per (device, local slot) with
+    #: ``num_elim`` marking pad slots, and ``gid_pos [n·Lc]`` reordering
+    #: the device-major gathered step into global lid order.  Both are
+    #: REPLICATED host constants (closing over them is multi-process safe,
+    #: unlike sharded arrays).
+    gid_table: Any = None
+    gid_pos: Any = None
 
     @property
     def dim(self):
@@ -140,20 +150,40 @@ class ShardedSchurOps:
         return s_w[idx][:, idx], rhs_w[idx]
 
     def _pad_eye(self, dtype):
-        return _pad_eye_local(
-            self.axis, self.num_elim_local, self.num_elim, self.dof_elim, dtype
-        )
+        if self.gid_table is None:
+            return _pad_eye_local(
+                self.axis, self.num_elim_local, self.num_elim, self.dof_elim,
+                dtype,
+            )
+        s = jax.lax.axis_index(self.axis)
+        gids = jnp.asarray(self.gid_table)[s]
+        pad = (gids >= self.num_elim).astype(dtype)
+        return jnp.eye(self.dof_elim, dtype=dtype)[:, :, None] * pad[None, None, :]
 
     def _local_xl(self, x):
-        return _local_slice_elim(
-            self.axis, self.num_elim_local, self.dof_elim, x[self.dim_reduced :]
-        )
+        x_elim = x[self.dim_reduced :]
+        if self.gid_table is None:
+            return _local_slice_elim(
+                self.axis, self.num_elim_local, self.dof_elim, x_elim
+            )
+        # Strided ownership: gather this device's rows of the lid-ordered
+        # step.  Pad slots index row ``num_elim``, which exists (pads ⇒
+        # n·Lc > L) and is zero (gid_pos routes it to a zero pad slot of
+        # the gathered vector; see _gather_elim).
+        s = jax.lax.axis_index(self.axis)
+        rows = jnp.asarray(self.gid_table)[s]
+        return x_elim.reshape(-1, self.dof_elim)[rows]
 
     def _gather_elim(self, v_local):
-        return _gather_elim_chunks(
+        full = _gather_elim_chunks(
             self.axis, self.num_elim_local, self.n_devices, self.dof_elim,
             v_local,
         )
+        if self.gid_pos is not None:
+            # Device-major → global-lid order (strided bucketed ownership);
+            # rows past num_elim copy a zero pad slot.
+            full = full[jnp.asarray(self.gid_pos)]
+        return full
 
     def grad(self, sys):
         _, b_r, _, g_l, _ = sys
@@ -323,6 +353,89 @@ class ShardedSchurCGOps(schur.SchurCGOps):
         return xr @ (a_rr @ xr) + jax.lax.psum(local, self.axis)
 
 
+def _bucket_shard_plan(buckets, L, n):
+    """Per-shard STRIDED decomposition of a bucketed obs-major layout
+    (ops/schur.ObsBuckets) so the round-4 skewed-degree fast paths survive
+    landmark sharding (VERDICT r5 item 3).
+
+    Landmark ids are degree-DESCENDING and each degree-class bucket is a
+    contiguous id range, so CONTIGUOUS ownership would concentrate every
+    heavy bucket on shard 0 — and shard_map needs one SPMD program, so
+    per-shard bucket widths must be IDENTICAL.  Strided ownership
+    (``owner(l) = l % n``) gives every shard ``ceil(L_b/n)`` landmarks of
+    every class — balanced AND structurally identical — while each
+    landmark's k_b-long run stays contiguous, so per-shard assembly is
+    still pure reshape+sum.
+
+    The local landmark numbering is shard-INDEPENDENT by construction:
+    ``localid(l) = class_base_loc + (l - l0) // n`` (the shard offset
+    cancels), which keeps the mapping arrays small.  Chunk buckets (the
+    heavy-prefix overlays, always ``l_base == 0``) reuse the containing
+    class's local base, exactly like the global plan.  Relies on
+    ``_plan_obs_buckets``'s tuple order: chunk buckets first, then class
+    buckets in ascending l_base — the LAST bucket with ``l_base == 0`` is
+    the head class.
+
+    Returns ``(local_buckets, local_extra_base, Lc, gid_table [n, Lc],
+    gid_pos [n*Lc], localid [L], owner [L])`` where ``gid_table[s, t]`` is
+    the global lid owned by shard s's local slot t (``L`` = pad slot) and
+    ``gid_pos`` reorders the device-major gathered step vector into global
+    lid order (pad lids point at a zero pad slot)."""
+    i0 = max(i for i, b in enumerate(buckets) if b[0] == 0)
+    classes = buckets[i0:]
+    assert classes[0][0] == 0
+    class_base_loc = {}
+    lc = 0
+    for (l0, lb, kb, c0) in classes:
+        class_base_loc[l0] = lc
+        lc += -(-lb // n)
+    local_buckets = []
+    col = 0
+    for (l0, lb, kb, c0) in buckets:  # original order (chunks first)
+        lb_loc = -(-lb // n)
+        local_buckets.append((class_base_loc[l0], lb_loc, kb, col))
+        col += lb_loc * kb
+    localid = np.zeros(max(L, 1), dtype=np.int32)
+    for (l0, lb, kb, c0) in classes:
+        ids = np.arange(l0, l0 + lb)
+        localid[ids] = class_base_loc[l0] + (ids - l0) // n
+    owner = (np.arange(max(L, 1)) % n).astype(np.int32)
+    gid_table = np.full((n, lc), L, dtype=np.int32)
+    ls = np.arange(L)
+    gid_table[owner[:L], localid[:L]] = ls
+    gid_pos = np.empty(n * lc, dtype=np.int64)
+    gid_pos[ls] = owner[:L].astype(np.int64) * lc + localid[:L]
+    pad_flats = np.nonzero(gid_table.reshape(-1) >= L)[0]
+    if L < n * lc:
+        gid_pos[L:] = pad_flats[0]  # any zero pad slot
+    return (
+        tuple(local_buckets), col, lc, gid_table, gid_pos, localid, owner,
+    )
+
+
+def _bucket_shard_sels(buckets, n):
+    """Per-shard column selections (with -1 in-place padding) realizing
+    :func:`_bucket_shard_plan`'s strided layout: shard s's local column
+    block for bucket ``(l0, lb, kb, ·)`` holds the runs of global
+    landmarks ``l0 + ((s - l0) % n) + t·n``; slots past the class end pad
+    with -1 (mask False).  The caller appends the fixed-landmark extras
+    region via balanced fill."""
+    sels = []
+    for s in range(n):
+        parts = []
+        for (l0, lb, kb, c0) in buckets:
+            lb_loc = -(-lb // n)
+            j0 = (s - l0) % n
+            g = l0 + j0 + np.arange(lb_loc, dtype=np.int64) * n
+            valid = g < l0 + lb
+            starts = c0 + (g - l0) * kb
+            rows = starts[:, None] + np.arange(kb, dtype=np.int64)[None, :]
+            rows = np.where(valid[:, None], rows, -1).reshape(-1)
+            parts.append(rows)
+        sels.append(np.concatenate(parts) if parts else np.empty(0, np.int64))
+    return sels
+
+
 def _balanced_fill(counts, n, total_extra):
     """Assign ``total_extra`` extra items to ``n`` buckets, most-empty
     first; returns per-item bucket ids [total_extra]."""
@@ -387,6 +500,11 @@ class ShardedSchurCompiled:
     #: qualified for SchurInfo.w_pm.  The pm map is built from global
     #: reduced offsets — identical on every device.
     w_pm: Any = None
+    #: Strided-ownership maps when the global layout is BUCKETED
+    #: (_bucket_shard_plan; None for uniform layouts, which keep the
+    #: contiguous ownership bit-identically).  Replicated host constants.
+    gid_table: Any = None
+    gid_pos: Any = None
 
     @property
     def layout(self):
@@ -434,6 +552,8 @@ class ShardedSchurCompiled:
             dof_elim=i.dof_elim,
             n_devices=self.n_devices,
             pm=None if self.w_pm is None else self.w_pm[3],
+            gid_table=self.gid_table,
+            gid_pos=self.gid_pos,
         )
 
     # -- local (inside-shard_map) computations -----------------------------
@@ -473,11 +593,12 @@ class ShardedSchurCompiled:
                         obs_k=meta.obs_k,
                         cam_batch=None,
                         cam_k=None,
-                        # Global bucket col/l ranges are meaningless on the
-                        # per-shard repads (meta.obs_k carries the shared
-                        # run stride when the routing preserved runs).
-                        buckets=None,
-                        extra_base=None,
+                        # Bucketed layouts carry the PER-SHARD local
+                        # bucket plan (identical on every shard —
+                        # _bucket_shard_plan) on the meta; uniform
+                        # layouts have None here and obs_k above.
+                        buckets=meta.buckets,
+                        extra_base=meta.extra_base,
                     )
                 )
         return dataclasses.replace(
@@ -527,7 +648,7 @@ class ShardedSchurCompiled:
         for b, meta in zip(self.batch_tpl, self.fast_meta):
             if (
                 meta is not None
-                and meta.obs_k is not None
+                and (meta.obs_k is not None or meta.buckets is not None)
                 and getattr(b, "batched", None) == "cm"
             ):
                 e_slot = (
@@ -535,12 +656,12 @@ class ShardedSchurCompiled:
                     if meta.e_slot is not None
                     else 1 - meta.r_slot
                 )
-                out.append(
-                    (
-                        e_slot,
-                        ((0, self.num_elim_local, meta.obs_k, 0),),
-                    )
+                runs = (
+                    meta.buckets
+                    if meta.buckets is not None
+                    else ((0, self.num_elim_local, meta.obs_k, 0),)
                 )
+                out.append((e_slot, runs))
             else:
                 out.append(None)
         return out
@@ -692,16 +813,44 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         )
     n = int(np.prod(mesh.devices.shape))
     L = info.num_elim
-    lc = -(-max(L, 1) // n)  # local landmarks per device (≥ 1)
     elim_fam = info.elim_family
     gids = np.asarray(info.elim_ids[elim_fam])  # [n_vars] global lid (L=dustbin)
 
-    # Per-shard LOCAL elim ids: owned vars map to [0, Lc), others to the
-    # dustbin Lc.
-    elim_ids = np.full((n, gids.shape[0]), lc, dtype=np.int32)
-    for s in range(n):
-        owned = (gids >= s * lc) & (gids < min((s + 1) * lc, L))
-        elim_ids[s, owned] = gids[owned] - s * lc
+    # Bucketed (skewed-degree) layouts shard by STRIDED ownership so the
+    # round-4 fast paths survive (see _bucket_shard_plan); uniform layouts
+    # keep the contiguous ownership bit-identically.
+    bucket_plan = None
+    if not info.implicit:
+        wfast = next(
+            (
+                f
+                for f in info.fast
+                if f is not None and f.buckets is not None
+            ),
+            None,
+        )
+        if wfast is not None and L > 0:
+            bucket_plan = _bucket_shard_plan(wfast.buckets, L, n)
+    if bucket_plan is not None:
+        (
+            local_buckets, local_extra_base, lc, gid_table, gid_pos,
+            localid, owner,
+        ) = bucket_plan
+        real = gids < L
+        safe = np.where(real, gids, 0)
+        elim_ids = np.full((n, gids.shape[0]), lc, dtype=np.int32)
+        for s in range(n):
+            owned = real & (owner[safe] == s)
+            elim_ids[s, owned] = localid[gids[owned]]
+    else:
+        lc = -(-max(L, 1) // n)  # local landmarks per device (≥ 1)
+        gid_table = gid_pos = None
+        # Per-shard LOCAL elim ids: owned vars map to [0, Lc), others to
+        # the dustbin Lc.
+        elim_ids = np.full((n, gids.shape[0]), lc, dtype=np.int32)
+        for s in range(n):
+            owned = (gids >= s * lc) & (gids < min((s + 1) * lc, L))
+            elim_ids[s, owned] = gids[owned] - s * lc
 
     # Per-device kernel-placed W (p-major layout): requires the global
     # compile to have qualified for SchurInfo.w_pm, the whole-system fused
@@ -723,11 +872,30 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         b_rows = b.n_padded
         g_fast = info.fast[bi] if bi < len(info.fast) else None
         obs_k_shared = None
+        batch_local_buckets = None
         if (
+            bucket_plan is not None
+            and elim_slots
+            and g_fast is not None
+            and g_fast.buckets is not None
+        ):
+            # Bucketed strided routing: each shard takes its strided
+            # landmarks' runs per bucket (same local plan on every shard —
+            # the SPMD requirement), plus -1 in-place padding for class
+            # tails; fixed-landmark extras balanced-fill below.
+            sels = _bucket_shard_sels(g_fast.buckets, n)
+            eb = g_fast.extra_base
+            if eb is None:
+                eb = sum(lb * kb for (_, lb, kb, _) in g_fast.buckets)
+            rows = np.arange(b_rows, dtype=np.int64)
+            extra_rows = rows[rows >= eb]
+            batch_local_buckets = local_buckets
+        elif (
             not info.implicit
             and elim_slots
             and g_fast is not None
             and g_fast.obs_k is not None
+            and bucket_plan is None
         ):
             # Run-preserving POSITIONAL routing: the global batch is
             # obs-major (column l·k+j = landmark l's j-th cost, masked
@@ -757,12 +925,20 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
                 e = elim_slots[0]
                 lid = gids[np.asarray(b.idx[e])]
                 lid = np.where(mask_np, lid, L)
-                sh = np.where(lid < L, lid // lc, -1)
+                if bucket_plan is not None:
+                    safe_l = np.where(lid < L, lid, 0)
+                    sh = np.where(lid < L, owner[safe_l], -1)
+                else:
+                    sh = np.where(lid < L, lid // lc, -1)
             else:
                 sh = np.full(b_rows, -1, dtype=np.int64)
             sels = [np.nonzero(sh == s)[0] for s in range(n)]
             extra_rows = np.nonzero(sh < 0)[0]
-        if elim_slots and obs_k_shared is None:
+        if (
+            elim_slots
+            and obs_k_shared is None
+            and batch_local_buckets is None
+        ):
             pm_ok = False  # coupling batch lost its run structure
         fill = _balanced_fill([len(s) for s in sels], n, len(extra_rows))
         for s in range(n):
@@ -832,6 +1008,15 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
                     obs_k=obs_k_shared,
                     cam_batch=None,
                     cam_k=None,
+                    # The per-shard LOCAL bucket plan (identical across
+                    # shards) under the bucketed strided routing; None
+                    # otherwise.
+                    buckets=batch_local_buckets,
+                    extra_base=(
+                        local_extra_base
+                        if batch_local_buckets is not None
+                        else None
+                    ),
                 )
                 cams = None
                 if info.implicit and all(
@@ -885,6 +1070,8 @@ def parallelize_schur(compiled: CompiledProblem, mesh: Mesh) -> ShardedSchurComp
         num_elim_local=lc,
         n_devices=n,
         w_pm=info.w_pm if pm_ok else None,
+        gid_table=gid_table,
+        gid_pos=gid_pos,
     )
 
 
