@@ -1089,7 +1089,17 @@ def repack_batches_for_schur(batches, info: "SchurInfo"):
 def elim_degree_counts(batches, problem, elim_manifold):
     """Per-variable observation counts of the (candidate) eliminated family
     over all W-producing batches — the ``order_key`` for the degree-sorted
-    landmark relabel (see :func:`obs_major_repack`)."""
+    landmark relabel (see :func:`obs_major_repack`).
+
+    KNOWN LIMITATION (ADVICE r4): the counts are summed over ALL batches,
+    but ``obs_major_repack`` requires each INDIVIDUAL batch's counts to be
+    non-increasing under the resulting order.  With several W-producing
+    batches whose per-batch degree orders diverge, the non-dominant
+    batches silently fail the monotonicity check inside the repack and
+    fall back to the obs-table/scatter paths (performance only —
+    correctness is unaffected).  Per-batch orders cannot be reconciled
+    into one id relabel, so this is inherent; single-W-batch problems
+    (every BAL-class workload) are unaffected."""
     elim_fam = family_name(elim_manifold)
     fam = problem._families.get(elim_fam)
     n = fam.n if fam is not None else 0
@@ -1540,6 +1550,42 @@ def _fused_tile_l(k_b, dr_s, dl, nrp, multi=False, nres=4):
     return None
 
 
+def _batch_nres(b):
+    """Residual component count of a cm batch, via ``jax.eval_shape`` (no
+    FLOPs, no device work) on the hand Jacobian or the residual fn.
+    Needed at LAYOUT time: `_w_pm_data`'s VMEM qualification must use the
+    true nres — the conservative nres=4 default over-rejects real shapes
+    (a Snavely kb=64 bucket passes at the true nres=2 but fails at 4,
+    which silently demoted the whole bench-realistic batch to the one-hot
+    path in r5_queue3.log leg 1).  Falls back to 4 (conservative) when
+    shape inference fails."""
+    try:
+        bsz = b.n_padded
+        mans = b.manifolds[1:] if getattr(b, "adaptive", False) else b.manifolds
+        val_sds = tuple(
+            jax.ShapeDtypeStruct(tuple(m.shape) + (bsz,), jnp.float32)
+            for m in mans
+        )
+        params_sds = (
+            None
+            if b.params is None
+            else jax.tree.map(
+                lambda l: jax.ShapeDtypeStruct(
+                    np.asarray(l).shape, np.asarray(l).dtype
+                ),
+                b.params,
+            )
+        )
+        if b.jacobian is not None:
+            r_sds, _ = jax.eval_shape(b.jacobian, params_sds, *val_sds)
+        else:
+            r_sds = jax.eval_shape(b.fn, params_sds, *val_sds)
+        shape = r_sds.shape
+        return int(shape[0]) if len(shape) == 2 else 1
+    except Exception:
+        return 4
+
+
 def _w_pm_data(batches, info: "SchurInfo"):
     """P-major dense-W layout data (SchurInfo.w_pm), or None.
 
@@ -1611,9 +1657,11 @@ def _w_pm_data(batches, info: "SchurInfo"):
     buckets_q = (
         ((0, info.num_elim, f.obs_k, 0),) if f.obs_k else f.buckets
     )
+    nres_q = _batch_nres(b)
     if any(
         _fused_tile_l(
-            kb, dr_s, info.dof_elim, nrp, multi=len(buckets_q) > 1
+            kb, dr_s, info.dof_elim, nrp, multi=len(buckets_q) > 1,
+            nres=nres_q,
         ) is None
         for (_, _, kb, _) in buckets_q
     ):
@@ -1649,8 +1697,18 @@ def _w_dtype(dtype):
 
     if dtype != jnp.float32:
         return dtype
-    if os.environ.get("NLLSTPU_W_DTYPE", "auto") == "bf16":
+    knob = os.environ.get("NLLSTPU_W_DTYPE", "auto")
+    if knob == "bf16":
         return jnp.bfloat16
+    if knob == "f16":
+        # Same half-width traffic as bf16 but with a 10+1-bit mantissa
+        # (relative step 4.9e-4 vs bf16's 3.9e-3): the r4 finding that
+        # killed the bf16 default was a storage-MANTISSA effect capping
+        # realistic-shape optima (CLAUDE.md round-4 notes); f16 trades
+        # range (max 65504 — W entries are Jacobian products, bounded by
+        # the f-scaled reprojection magnitudes) for exactly the mantissa
+        # bits that failed.  Validated per shape before defaulting.
+        return jnp.float16
     return dtype
 
 
