@@ -384,7 +384,6 @@ class SchurCGOps:
         u = jnp.zeros((self.dof_elim, self.num_elim + 1), dtype=v.dtype)
         vp = jnp.concatenate([v, jnp.zeros(self.pad + 1, dtype=v.dtype)])
         for i, wp in enumerate(wparts):
-            vg = vp[wp.rows_r]  # [B, Sr]
             bks = (
                 self.wpart_buckets[i] if i < len(self.wpart_buckets) else None
             )
@@ -394,13 +393,20 @@ class SchurCGOps:
                 # columns contribute zero because their rows_r point at the
                 # zero pad of ``vp``; extras (fixed-landmark costs, beyond
                 # the buckets) have no W rows at all.  w_blk is stored
-                # components-major [Sr, dl, B] for obs-major wparts.
-                q = jnp.einsum("sdb,bs->db", wp.w_blk, vg)  # cm [dl, B]
+                # components-major [Sr, dl, B] for obs-major wparts, and
+                # EVERY intermediate stays [.., B] (B-minor): the previous
+                # [B, Sr] gather lane-padded Sr=9 to 128 — a 14x memory
+                # inflation that made the CG matvec 4.4 ms at the Ladybug
+                # shape (bench_logs/r5_queue3.log leg 5), ~30x off its
+                # traffic roofline.
+                vg = vp[wp.rows_r.T]  # [Sr, B]
+                q = jnp.einsum("sdb,sb->db", wp.w_blk, vg)  # cm [dl, B]
                 for (l0, lb, kb, c0) in bks:
                     u = u.at[:, l0 : l0 + lb].add(
                         q[:, c0 : c0 + lb * kb].reshape(-1, lb, kb).sum(-1)
                     )
                 continue
+            vg = vp[wp.rows_r]  # [B, Sr]
             if wp.starts is not None and self.segment_impl.startswith("pallas"):
                 from .pallas.segment_sum import CHUNK, segment_block_sum
 
@@ -418,10 +424,20 @@ class SchurCGOps:
             q = jnp.einsum("bsd,bs->db", wp.w_blk, vg)  # cm [dl, B]
             if wp.obs is not None:
                 L, k = wp.obs.shape
-                flat = jnp.take(
-                    q, wp.obs.reshape(-1), axis=-1, mode="fill", fill_value=0
+                # Chunk the [dl, L·k] gather transient over landmarks
+                # (same Venice-scale bound as the camera tables).
+                qrows = max(
+                    1, _FAST_MAX_ONEHOT // max(k * q.shape[0], 1)
                 )
-                u = u.at[:, :L].add(flat.reshape(-1, L, k).sum(axis=-1))
+                for l0 in range(0, L, qrows):
+                    tbl = wp.obs[l0 : l0 + qrows]
+                    flat = jnp.take(
+                        q, tbl.reshape(-1), axis=-1, mode="fill",
+                        fill_value=0,
+                    )
+                    u = u.at[:, l0 : l0 + tbl.shape[0]].add(
+                        flat.reshape(-1, tbl.shape[0], k).sum(axis=-1)
+                    )
             else:
                 u = u.at[:, wp.lid].add(q)
         return u[:, : self.num_elim]
@@ -464,17 +480,53 @@ class SchurCGOps:
                 ug = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
                 ug = jnp.pad(ug, ((0, 0), (0, b_tot - pos)))
                 ug = ug * (wp.lid < L)[None, :]
-                t = jnp.einsum("sdb,db->bs", wp.w_blk, ug)  # [B, Sr]
-            else:
-                ug = up[:, wp.lid]  # cm [dl, B]
-                t = jnp.einsum("bsd,db->bs", wp.w_blk, ug)  # [B, Sr]
+                # B-minor throughout (see _wt_apply): the camera-keyed
+                # reduction rides the chunked one-hot MXU over rvid (the
+                # direct path's _onehot_reduced_tail pattern) instead of a
+                # padded-tile gather over [B, Sr].
+                t = jnp.einsum("sdb,db->sb", wp.w_blk, ug)  # [Sr, B]
+                if wp.rvid is not None and wp.row_base is not None:
+                    sr = t.shape[0]
+                    n_r = wp.row_base.shape[0]
+                    for start, width in _onehot_chunks(
+                        n_r, _FAST_MAX_ONEHOT, t.shape[1]
+                    ):
+                        oh = (
+                            (start + jnp.arange(width, dtype=jnp.int32))[
+                                :, None
+                            ]
+                            == wp.rvid[None, :]
+                        ).astype(t.dtype)  # dustbin rvid → all-zero column
+                        g = jnp.einsum(
+                            "vb,sb->vs", oh, t, precision="highest"
+                        )
+                        idx = (
+                            wp.row_base[start : start + width, None]
+                            + jnp.arange(sr, dtype=jnp.int32)[None, :]
+                        )
+                        y = y.at[idx].add(g)
+                else:
+                    y = y.at[wp.rows_r].add(t.T)
+                continue
+            ug = up[:, wp.lid]  # cm [dl, B]
+            t = jnp.einsum("bsd,db->bs", wp.w_blk, ug)  # [B, Sr]
             if wp.cam_obs is not None and wp.row_base is not None:
                 n_r, kc = wp.cam_obs.shape
                 sr = t.shape[1]
-                g = jnp.take(
-                    t, wp.cam_obs.reshape(-1), axis=0, mode="fill",
-                    fill_value=0,
-                ).reshape(n_r, kc, sr).sum(axis=1)
+                # Chunk the [n_r, kc, sr] gather transient over kc: at
+                # Venice scale a skew-hot camera gives kc ≈ 5.8k per shard
+                # and the unchunked transient was a 33 GB/device (267 GB
+                # global) allocation (bench_logs/r5_venice.log, first
+                # attempt).  Work is unchanged; only the transient is
+                # bounded.
+                q = max(1, _FAST_MAX_ONEHOT // max(n_r * sr, 1))
+                g = jnp.zeros((n_r, sr), dtype=t.dtype)
+                for s0 in range(0, kc, q):
+                    cols = wp.cam_obs[:, s0 : s0 + q]
+                    g = g + jnp.take(
+                        t, cols.reshape(-1), axis=0, mode="fill",
+                        fill_value=0,
+                    ).reshape(n_r, cols.shape[1], sr).sum(axis=1)
                 idx = (
                     wp.row_base[:, None]
                     + jnp.arange(sr, dtype=jnp.int32)[None, :]
@@ -548,11 +600,18 @@ class SchurCGOps:
             mf = m.reshape(m.shape[0], dof * dof)
             if wp.cam_obs is not None:
                 # Camera-table gather: O(B) work, no one-hot transient.
+                # Chunked over kc — same Venice-scale transient bound as
+                # _w_apply (the unchunked [n_r, kc, dof²] staging was a
+                # 33 GB/device allocation at 54M obs).
                 kc = wp.cam_obs.shape[1]
-                corr = jnp.take(
-                    mf, wp.cam_obs.reshape(-1), axis=0, mode="fill",
-                    fill_value=0,
-                ).reshape(n_r, kc, dof * dof).sum(axis=1)
+                q = max(1, _FAST_MAX_ONEHOT // max(n_r * dof * dof, 1))
+                corr = jnp.zeros((n_r, dof * dof), dtype=mf.dtype)
+                for s0 in range(0, kc, q):
+                    cols = wp.cam_obs[:, s0 : s0 + q]
+                    corr = corr + jnp.take(
+                        mf, cols.reshape(-1), axis=0, mode="fill",
+                        fill_value=0,
+                    ).reshape(n_r, cols.shape[1], dof * dof).sum(axis=1)
             else:
                 parts = []
                 for start, width in _onehot_chunks(
