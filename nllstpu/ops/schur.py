@@ -142,6 +142,7 @@ class SchurOps:
             pm and dl <= 3 and h_ll.dtype == jnp.float32
             and self.num_elim > 0 and self.dim_reduced > 0
         )
+        narrow_fit = False
         if damped_ok:
             # Narrow reduced spaces use the register-accumulator body;
             # wide ones (wc past ~700, e.g. Snavely 9-dof at >=128 camera
@@ -149,15 +150,22 @@ class SchurOps:
             # in the VMEM-resident output ref (VERDICT r4 weak #2; the
             # register body overflowed scoped VMEM at wc=1152,
             # r4_queue15c.log leg 6).  reduce_s_lm_damped picks the body.
-            from .pallas.schur_reduce import damped_solve_fits
+            from .pallas.schur_reduce import damped_solve_fits, damped_tile_l
 
+            narrow_fit = damped_tile_l(dl, w.shape[1]) is not None
             damped_ok = damped_solve_fits(dl, w.shape[1])
         if impl == "auto":
-            # Auto: the damped kernel exactly where it is proven faster
-            # (p-major f32 systems on TPU); everything else stays XLA.
+            # Auto: the damped kernel exactly where it is proven faster —
+            # the NARROW register body (+4.1% A/B, ab_ecb22c4_vs_a09c5e1).
+            # The wide PANEL body compiles and runs but LOST its
+            # same-session A/B at wc=1152 (3.52 ms vs 2.99 XLA,
+            # r5_queue4/5 leg 1 — the per-panel S read-modify-writes eat
+            # the one-W-stream win), so wide systems stay on the XLA
+            # chain under auto; NLLSTPU_SOLVE_IMPL=pallas still selects
+            # the panel kernel explicitly.
             impl = (
                 "pallas"
-                if damped_ok and jax.default_backend() == "tpu"
+                if narrow_fit and jax.default_backend() == "tpu"
                 else "xla"
             )
         h_inv = None
@@ -390,16 +398,43 @@ class SchurCGOps:
             if bks is not None:
                 # Obs-major run buckets: landmark l of bucket (l0, L_b, K_b,
                 # c0) owns columns c0 + (l−l0)·K_b + j.  Masked/dustbin
-                # columns contribute zero because their rows_r point at the
-                # zero pad of ``vp``; extras (fixed-landmark costs, beyond
-                # the buckets) have no W rows at all.  w_blk is stored
+                # columns contribute zero (their rvid one-hot column is
+                # all-zero); extras (fixed-landmark costs, beyond the
+                # buckets) have no W rows at all.  w_blk is stored
                 # components-major [Sr, dl, B] for obs-major wparts, and
                 # EVERY intermediate stays [.., B] (B-minor): the previous
                 # [B, Sr] gather lane-padded Sr=9 to 128 — a 14x memory
                 # inflation that made the CG matvec 4.4 ms at the Ladybug
                 # shape (bench_logs/r5_queue3.log leg 5), ~30x off its
-                # traffic roofline.
-                vg = vp[wp.rows_r.T]  # [Sr, B]
+                # traffic roofline.  The per-cost expansion of v is a
+                # one-hot MXU matmul against the tiny per-camera table
+                # (vp[rows_r] was a lane-axis gather — the slow axis).
+                if wp.row_base is not None and wp.rvid is not None:
+                    sr = wp.w_blk.shape[0]
+                    n_r = wp.row_base.shape[0]
+                    cam_idx = (
+                        wp.row_base[:, None]
+                        + jnp.arange(sr, dtype=jnp.int32)[None, :]
+                    )
+                    v_cam = vp[cam_idx]  # [n_r, Sr] — tiny
+                    bsz = wp.rvid.shape[0]
+                    vg = None
+                    for start, width in _onehot_chunks(
+                        n_r, _FAST_MAX_ONEHOT, bsz
+                    ):
+                        oh = (
+                            (start + jnp.arange(width, dtype=jnp.int32))[
+                                :, None
+                            ]
+                            == wp.rvid[None, :]
+                        ).astype(v.dtype)  # [width, B]
+                        part = jnp.einsum(
+                            "vb,vs->sb", oh, v_cam[start : start + width],
+                            precision="highest",
+                        )
+                        vg = part if vg is None else vg + part
+                else:
+                    vg = vp[wp.rows_r.T]  # [Sr, B]
                 q = jnp.einsum("sdb,sb->db", wp.w_blk, vg)  # cm [dl, B]
                 for (l0, lb, kb, c0) in bks:
                     u = u.at[:, l0 : l0 + lb].add(

@@ -60,9 +60,15 @@ def main():
             ["git", "worktree", "add", "--detach", wt, args.ref],
             cwd=REPO, check=True,
         )
-    # Share the compile cache so both sides run cache-hot.
+    # Share the compile cache so both sides run cache-hot.  lexists +
+    # unlink: a reused ref worktree can hold a DANGLING symlink from an
+    # earlier A/B whose driving worktree was removed (os.path.exists
+    # follows the link and then symlink() raises FileExistsError —
+    # r5_queue5.log leg 6).
     cache_link = os.path.join(wt, ".jax_cache")
-    if not os.path.exists(cache_link):
+    if os.path.islink(cache_link):
+        os.unlink(cache_link)
+    if not os.path.lexists(cache_link):
         os.symlink(os.path.join(REPO, ".jax_cache"), cache_link)
 
     # Every A/B leaves a committed artifact (bench_logs/) so perf claims in
