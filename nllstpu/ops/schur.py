@@ -154,18 +154,22 @@ class SchurOps:
 
             narrow_fit = damped_tile_l(dl, w.shape[1]) is not None
             damped_ok = damped_solve_fits(dl, w.shape[1])
+        del narrow_fit  # both kernel bodies are auto-admitted; see below
         if impl == "auto":
-            # Auto: the damped kernel exactly where it is proven faster —
-            # the NARROW register body (+4.1% A/B, ab_ecb22c4_vs_a09c5e1).
-            # The wide PANEL body compiles and runs but LOST its
-            # same-session A/B at wc=1152 (3.52 ms vs 2.99 XLA,
-            # r5_queue4/5 leg 1 — the per-panel S read-modify-writes eat
-            # the one-W-stream win), so wide systems stay on the XLA
-            # chain under auto; NLLSTPU_SOLVE_IMPL=pallas still selects
-            # the panel kernel explicitly.
+            # Auto: the damped kernel wherever a body fits — the NARROW
+            # register body won its phase A/B (+4.1%,
+            # ab_ecb22c4_vs_a09c5e1) and the wide PANEL body wins END TO
+            # END despite losing the isolated ops.solve microbench
+            # (3.52 vs 2.99 ms): bench-realistic ran 130.6 it/s with the
+            # kernel vs 90.1 on the XLA chain and Ladybug 157.9 vs 124.5
+            # (r5_queue4 vs r5_queue6 legs 1-2).  The microbench's fori
+            # loop pipelines successive XLA-chain solves in ways the real
+            # LM loop cannot, and the XLA path re-pays the standalone
+            # batched inverse (~0.6 ms of per-op overhead, r4_queue14)
+            # per damping attempt — trust the end-to-end A/B.
             impl = (
                 "pallas"
-                if narrow_fit and jax.default_backend() == "tpu"
+                if damped_ok and jax.default_backend() == "tpu"
                 else "xla"
             )
         h_inv = None
