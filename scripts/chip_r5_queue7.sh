@@ -30,4 +30,13 @@ timeout 1500 env NLLSTPU_FUSED_TRIAL=1 \
 sleep 30
 say "4. bench.py final headline $(date)"
 timeout 1500 python bench.py 2>> "$LOG" | tail -1 | tee -a "$LOG"
+sleep 30
+say "5. profile_implicit ladybug retry (q6 leg 3 timed out under host-CPU
+contention from the concurrent Venice run) $(date)"
+timeout 1800 python scripts/profile_implicit.py ladybug 30 >> "$LOG" 2>&1
+sleep 30
+say "6. dtype-PINNED uniform A/B vs r4 end (q6 leg hit the 900s
+per-leg subprocess timeout under contention) $(date)"
+timeout 5400 env NLLSTPU_W_DTYPE=f32 python scripts/ab_bench.py \
+  --ref 65cb84f --rounds 2 --iters 30 --timeout 1400 >> "$LOG" 2>&1
 say "done $(date)"
