@@ -166,7 +166,7 @@ def main():
     # iteration runs on an obs-prefix subproblem at the measured-feasible
     # scale and the wall is recorded in the phase line — round 6's named
     # target is the CG-solve transient footprint itself.
-    solve_obs_limit = int(os.environ.get("VENICE_SOLVE_OBS", 7_000_000))
+    solve_obs_limit = int(os.environ.get("VENICE_SOLVE_OBS", 6_000_000))
     iter_problem, iter_nobs = problem, nobs
     if nobs > solve_obs_limit:
         sub = {
@@ -176,6 +176,14 @@ def main():
             "pt_idx": parsed["pt_idx"][:solve_obs_limit],
             "observations": parsed["observations"][:solve_obs_limit],
         }
+        # Release the FULL-scale structures first: the second OOM-kill
+        # (130 GiB RSS) was the full-scale batch args + parallelize
+        # arrays (~30 GiB) still referenced while the sub-scale solve
+        # peaked at its own ~77 GiB.
+        import gc
+
+        del problem, compiled, par, parsed, data
+        gc.collect()
         iter_problem, _, pt_h2 = bal.make_bal_problem(
             sub, dtype=jnp.float32
         )
