@@ -191,21 +191,35 @@ def main():
         iter_nobs = solve_obs_limit
     t = time.perf_counter()
     try:
-        res = optimize_sharded(
-            iter_problem, mesh,
-            nt.Options(
-                solver="schur_cg", schur_family=bal.PT,
-                iterator=nt.LEVENBERG_MARQUARDT, max_iters=1,
-                cg_fixed_iters=5, linear_tol=1e-1,
-            ),
+        # ONE manual LM iteration through the sharded pieces (assemble +
+        # damped implicit solve + apply + cost) rather than the jitted
+        # while-loop driver: the driver's double-buffered loop state put
+        # the 6M-obs peak past the 123 GiB host (three OOM-kills on
+        # record); solve_once measured 76.8 GiB at this scale.  Same
+        # compute path — psum-reduced implicit CG, step gather — without
+        # the loop machinery.
+        sub_compiled = compile_problem(
+            iter_problem, solver="schur_cg", schur_family=bal.PT
         )
-        ok = np.isfinite(res.best_cost) and res.best_cost <= res.start_cost
+        sub_par = parallelize_schur(sub_compiled, mesh)
+        os.environ["NLLSTPU_CG_FIXED_ITERS"] = "5"
+        v0 = iter_problem.stacked_variables()
+        c0 = float(sub_par.cost(v0))
+        ok = False
+        c1 = float("nan")
+        for lam in (1e-2, 1e-1, 1.0):
+            c_asm, x = sub_par.solve_once(v0, jnp.float32(lam))
+            v1 = sub_par.base.apply(v0, x)
+            c1 = float(sub_par.cost(v1))
+            if np.isfinite(c1) and c1 < c0:
+                ok = True
+                break
         phase(
             "sharded_implicit_iter", t,
             iter_nobs=iter_nobs,
             full_scale=bool(iter_nobs == nobs),
-            start_cost=float(res.start_cost),
-            best_cost=float(res.best_cost),
+            start_cost=c0,
+            best_cost=c1,
             decreased=bool(ok),
         )
     except Exception as e:
