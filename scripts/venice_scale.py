@@ -90,37 +90,50 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, f"venice_{NPTS}_{NCAM}.txt")
 
-    # 1. generate (realistic power-law skew; alpha tuned so the mean track
-    # length lands near Venice's ~18 obs/point).
-    t = time.perf_counter()
-    data = bal.make_realistic_bal(
-        ncameras=NCAM, npoints=NPTS, seed=7, noise=1e-3,
-        track_alpha=1.25, max_track=256,
-    )
-    nobs = int(data["cam_idx"].shape[0])
-    tracks = np.bincount(data["pt_idx"], minlength=NPTS)
-    phase(
-        "generate", t, nobs=nobs, npoints=NPTS, ncameras=NCAM,
-        track_mean=round(float(tracks.mean()), 2),
-        track_max=int(tracks.max()),
-    )
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        # Reuse the generated file across attempts (generation + write is
+        # ~6 min at this scale); the parse phase below re-derives nobs.
+        t = time.perf_counter()
+        with open(path) as fh:
+            ncam0, npt0, nobs = (int(v) for v in fh.readline().split())
+        assert (ncam0, npt0) == (NCAM, NPTS), (ncam0, npt0)
+        data = None
+        phase("reuse_file", t, nobs=nobs,
+              file_gib=round(os.path.getsize(path) / 2**30, 2))
+    else:
+        # 1. generate (realistic power-law skew; alpha tuned so the mean
+        # track length lands near Venice's ~18 obs/point).
+        t = time.perf_counter()
+        data = bal.make_realistic_bal(
+            ncameras=NCAM, npoints=NPTS, seed=7, noise=1e-3,
+            track_alpha=1.25, max_track=256,
+        )
+        nobs = int(data["cam_idx"].shape[0])
+        tracks = np.bincount(data["pt_idx"], minlength=NPTS)
+        phase(
+            "generate", t, nobs=nobs, npoints=NPTS, ncameras=NCAM,
+            track_mean=round(float(tracks.mean()), 2),
+            track_max=int(tracks.max()),
+        )
 
-    # 2. write the BAL text file (interchange format, ~40 B/obs).
-    t = time.perf_counter()
-    write_bal_fast(path, data)
-    phase(
-        "write_file", t,
-        file_gib=round(os.path.getsize(path) / 2**30, 2),
-    )
+        # 2. write the BAL text file (interchange format, ~40 B/obs).
+        t = time.perf_counter()
+        write_bal_fast(path, data)
+        phase(
+            "write_file", t,
+            file_gib=round(os.path.getsize(path) / 2**30, 2),
+        )
 
     # 3. parse it back through the native C++ loader.
     t = time.perf_counter()
     parsed = bal.load_bal(path)
     assert parsed["cam_idx"].shape[0] == nobs
     assert parsed["points"].shape[0] == NPTS
-    np.testing.assert_allclose(
-        parsed["observations"][:100], data["observations"][:100], rtol=1e-15
-    )
+    if data is not None:
+        np.testing.assert_allclose(
+            parsed["observations"][:100], data["observations"][:100],
+            rtol=1e-15,
+        )
     from nllstpu.utils import native
 
     phase(
@@ -169,13 +182,21 @@ def main():
     solve_obs_limit = int(os.environ.get("VENICE_SOLVE_OBS", 6_000_000))
     iter_problem, iter_nobs = problem, nobs
     if nobs > solve_obs_limit:
+        # Complete-track prefix + POINT REINDEX: observations are
+        # point-major, so cut at the last whole track and slice the point
+        # array — keeping all 1.7M point VARIABLES made L (and every
+        # landmark-indexed structure) full-scale and re-OOMed the
+        # sub-solve (attempt-5 kill at 130 GiB).
+        last_pt = int(parsed["pt_idx"][solve_obs_limit - 1])
+        end = int(np.searchsorted(parsed["pt_idx"], last_pt))
         sub = {
             "cameras": parsed["cameras"],
-            "points": parsed["points"],
-            "cam_idx": parsed["cam_idx"][:solve_obs_limit],
-            "pt_idx": parsed["pt_idx"][:solve_obs_limit],
-            "observations": parsed["observations"][:solve_obs_limit],
+            "points": parsed["points"][:last_pt],
+            "cam_idx": parsed["cam_idx"][:end],
+            "pt_idx": parsed["pt_idx"][:end],
+            "observations": parsed["observations"][:end],
         }
+        solve_obs_limit = end
         # Release the FULL-scale structures first: the second OOM-kill
         # (130 GiB RSS) was the full-scale batch args + parallelize
         # arrays (~30 GiB) still referenced while the sub-scale solve
