@@ -717,24 +717,35 @@ class ShardedSchurCompiled:
     def solve_once(self, variables, lam):
         """Assemble and solve the damped system once, returning
         ``(cost, x)`` with the full (replicated) step vector — the
-        sharded analogue of ``ops().solve(assemble(v)[1], lam)``."""
+        sharded analogue of ``ops().solve(assemble(v)[1], lam)``.
 
-        def _one(variables, lam, batch_args, elim_ids, fast_args):
-            c, sys = self._local_assemble(
-                variables, batch_args, elim_ids, fast_args
-            )
-            return c, self.ops().solve(sys, lam)
+        The shard_map-wrapped function is CACHED on the instance: a fresh
+        wrapper per call is a new jit cache key, so a host-side λ ladder
+        (e.g. scripts/venice_scale.py) recompiled the whole sharded solve
+        per λ — 3 compiles ≈ 41 min at 6M obs on the CPU mesh.  λ is a
+        runtime argument either way."""
+        f = self.__dict__.get("_solve_once_fn")
+        if f is None:
 
-        f = jax.shard_map(
-            _one,
-            mesh=self.mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()),
-            # pallas_call inside shard_map requires vma annotations under
-            # the new varying-mesh-axes checker; disable it (the psum
-            # placement is explicit in the local functions).
-            check_vma=False,
-        )
+            def _one(variables, lam, batch_args, elim_ids, fast_args):
+                c, sys = self._local_assemble(
+                    variables, batch_args, elim_ids, fast_args
+                )
+                return c, self.ops().solve(sys, lam)
+
+            f = jax.jit(jax.shard_map(
+                _one,
+                mesh=self.mesh,
+                in_specs=(
+                    P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)
+                ),
+                out_specs=(P(), P()),
+                # pallas_call inside shard_map requires vma annotations
+                # under the new varying-mesh-axes checker; disable it
+                # (the psum placement is explicit in the local functions).
+                check_vma=False,
+            ))
+            self.__dict__["_solve_once_fn"] = f
         return f(
             variables, lam, self.batch_args, self.elim_ids, self.fast_args
         )

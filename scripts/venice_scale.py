@@ -223,12 +223,16 @@ def main():
             iter_problem, solver="schur_cg", schur_family=bal.PT
         )
         sub_par = parallelize_schur(sub_compiled, mesh)
-        os.environ["NLLSTPU_CG_FIXED_ITERS"] = "5"
+        os.environ["NLLSTPU_CG_FIXED_ITERS"] = "25"
         v0 = iter_problem.stacked_variables()
         c0 = float(sub_par.cost(v0))
         ok = False
         c1 = float("nan")
-        for lam in (1e-2, 1e-1, 1.0):
+        # λ ladder, LM-style: a 25-iteration CG step at this scale needs
+        # real damping to stay inside the trust region (attempt 6: every
+        # λ ≤ 1 with 5 CG iters overshot).  solve_once is compiled once
+        # (λ is a runtime argument).
+        for lam in (1e-2, 1e-1, 1.0, 10.0, 100.0, 1e3, 1e4):
             c_asm, x = sub_par.solve_once(v0, jnp.float32(lam))
             v1 = sub_par.base.apply(v0, x)
             c1 = float(sub_par.cost(v1))
